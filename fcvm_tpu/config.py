@@ -1,0 +1,85 @@
+"""Global configuration (the reference's three-tier config system, rebuilt).
+
+The reference reads a one-key ``fcVM.ini`` selecting one of three sparse
+Cholesky backends (``source code/fcVM.py:58-71``).  On TPU there is no sparse
+direct factorization, so the backend choice collapses to the matrix-free PCG
+solver; the remaining knobs (dtype policy, CG tolerances, preconditioner)
+live here.  Per-model analysis parameters stay in the 21-line ``.inp``
+control file (:mod:`fcvm_tpu.models.inp`), mirroring the reference schema.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class FcvmConfig:
+    """Framework-level solver configuration.
+
+    Attributes:
+      solver: linear solver backend. ``"cg"`` = matrix-free block-Jacobi
+        preconditioned conjugate gradients on device (the TPU-native
+        replacement for the reference's CHOLMOD/cholespy/sksparse backends,
+        ``source code/fcVM.py:66-71``). ``"scipy"`` = host sparse direct
+        factorization (debug/validation only; never used on TPU).
+      dtype: compute dtype for the solve path. ``None`` = float64 when JAX
+        x64 is enabled, else float32.
+      cg_rtol: relative residual tolerance of the inner CG solve.  The
+        outer Newton-Raphson tolerance of the reference is 5e-3 relative
+        (typical ``error_max`` in the bundled ``.inp`` corpus), so the
+        default keeps the inner solve ~3 orders tighter.
+      cg_atol: absolute CG tolerance floor.
+      cg_maxiter: CG iteration cap. ``0`` = 10 * sqrt(ndof) heuristic.
+      precond: ``"block_jacobi"`` (3x3 nodal blocks) or ``"jacobi"`` or
+        ``"none"``.
+      n_eig_vectors: subspace size for the buckling eigensolver (>= 2
+        requested modes, larger improves convergence).
+      seed_elastic_factorization: retain elastic-stiffness preconditioner
+        across Newton iterations for geometric-linear runs (modified NR,
+        mirroring the reference's fixed elastic factor,
+        ``source code/fcVM.py:1400-1406``).
+    """
+
+    solver: str = "cg"
+    dtype: Optional[jnp.dtype] = None
+    cg_rtol: float = 1.0e-6
+    cg_atol: float = 0.0
+    cg_maxiter: int = 0
+    precond: str = "block_jacobi"
+    n_eig_vectors: int = 8
+    seed_elastic_factorization: bool = True
+
+    def resolve_dtype(self):
+        if self.dtype is not None:
+            return jnp.dtype(self.dtype)
+        if jax.config.read("jax_enable_x64"):
+            return jnp.dtype(jnp.float64)
+        return jnp.dtype(jnp.float32)
+
+    def resolve_cg_maxiter(self, ndof: int) -> int:
+        if self.cg_maxiter > 0:
+            return self.cg_maxiter
+        return max(200, int(10 * ndof ** 0.5))
+
+
+_config = FcvmConfig()
+
+if os.environ.get("FCVM_SOLVER"):
+    _config.solver = os.environ["FCVM_SOLVER"]
+if os.environ.get("FCVM_CG_RTOL"):
+    _config.cg_rtol = float(os.environ["FCVM_CG_RTOL"])
+
+
+def get_config() -> FcvmConfig:
+    return _config
+
+
+def set_config(cfg: FcvmConfig) -> None:
+    global _config
+    _config = cfg

@@ -1,0 +1,227 @@
+"""Declarative analysis model (the CAD-free replacement of the FreeCAD layer).
+
+The reference extracts the mesh, materials, Dirichlet constraints and loads
+from live FreeCAD document objects (``source code/fcVM.py:122-347``).  This
+framework decouples the solver from any CAD kernel: a :class:`Model` is plain
+arrays — connectivity, coordinates, dof constraint tables and load tables —
+which can be built from the included mesh generators, from Gmsh/UNV files, or
+programmatically from node-set predicates.
+
+Conventions (identical to the reference after its node reordering at
+``fcVM.py:337-341``):
+
+* tet10 node order: corners (0,1,2,3) then midsides
+  (0-1), (1-2), (0-2), (0-3), (1-3), (2-3) — the CalculiX convention the
+  reference's shape functions assume.
+* Voigt stress/strain order ``[xx, yy, zz, xy, zx, yz]``.
+* dof numbering ``dof = 3 * node + component``; all indices 0-based.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+
+# Midside node -> (corner, corner) for the tet10 convention above.
+TET10_EDGES = ((0, 1), (1, 2), (0, 2), (0, 3), (1, 3), (2, 3))
+
+
+@dataclasses.dataclass
+class Mesh:
+    """Tet10 volume mesh.
+
+    Attributes:
+      coords: (nn, 3) float64 nodal coordinates.
+      elnodes: (ne, 10) int32 0-based connectivity.
+    """
+
+    coords: np.ndarray
+    elnodes: np.ndarray
+
+    def __post_init__(self):
+        self.coords = np.ascontiguousarray(self.coords, dtype=np.float64)
+        self.elnodes = np.ascontiguousarray(self.elnodes, dtype=np.int32)
+
+    @property
+    def n_nodes(self) -> int:
+        return len(self.coords)
+
+    @property
+    def n_elements(self) -> int:
+        return len(self.elnodes)
+
+    @property
+    def ndof(self) -> int:
+        return 3 * self.n_nodes
+
+    def elements_per_node(self) -> np.ndarray:
+        """The reference's ``noce`` (``fcVM.py:183-185``): number of volume
+        elements adjacent to each node."""
+        counts = np.zeros(self.n_nodes, dtype=np.int32)
+        for col in range(10):
+            np.add.at(counts, self.elnodes[:, col], 1)
+        return counts
+
+    def select_nodes(self, predicate) -> np.ndarray:
+        """Node ids where ``predicate(x, y, z)`` (vectorized) is true."""
+        m = predicate(self.coords[:, 0], self.coords[:, 1], self.coords[:, 2])
+        return np.where(m)[0].astype(np.int32)
+
+    def boundary_faces(self) -> np.ndarray:
+        """All exterior tri6 faces, outward-ordered, as (nf, 6) node ids.
+
+        A face appears in exactly one element iff it is on the boundary.
+        Replaces the FreeCAD ``getFacesByFace`` queries.
+        """
+        # Local faces of a tet (corner triple, midside triple), oriented
+        # outward for a positively-oriented tet.
+        local_faces = (
+            ((0, 2, 1), (2, 1, 0)),  # corners 0-2-1, midsides (0-2),(1-2),(0-1)
+            ((0, 1, 3), (0, 4, 3)),  # midsides (0-1),(1-3),(0-3)
+            ((1, 2, 3), (1, 5, 4)),  # midsides (1-2),(2-3),(1-3)
+            ((2, 0, 3), (2, 3, 5)),  # midsides (0-2),(0-3),(2-3)
+        )
+        faces = []
+        for corners, mids in local_faces:
+            c = self.elnodes[:, list(corners)]
+            m = self.elnodes[:, [4 + i for i in mids]]
+            faces.append(np.concatenate([c, m], axis=1))
+        all_faces = np.concatenate(faces, axis=0)  # (4*ne, 6)
+        key = np.sort(all_faces[:, :3], axis=1)
+        _, inv, counts = np.unique(
+            key, axis=0, return_inverse=True, return_counts=True
+        )
+        return all_faces[counts[inv] == 1].astype(np.int32)
+
+    def faces_on(self, predicate) -> np.ndarray:
+        """Boundary faces whose 6 nodes all satisfy the predicate."""
+        bf = self.boundary_faces()
+        node_ok = np.zeros(self.n_nodes, dtype=bool)
+        sel = self.select_nodes(predicate)
+        node_ok[sel] = True
+        return bf[node_ok[bf].all(axis=1)]
+
+
+@dataclasses.dataclass
+class Material:
+    """Isotropic elastoplastic material.
+
+    The reference extracts one (E, nu, rho) row per element but its kernels
+    use element 0 for the constitutive law everywhere
+    (``fcVM.py:736-737, 947-950, 2227-2234``), i.e. the solve is effectively
+    single-material; we mirror that contract.
+    """
+
+    e: float  # Young's modulus [MPa]
+    nu: float  # Poisson ratio
+    density: float = 0.0  # [kg/mm^3] paired with gravity in [mm/s^2]
+
+
+@dataclasses.dataclass
+class BoundaryConditions:
+    """Prescribed-displacement constraints (fixed and driven dofs).
+
+    Built from per-node component locks, the analogue of the reference's
+    ``fix``/``fixdof``/``movdof`` triple (``fcVM.py:222-258``).
+    """
+
+    fixed_dofs: np.ndarray  # (k,) int32 dof ids
+    fixed_values: np.ndarray  # (k,) float64 prescribed displacement
+
+    @staticmethod
+    def from_node_sets(
+        entries: Sequence[tuple[np.ndarray, Sequence[Optional[float]]]],
+    ) -> "BoundaryConditions":
+        """``entries = [(node_ids, (ux, uy, uz)), ...]`` with ``None`` = free.
+
+        Later entries win on conflicts, matching the reference dict update.
+        """
+        table: dict[int, float] = {}
+        for nodes, comps in entries:
+            for axis, val in enumerate(comps):
+                if val is None:
+                    continue
+                for n in np.asarray(nodes).ravel():
+                    table[3 * int(n) + axis] = float(val)
+        dofs = np.array(sorted(table), dtype=np.int32)
+        vals = np.array([table[d] for d in dofs], dtype=np.float64)
+        return BoundaryConditions(dofs, vals)
+
+    def masks(self, ndof: int):
+        """Returns (fixmask, u_fix, movdof) as float64/ndof arrays.
+
+        fixmask: 1.0 free / 0.0 fixed (reference ``fixdof``);
+        u_fix: prescribed values at fixed dofs, 0 elsewhere;
+        movdof: 1.0 where the prescribed value is nonzero (displacement
+        control detection, ``fcVM.py:256-258``).
+        """
+        fixmask = np.ones(ndof)
+        u_fix = np.zeros(ndof)
+        fixmask[self.fixed_dofs] = 0.0
+        u_fix[self.fixed_dofs] = self.fixed_values
+        movdof = np.zeros(ndof)
+        movdof[self.fixed_dofs[self.fixed_values != 0.0]] = 1.0
+        return fixmask, u_fix, movdof
+
+
+def _empty_i(shape):
+    return np.zeros(shape, dtype=np.int32)
+
+
+def _empty_f(shape):
+    return np.zeros(shape, dtype=np.float64)
+
+
+@dataclasses.dataclass
+class Loads:
+    """External load tables (reference ``fcVM.py:260-335``).
+
+    Attributes:
+      pressure_faces: (nf, 6) tri6 node ids; pressures: (nf,) [MPa], negative
+        = pushing onto the surface with the reference's sign convention
+        (reference applies ``sign * p`` along the outward normal with
+        ``sign=-1`` unless reversed, ``fcVM.py:270-285``). Store the signed
+        value directly.
+      traction_faces: (nt, 6); tractions: (nt, 3) force/area, direction fixed.
+      edges: (nl, 3) line3 node ids; edge_tractions: (nl, 3) force/length.
+      vertices: (nv,) node ids; vertex_forces: (nv, 3) point forces.
+      gravity: (3,) acceleration vector.
+    """
+
+    pressure_faces: np.ndarray = dataclasses.field(default_factory=lambda: _empty_i((0, 6)))
+    pressures: np.ndarray = dataclasses.field(default_factory=lambda: _empty_f((0,)))
+    traction_faces: np.ndarray = dataclasses.field(default_factory=lambda: _empty_i((0, 6)))
+    tractions: np.ndarray = dataclasses.field(default_factory=lambda: _empty_f((0, 3)))
+    edges: np.ndarray = dataclasses.field(default_factory=lambda: _empty_i((0, 3)))
+    edge_tractions: np.ndarray = dataclasses.field(default_factory=lambda: _empty_f((0, 3)))
+    vertices: np.ndarray = dataclasses.field(default_factory=lambda: _empty_i((0,)))
+    vertex_forces: np.ndarray = dataclasses.field(default_factory=lambda: _empty_f((0, 3)))
+    gravity: np.ndarray = dataclasses.field(default_factory=lambda: _empty_f((3,)))
+
+    def __post_init__(self):
+        self.pressure_faces = np.asarray(self.pressure_faces, dtype=np.int32).reshape(-1, 6)
+        self.pressures = np.asarray(self.pressures, dtype=np.float64).reshape(-1)
+        self.traction_faces = np.asarray(self.traction_faces, dtype=np.int32).reshape(-1, 6)
+        self.tractions = np.asarray(self.tractions, dtype=np.float64).reshape(-1, 3)
+        self.edges = np.asarray(self.edges, dtype=np.int32).reshape(-1, 3)
+        self.edge_tractions = np.asarray(self.edge_tractions, dtype=np.float64).reshape(-1, 3)
+        self.vertices = np.asarray(self.vertices, dtype=np.int32).reshape(-1)
+        self.vertex_forces = np.asarray(self.vertex_forces, dtype=np.float64).reshape(-1, 3)
+        self.gravity = np.asarray(self.gravity, dtype=np.float64).reshape(3)
+
+
+@dataclasses.dataclass
+class Model:
+    """A complete analysis model: mesh + material + constraints + loads."""
+
+    mesh: Mesh
+    material: Material
+    bcs: BoundaryConditions
+    loads: Loads
+    name: str = "model"
+
+    @property
+    def ndof(self) -> int:
+        return self.mesh.ndof

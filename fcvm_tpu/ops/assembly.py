@@ -1,0 +1,307 @@
+"""Batched stiffness/tangent blocks, load integration, Dirichlet handling.
+
+TPU-native replacement for the reference's COO triplet assembly
+(``source code/fcVM.py:620-1079``).  Instead of building a scipy CSC matrix
+for a host Cholesky factorization, we keep the per-element 30x30 blocks in
+HBM and expose ``K @ v`` as gather -> batched block matmul -> ``segment_sum``
+scatter-add.  The batched 30x30 matmuls ride the MXU; the scatter is a single
+XLA ``segment_sum``.
+
+Dirichlet boundary conditions reproduce the reference's elimination scheme
+(``fcVM.py:771-796``): the operator acts as identity on fixed dofs and the
+right-hand side carries ``modf = -(K u_fix)_free + u_fix`` so prescribed
+displacements enter the elastic predictor exactly as in the reference.
+(Divergence, documented: the reference accumulates one ``1.0`` diagonal entry
+per adjacent element for a fixed dof, scaling both the diagonal and the RHS
+by the element count; the solution is identical.)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from fcvm_tpu.ops import elements as el
+from fcvm_tpu.ops import material as mat
+from fcvm_tpu.utils.linalg3 import det3, inv3_spd
+
+
+def element_dof_ids(elnodes: jnp.ndarray) -> jnp.ndarray:
+    """(ne, 30) global dof indices from 0-based connectivity (ne, 10)."""
+    return (3 * elnodes[:, :, None] + jnp.arange(3)[None, None, :]).reshape(
+        elnodes.shape[0], 30
+    )
+
+
+# ---------------------------------------------------------------------------
+# Element stiffness blocks
+# ---------------------------------------------------------------------------
+
+
+def _single_elastic_esm(coords_el, dmat):
+    det, _, bmat = el.tet10_element_geometry(coords_el)
+    w = jnp.asarray(el.W10, dtype=coords_el.dtype)
+    scale = w * jnp.abs(det)  # (4,)
+    # esm = sum_g B_g^T D B_g * w_g |J_g|  -- batched MXU matmuls
+    db = jnp.einsum("kl,gln->gkn", dmat, bmat)
+    return jnp.einsum("gkm,gkn,g->mn", bmat, db, scale)
+
+
+@partial(jax.jit, static_argnames=())
+def elastic_stiffness_blocks(coords: jnp.ndarray, elnodes: jnp.ndarray, dmat: jnp.ndarray):
+    """(ne, 30, 30) elastic element stiffness blocks (``fcVM.py:739-756``)."""
+    coords_el = coords[elnodes]  # (ne, 10, 3)
+    return jax.vmap(_single_elastic_esm, in_axes=(0, None))(coords_el, dmat)
+
+
+def _single_tangent_esm(coords_el, dmat, sig_el, pgp_el, g3fac):
+    """Material tangent block with plastic rank-one correction.
+
+    Reference ``fcVM.py:971-1000``: for plastic Gauss points the tangent is
+    ``D - fac * s s^T`` with ``fac = 3G / (1 + H/3G) / svm^2`` computed from
+    the stress at the start of the Riks step.
+    """
+    det, _, bmat = el.tet10_element_geometry(coords_el)
+    w = jnp.asarray(el.W10, dtype=coords_el.dtype)
+    scale = w * jnp.abs(det)  # (4,)
+    dev, _, svm = mat.von_mises(sig_el)  # sig_el (4, 6)
+    svm = jnp.where(svm == 0.0, 1.0, svm)
+    fac = jnp.where(pgp_el, g3fac / svm**2, 0.0)  # (4,)
+    # D_g = D - fac_g * s_g s_g^T
+    dmat_g = dmat[None] - fac[:, None, None] * dev[:, :, None] * dev[:, None, :]
+    db = jnp.einsum("gkl,gln->gkn", dmat_g, bmat)
+    return jnp.einsum("gkm,gkn,g->mn", bmat, db, scale)
+
+
+@jax.jit
+def tangent_stiffness_blocks(
+    coords_def: jnp.ndarray,
+    elnodes: jnp.ndarray,
+    dmat: jnp.ndarray,
+    sig_gp: jnp.ndarray,
+    pgp: jnp.ndarray,
+    g: jnp.ndarray,
+    h: jnp.ndarray,
+):
+    """(ne, 30, 30) consistent-ish tangent blocks on deformed coordinates.
+
+    Args:
+      coords_def: (nn, 3) current (deformed) nodal coordinates.
+      sig_gp: (ne, 4, 6) stresses at the start of the step (``sig_old``).
+      pgp: (ne, 4) plastic Gauss-point flags.
+    """
+    g3fac = 3.0 * g / (1.0 + h / (3.0 * g))
+    coords_el = coords_def[elnodes]
+    return jax.vmap(_single_tangent_esm, in_axes=(0, None, 0, 0, None))(
+        coords_el, dmat, sig_gp, pgp, g3fac
+    )
+
+
+def _single_geometric_nsm(coords_el, sig_el):
+    """Initial-stress (geometric) stiffness block (``fcVM.py:1002-1006``).
+
+    ``nsm[(j,b),(l,c)] = sum_g w_g |J_g| (dshpg_g^T sigma_g dshpg_g)[j,l] I[b,c]``.
+    """
+    det, dshpg, _ = el.tet10_element_geometry(coords_el)
+    w = jnp.asarray(el.W10, dtype=coords_el.dtype)
+    scale = w * jnp.abs(det)
+    s = voigt_to_tensor(sig_el)  # (4, 3, 3)
+    m = jnp.einsum("gij,gik,gkl,g->jl", dshpg, s, dshpg, scale)  # (10, 10)
+    eye3 = jnp.eye(3, dtype=coords_el.dtype)
+    return jnp.einsum("jl,bc->jblc", m, eye3).reshape(30, 30)
+
+
+@jax.jit
+def geometric_stiffness_blocks(coords: jnp.ndarray, elnodes: jnp.ndarray, sig_gp: jnp.ndarray):
+    coords_el = coords[elnodes]
+    return jax.vmap(_single_geometric_nsm)(coords_el, sig_gp)
+
+
+def voigt_to_tensor(sig: jnp.ndarray) -> jnp.ndarray:
+    """(..., 6) Voigt [xx,yy,zz,xy,zx,yz] -> (..., 3, 3) symmetric tensor."""
+    sxx, syy, szz = sig[..., 0], sig[..., 1], sig[..., 2]
+    sxy, szx, syz = sig[..., 3], sig[..., 4], sig[..., 5]
+    row0 = jnp.stack([sxx, sxy, szx], axis=-1)
+    row1 = jnp.stack([sxy, syy, syz], axis=-1)
+    row2 = jnp.stack([szx, syz, szz], axis=-1)
+    return jnp.stack([row0, row1, row2], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Load vector
+# ---------------------------------------------------------------------------
+
+
+def gravity_load_and_gp_coords(coords_eff, elnodes, density, grav, ndof):
+    """Gravity nodal loads + Gauss point coordinates + mesh volume.
+
+    Reference integrates ``grav * rho * N_i w |J|`` per element
+    (``fcVM.py:757-767``).  ``coords_eff`` may be deformed coordinates for the
+    GNL tangent path, reproducing the reference behaviour flagged by its own
+    TODO at ``fcVM.py:966-968``.
+    """
+    coords_el = coords_eff[elnodes]  # (ne, 10, 3)
+    dshp = jnp.asarray(el.DSHP10_AT_GP, dtype=coords_eff.dtype)
+    shp = jnp.asarray(el.SHP10_AT_GP, dtype=coords_eff.dtype)  # (4, 10)
+    w = jnp.asarray(el.W10, dtype=coords_eff.dtype)
+    xs = jnp.einsum("eki,gjk->egij", coords_el, dshp)
+    det = det3(xs)  # (ne, 4)
+    scale = w[None, :] * jnp.abs(det)  # (ne, 4)
+    grav = jnp.asarray(grav, dtype=coords_eff.dtype)
+    # gamma[e, j, c] = grav[c] * rho * sum_g shp[g, j] * scale[e, g]
+    gamma = jnp.einsum("eg,gj,c->ejc", scale, shp, grav) * density
+    glv = jax.ops.segment_sum(
+        gamma.reshape(-1, 3).reshape(-1),
+        element_dof_ids(elnodes).reshape(-1),
+        num_segments=ndof,
+    )
+    gp_coords = jnp.einsum("gj,eji->egi", shp, coords_el)  # (ne, 4, 3)
+    volume = jnp.sum(det * w[None, :])
+    return glv, gp_coords, volume
+
+
+def pressure_face_loads(coords_eff, faces, pressures, ndof):
+    """Nodal loads from pressure on tri6 faces (``fcVM.py:649-672``).
+
+    Pressure acts along the outward face normal; in the GNL tangent path the
+    reference evaluates it on the stretched surface (follower load,
+    ``fcVM.py:858-883``), hence ``coords_eff``.
+
+    Args:
+      faces: (nf, 6) 0-based node ids; pressures: (nf,).
+    """
+    if faces.shape[0] == 0:
+        return jnp.zeros(ndof, dtype=coords_eff.dtype)
+    xlf = coords_eff[faces]  # (nf, 6, 3)
+    xsj, normal = jax.vmap(el.tri6_surface_frame)(xlf)  # (nf, 6g), (nf, 6g, 3)
+    shp = jnp.asarray(el.SHP6_AT_GP, dtype=coords_eff.dtype)  # (6g, 6n)
+    w = jnp.asarray(el.W6, dtype=coords_eff.dtype)
+    # load[f, n, c] = sum_g shp[g, n] * p_f * normal[f, g, c] * |xsj| * w_g
+    load = jnp.einsum("gn,f,fgc,fg,g->fnc", shp, pressures, normal, jnp.abs(xsj), w)
+    dofs = (3 * faces[:, :, None] + jnp.arange(3)[None, None, :]).reshape(-1)
+    return jax.ops.segment_sum(load.reshape(-1), dofs, num_segments=ndof)
+
+
+def uniform_face_loads(coords, faces, tractions, ndof):
+    """Nodal loads from uniform tractions on tri6 faces (``fcVM.py:683-705``).
+
+    Always integrated on the original surface, even in the GNL path
+    (``fcVM.py:894-916``).
+
+    Args:
+      faces: (nf, 6); tractions: (nf, 3) force per unit area.
+    """
+    if faces.shape[0] == 0:
+        return jnp.zeros(ndof, dtype=coords.dtype)
+    xlf = coords[faces]
+    xsj, _ = jax.vmap(el.tri6_surface_frame)(xlf)
+    shp = jnp.asarray(el.SHP6_AT_GP, dtype=coords.dtype)
+    w = jnp.asarray(el.W6, dtype=coords.dtype)
+    load = jnp.einsum("gn,fc,fg,g->fnc", shp, tractions, jnp.abs(xsj), w)
+    dofs = (3 * faces[:, :, None] + jnp.arange(3)[None, None, :]).reshape(-1)
+    return jax.ops.segment_sum(load.reshape(-1), dofs, num_segments=ndof)
+
+
+def edge_loads(coords, edges, tractions, ndof):
+    """Nodal loads from line tractions on 3-node edges (``fcVM.py:707-727``).
+
+    Args:
+      edges: (nedg, 3); tractions: (nedg, 3) force per unit length.
+    """
+    if edges.shape[0] == 0:
+        return jnp.zeros(ndof, dtype=coords.dtype)
+    xle = coords[edges]  # (nedg, 3, 3)
+    xsj = jax.vmap(el.line3_jacobian)(xle)  # (nedg, 2)
+    shp = jnp.asarray(el.SHP2_AT_GP, dtype=coords.dtype)  # (2, 3)
+    w = jnp.asarray(el.W2, dtype=coords.dtype)
+    load = jnp.einsum("gn,ec,eg,g->enc", shp, tractions, jnp.abs(xsj), w)
+    dofs = (3 * edges[:, :, None] + jnp.arange(3)[None, None, :]).reshape(-1)
+    return jax.ops.segment_sum(load.reshape(-1), dofs, num_segments=ndof)
+
+
+def vertex_loads(vertices, forces, ndof, dtype):
+    """Point loads at nodes (``fcVM.py:674-681``).
+
+    Args:
+      vertices: (nv,) node ids; forces: (nv, 3).
+    """
+    if vertices.shape[0] == 0:
+        return jnp.zeros(ndof, dtype=dtype)
+    dofs = (3 * vertices[:, None] + jnp.arange(3)[None, :]).reshape(-1)
+    return jax.ops.segment_sum(
+        forces.astype(dtype).reshape(-1), dofs, num_segments=ndof
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet elimination + matrix-free operator
+# ---------------------------------------------------------------------------
+
+
+def make_matvec(esm: jnp.ndarray, eldofs: jnp.ndarray, ndof: int):
+    """Raw ``K @ v`` from element blocks: gather -> block matmul -> scatter."""
+
+    def kv(u):
+        ue = u[eldofs]  # (ne, 30) gather
+        fe = jnp.einsum("eij,ej->ei", esm, ue)  # batched MXU matmul
+        return jax.ops.segment_sum(fe.reshape(-1), eldofs.reshape(-1), num_segments=ndof)
+
+    return kv
+
+
+def make_bc_matvec(esm: jnp.ndarray, eldofs: jnp.ndarray, fixmask: jnp.ndarray):
+    """``K_hat @ v`` with eliminated Dirichlet dofs.
+
+    ``K_hat u = P K P u + (I - P) u`` with ``P = diag(fixmask)``; identical
+    solution space to the reference's row/column elimination
+    (``fcVM.py:771-796``).
+    """
+    ndof = fixmask.shape[0]
+    kv = make_matvec(esm, eldofs, ndof)
+
+    def khat(u):
+        return fixmask * kv(fixmask * u) + (1.0 - fixmask) * u
+
+    return khat
+
+
+def dirichlet_rhs(esm, eldofs, fixmask, u_fix, glv):
+    """Full elastic RHS ``f = P glv - (P K u_fix) + u_fix``.
+
+    Matches the reference ``f = fixdof * glv + modf`` (``fcVM.py:1128``) up to
+    the adjacent-element-count diagonal scaling noted in the module docstring.
+    """
+    ndof = fixmask.shape[0]
+    kv = make_matvec(esm, eldofs, ndof)
+    modf_free = -fixmask * kv(u_fix)
+    return fixmask * glv + modf_free + u_fix
+
+
+def block_jacobi_inverse_blocks(esm, elnodes, fixmask):
+    """Inverse 3x3 nodal diagonal blocks of ``K_hat`` for PCG.
+
+    Fixed dofs get identity rows/columns so the preconditioner is consistent
+    with :func:`make_bc_matvec`.  Returns (nn, 3, 3).
+    """
+    ne = esm.shape[0]
+    nn = fixmask.shape[0] // 3
+    blocks5 = esm.reshape(ne, 10, 3, 10, 3)
+    idx = jnp.arange(10)
+    # diag[e, n] = esm[e, 3n:3n+3, 3n:3n+3]; advanced indexing puts the
+    # shared node axis first -> (10, ne, 3, 3)
+    diag = blocks5[:, idx, :, idx, :]
+    node_ids = elnodes.T.reshape(-1)  # (10 * ne,) matching diag layout
+    nodal = jax.ops.segment_sum(diag.reshape(-1, 3, 3), node_ids, num_segments=nn)
+    m3 = fixmask.reshape(nn, 3)
+    mask_ij = m3[:, :, None] * m3[:, None, :]
+    eye = jnp.eye(3, dtype=esm.dtype)
+    nodal = nodal * mask_ij + (1.0 - m3)[:, :, None] * eye[None]
+    return inv3_spd(nodal)
+
+
+def apply_block_precond(pinv, r):
+    """Apply nodal block-Jacobi inverse blocks (nn, 3, 3) to r (ndof,)."""
+    r3 = r.reshape(-1, 3)
+    return jnp.einsum("nab,nb->na", pinv, r3).reshape(-1)

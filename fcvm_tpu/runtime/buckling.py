@@ -1,0 +1,179 @@
+"""Linear (elastic) buckling: K v = lambda (-G) v, matrix-free on TPU.
+
+The reference assembles full elastic (``stms``) and geometric (``stmg``)
+matrices and calls ARPACK shift-invert
+(``eigsh(K, k=2, M=-G, sigma=0.1, mode='buckling')``,
+``source code/fcVM.py:1199-1214``).  Shift-invert factorization does not map
+to TPU, so we solve the equivalent problem: the buckling factors are
+``lambda_i = 1 / theta_i`` for the largest eigenvalues ``theta`` of
+``K_hat^{-1} (-G_hat)``, found by block subspace iteration with
+Rayleigh-Ritz on the (K, -G) pencil.  Every operator application is the
+matrix-free gather/block-matmul/scatter product; the inner ``K^{-1}`` is the
+same PCG used by the nonlinear driver.
+
+Boundary conditions (documented divergence): the reference multiplies fixed
+diagonal entries of the full ``stms`` by 100 as a penalty
+(``fcVM.py:1051-1062``); we eliminate fixed dofs exactly
+(identity rows in K_hat, zero rows in G_hat), which is the limit the penalty
+approximates.  Eigenvectors are normalized in the (-G) metric, matching
+ARPACK's M-normalization, with the max-magnitude entry made positive for
+determinism.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fcvm_tpu.config import get_config
+from fcvm_tpu.ops import assembly as asm
+from fcvm_tpu.ops import material as mat
+from fcvm_tpu.ops import solver as slv
+
+
+def _multi_matvec(blocks, eldofs, fixmask, identity_on_fixed):
+    """(ndof, m) -> (ndof, m) block operator with Dirichlet projection."""
+    ndof = fixmask.shape[0]
+
+    def mv(u):
+        up = fixmask[:, None] * u
+        ue = up[eldofs]  # (ne, 30, m)
+        fe = jnp.einsum("eij,ejm->eim", blocks, ue)
+        y = jax.ops.segment_sum(
+            fe.reshape(-1, u.shape[1]), eldofs.reshape(-1), num_segments=ndof
+        )
+        y = fixmask[:, None] * y
+        if identity_on_fixed:
+            y = y + (1.0 - fixmask)[:, None] * u
+        return y
+
+    return mv
+
+
+def buckling_from_arrays(
+    coords,
+    elnodes,
+    dmat,
+    sig_gp,
+    fixmask,
+    k: int = 2,
+    rtol: float = 1.0e-8,
+    maxiter: int = 2000,
+    n_sub: int = 0,
+    outer_tol: float = 1.0e-9,
+    max_outer: int = 60,
+):
+    """Lowest ``k`` buckling factors + mode shapes.
+
+    Args:
+      sig_gp: (ne, 4, 6) the pre-stress field (elastic stresses under the
+        full reference load, cf. ``fcVM.py:1195-1207``).
+
+    Returns:
+      (eigenvalues (k,), eigenvectors (ndof, k)) as numpy arrays, sorted by
+      ascending buckling factor.
+    """
+    import scipy.linalg
+
+    cfg = get_config()
+    m = n_sub if n_sub > 0 else max(cfg.n_eig_vectors, 2 * k, k + 4)
+    ndof = fixmask.shape[0]
+    dtype = coords.dtype
+
+    esm = asm.elastic_stiffness_blocks(coords, elnodes, dmat)
+    nsm = asm.geometric_stiffness_blocks(coords, elnodes, sig_gp)
+    eldofs = asm.element_dof_ids(elnodes)
+    pinv = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
+
+    kmv = _multi_matvec(esm, eldofs, fixmask, identity_on_fixed=True)
+    gmv_raw = _multi_matvec(nsm, eldofs, fixmask, identity_on_fixed=False)
+    minus_g = lambda u: -gmv_raw(u)
+
+    kmv_single = asm.make_bc_matvec(esm, eldofs, fixmask)
+    precond = lambda r: asm.apply_block_precond(pinv, r)
+
+    @jax.jit
+    def k_inverse(w):
+        def solve_col(b):
+            return slv.pcg(kmv_single, b, precond=precond, rtol=rtol, maxiter=maxiter).x
+
+        return jax.vmap(solve_col, in_axes=1, out_axes=1)(w)
+
+    # Deterministic pseudo-random start block, Dirichlet-projected.
+    key = jax.random.PRNGKey(0)
+    v = jax.random.normal(key, (ndof, m), dtype=dtype)
+    v = fixmask[:, None] * v
+
+    theta_old = None
+    for _ in range(max_outer):
+        z = k_inverse(minus_g(v))
+        a_small = np.asarray(z.T @ minus_g(z))
+        b_small = np.asarray(z.T @ kmv(z))
+        b_small = 0.5 * (b_small + b_small.T)
+        a_small = 0.5 * (a_small + a_small.T)
+        theta, c = scipy.linalg.eigh(a_small, b_small)
+        order = np.argsort(theta)[::-1]
+        theta = theta[order]
+        c = c[:, order]
+        v = z @ jnp.asarray(c, dtype=dtype)
+        if theta_old is not None:
+            denom = np.maximum(np.abs(theta[:k]), 1e-300)
+            if np.max(np.abs(theta[:k] - theta_old[:k]) / denom) < outer_tol:
+                break
+        theta_old = theta
+
+    lam = 1.0 / theta[:k]
+    vecs = np.asarray(v[:, :k])
+    # (-G)-metric normalization (matches ARPACK M-normalization).
+    gv = np.asarray(minus_g(jnp.asarray(vecs, dtype=dtype)))
+    for i in range(k):
+        s = float(vecs[:, i] @ gv[:, i])
+        if s > 0:
+            vecs[:, i] /= np.sqrt(s)
+        imax = int(np.argmax(np.abs(vecs[:, i])))
+        if vecs[imax, i] < 0:
+            vecs[:, i] = -vecs[:, i]
+    return np.asarray(lam), vecs
+
+
+def linear_buckling(model, params, k: int = 2):
+    """Buckling factors/modes of a :class:`fcvm_tpu.models.spec.Model`.
+
+    Runs the reference's pre-stress pipeline: elastic solve under the full
+    load, elastic stress recovery, then the pencil eigensolve.
+    """
+    from fcvm_tpu.ops.stress_update import update_stress_load
+    from fcvm_tpu.runtime import system as sysm
+
+    cfg = get_config()
+    dtype = cfg.resolve_dtype()
+    mesh = model.mesh
+    coords = jnp.asarray(mesh.coords, dtype=dtype)
+    elnodes = jnp.asarray(mesh.elnodes, dtype=jnp.int32)
+    e = jnp.asarray(model.material.e, dtype=dtype)
+    nu = jnp.asarray(model.material.nu, dtype=dtype)
+    dmat = mat.hooke_dmat(e, nu)
+    fixmask_np, u_fix_np, _ = model.bcs.masks(mesh.ndof)
+    fixmask = jnp.asarray(fixmask_np, dtype=dtype)
+    u_fix = jnp.asarray(u_fix_np, dtype=dtype)
+    loads = sysm.LoadTables.from_spec(model.loads, dtype)
+    density = jnp.asarray(model.material.density, dtype=dtype)
+
+    esm, pinv, glv, rhs, _, _, _ = sysm.assemble_elastic(
+        coords, elnodes, dmat, loads, density, fixmask, u_fix
+    )
+    maxiter = cfg.resolve_cg_maxiter(mesh.ndof)
+    ue = sysm.solve_displacement(esm, elnodes, fixmask, pinv, rhs, cfg.cg_rtol, maxiter).x
+
+    ne = mesh.n_elements
+    zeros_gp6 = jnp.zeros((ne, 4, 6), dtype=dtype)
+    huge_yield = jnp.full((ne, 4), 1.0e30, dtype=dtype)
+    sig_el, _, _, _ = update_stress_load(
+        coords, elnodes, dmat, huge_yield, jnp.zeros(mesh.ndof, dtype=dtype),
+        ue, zeros_gp6, e, nu, jnp.asarray(0.0, dtype=dtype), False,
+    )
+    return buckling_from_arrays(
+        coords, elnodes, dmat, sig_el, fixmask,
+        k=k, rtol=cfg.cg_rtol, maxiter=maxiter,
+    )

@@ -1,0 +1,501 @@
+"""Incremental-iterative collapse driver: Riks arc-length + restarts.
+
+TPU-native rebuild of ``calcDisp`` (``source code/fcVM.py:1083-1635``), the
+heart of the reference.  The hot work — stress updates, CG solves, tangent
+reassembly, Riks corrections — runs on device inside the jitted composites of
+:mod:`fcvm_tpu.runtime.system`; the host keeps only the cheap per-step
+control flow the reference also keeps in Python: load stepping, divergence
+restarts with shrinking increments (4-restart cap, ``fcVM.py:1457-1484``),
+adaptive step scaling (``fcVM.py:1530-1537``), target-load-factor
+interception (``fcVM.py:1486-1510``) and history recording.
+
+Intentional divergences from the reference (documented):
+
+* ``un`` (the displacement history) takes the max nodal displacement norm
+  over *all* nodes; the reference's list comprehension at ``fcVM.py:1494``
+  drops the last node (``range((ndof - 1) // 3)``).
+* The singular-matrix try/except around the factorization
+  (``fcVM.py:1367-1381``) maps to the CG iteration cap: a non-converged CG
+  solve plays the role of a failed factorization and triggers the same
+  divergence-restart path.
+* The interactive matplotlib continuation loop (``fcVM.py:1638-2080``) is a
+  programmatic ``continuation`` callback (stop / add steps / reverse /
+  retarget) plus on-disk checkpointing, since batch TPU runs have no GUI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from fcvm_tpu.config import get_config
+from fcvm_tpu.models.inp import ControlParams
+from fcvm_tpu.models.spec import Model
+from fcvm_tpu.ops import material as mat
+from fcvm_tpu.ops.stress_update import update_stress_load
+from fcvm_tpu.runtime import system as sysm
+from fcvm_tpu.runtime.buckling import buckling_from_arrays
+from fcvm_tpu.runtime.profiling import PhaseTimers
+
+
+@dataclasses.dataclass
+class History:
+    """Per-converged-step records (the reference's plot lists,
+    ``fcVM.py:1184-1193``)."""
+
+    un: list = dataclasses.field(default_factory=lambda: [0.0])
+    load: list = dataclasses.field(default_factory=lambda: [0.0])
+    crip: list = dataclasses.field(default_factory=lambda: [0])
+    peeq: list = dataclasses.field(default_factory=lambda: [0.0])
+    pressure: list = dataclasses.field(default_factory=lambda: [0.0])
+    svm: list = dataclasses.field(default_factory=lambda: [0.0])
+    triax: list = dataclasses.field(default_factory=lambda: [0.0])
+    ecr: list = dataclasses.field(default_factory=lambda: [0.0])
+    csr: list = dataclasses.field(default_factory=lambda: [0.0])
+    peeqmax: list = dataclasses.field(default_factory=lambda: [0.0])
+    lbd: list = dataclasses.field(default_factory=lambda: [0.0])
+
+    def truncate(self, n: int):
+        for f in dataclasses.fields(self):
+            lst = getattr(self, f.name)
+            del lst[n:]
+
+    def limits(self, ultimate_strain: float, use_csr: bool):
+        """(elastic limit index, ultimate limit index)
+        (``fcVM.py:1595-1612``)."""
+        csr = np.asarray(self.csr)
+        nz = np.nonzero(csr)[0]
+        el_limit = int(nz[0] - 1) if len(nz) else 0
+        if use_csr:
+            over = np.argwhere(csr > 1.0)
+        else:
+            over = np.argwhere(np.asarray(self.peeqmax) > ultimate_strain)
+        ul_limit = int(over[0][0] - 1) if len(over) else 0
+        return el_limit, ul_limit
+
+
+@dataclasses.dataclass
+class AnalysisResults:
+    """Everything ``calcDisp`` returns, plus solver statistics."""
+
+    disp: np.ndarray  # requested output (total or incremental)
+    disp_total: np.ndarray
+    disp_el: np.ndarray
+    eigenvalues: Optional[np.ndarray]
+    eigenvectors: Optional[np.ndarray]
+    sig_gp: np.ndarray  # (ne, 4, 6)
+    peeq_gp: np.ndarray  # (ne, 4)
+    csr_gp: np.ndarray
+    svm_gp: np.ndarray
+    triax_gp: np.ndarray
+    sig_yield_gp: np.ndarray
+    history: History
+    gp_coords: np.ndarray  # (ne, 4, 3)
+    volume: float
+    loadsums: np.ndarray
+    fail: bool
+    coords_old: np.ndarray  # pre-imperfection coordinates
+    coords: np.ndarray  # coordinates used in the solve (post-imperfection)
+    timers: dict
+    cg_stats: dict
+
+
+class _LinearState:
+    """Current linear operator: blocks + preconditioner (+ its CG budget)."""
+
+    def __init__(self, esm, pinv, rtol, maxiter):
+        self.esm = esm
+        self.pinv = pinv
+        self.rtol = rtol
+        self.maxiter = maxiter
+
+
+def solve_collapse(
+    model: Model,
+    params: ControlParams,
+    continuation: Optional[Callable] = None,
+    checkpoint_path: Optional[str] = None,
+    progress: Optional[Callable[[str], None]] = None,
+) -> AnalysisResults:
+    """Run a full collapse analysis (the Start-button pipeline, GUI-free).
+
+    Args:
+      model: mesh + material + BCs + loads.
+      params: the 21 control parameters.
+      continuation: optional callback ``(history, state_info) -> action``
+        where action is ``None``/``"stop"``, ``"add"`` (run ``nstep`` more
+        steps), ``"rev"`` (reverse loading), or ``("target", new_target_lf)``.
+        Mirrors the reference's interactive plot loop.
+      checkpoint_path: if set, converged-step state is saved there
+        (``fcvm_tpu.runtime.checkpoint``).
+      progress: optional line logger (the reference's ``prn_upd``).
+
+    Returns:
+      :class:`AnalysisResults`.
+    """
+    cfg = get_config()
+    dtype = cfg.resolve_dtype()
+    log = progress or (lambda s: None)
+    timers = PhaseTimers()
+
+    large_disp = params.large_disp
+    relax = 1.0 if large_disp else params.relax
+    disp_output = "total" if large_disp else params.disp_output
+    scale_up = 1.1 if large_disp else params.scale_up  # fcVM.py:1087-1094
+    nstep = params.nstep
+
+    mesh = model.mesh
+    ndof = mesh.ndof
+    ne = mesh.n_elements
+    coords_np = mesh.coords.copy()
+    coords_old = mesh.coords.copy()
+
+    e = jnp.asarray(model.material.e, dtype=dtype)
+    nu = jnp.asarray(model.material.nu, dtype=dtype)
+    density = jnp.asarray(model.material.density, dtype=dtype)
+    et_e = jnp.asarray(params.et_e, dtype=dtype)
+    dmat = mat.hooke_dmat(e, nu)
+    g = mat.shear_modulus(e, nu)
+    h = mat.hardening_modulus(e, et_e)
+
+    elnodes = jnp.asarray(mesh.elnodes, dtype=jnp.int32)
+    fixmask_np, u_fix_np, movdof_np = model.bcs.masks(ndof)
+    fixmask = jnp.asarray(fixmask_np, dtype=dtype)
+    u_fix = jnp.asarray(u_fix_np, dtype=dtype)
+    movdof = jnp.asarray(movdof_np, dtype=dtype)
+    has_movdof = bool(movdof_np.max() > 0.5)
+    loads = sysm.LoadTables.from_spec(model.loads, dtype)
+
+    rtol = cfg.cg_rtol
+    maxiter = cfg.resolve_cg_maxiter(ndof)
+    cg_stats = {"solves": 0, "iters": 0, "time": 0.0, "tangent_time": 0.0}
+
+    def assemble(coords):
+        with timers.phase("assemble"):
+            return sysm.assemble_elastic(
+                jnp.asarray(coords, dtype=dtype), elnodes, dmat, loads, density, fixmask, u_fix
+            )
+
+    def solve(lin: _LinearState, b):
+        t0 = time.perf_counter()
+        res = sysm.solve_displacement(lin.esm, elnodes, fixmask, lin.pinv, b, lin.rtol, lin.maxiter)
+        x = res.x.block_until_ready()
+        cg_stats["solves"] += 1
+        cg_stats["iters"] += int(res.iters)
+        cg_stats["time"] += time.perf_counter() - t0
+        return x, float(res.relres)
+
+    coords = jnp.asarray(coords_np, dtype=dtype)
+    esm, pinv, glv, rhs, gp_coords, volume, loadsums = assemble(coords_np)
+    lin = _LinearState(esm, pinv, rtol, maxiter)
+
+    qnorm = float(jnp.linalg.norm(glv))
+    if qnorm < 1.0:
+        qnorm = 1.0
+
+    with timers.phase("elastic_solve"):
+        ue, _ = solve(lin, rhs)
+    disp_el = np.asarray(ue)
+
+    dl0 = 1.0 / nstep
+    dl = dl0
+    du = dl * ue
+
+    zeros_gp6 = jnp.zeros((ne, 4, 6), dtype=dtype)
+    sig_new = zeros_gp6
+    sig_old = zeros_gp6
+    sig_test = zeros_gp6
+    sig_yield = jnp.full((ne, 4), params.sig_yield, dtype=dtype)
+    peeq = jnp.zeros((ne, 4), dtype=dtype)
+    csr = jnp.zeros((ne, 4), dtype=dtype)
+    triax = jnp.zeros((ne, 4), dtype=dtype)
+    pressure_gp = jnp.zeros((ne, 4), dtype=dtype)
+    sigmises = jnp.zeros((ne, 4), dtype=dtype)
+    ecr = jnp.zeros((ne, 4), dtype=dtype)
+    pgp = jnp.zeros((ne, 4), dtype=bool)
+    disp_new = jnp.zeros(ndof, dtype=dtype)
+    disp_old = jnp.zeros(ndof, dtype=dtype)
+
+    eigenvalues = None
+    eigenvectors = None
+    history = History()
+    zero_disp = jnp.zeros(ndof, dtype=dtype)
+
+    # Displacement control: replace the load norm with the elastic reaction
+    # on the driven boundary (fcVM.py:1169-1177).
+    if has_movdof:
+        sn, st, pg, qelastic = update_stress_load(
+            coords, elnodes, dmat, sig_yield, zero_disp, jnp.asarray(ue),
+            zeros_gp6, e, nu, et_e, large_disp,
+        )
+        qnorm = float(jnp.linalg.norm(movdof * qelastic))
+
+    # Elastic buckling analysis + optional imperfection seeding
+    # (fcVM.py:1195-1295).
+    run_buckling = large_disp and not (nstep > 1 and params.max_imp == 0.0)
+    if run_buckling:
+        with timers.phase("buckling"):
+            # initial stress field: elastic stresses of the full load
+            # (radial return disabled by a huge yield stress, fcVM.py:1195).
+            sig_el_gp, _, _, _ = update_stress_load(
+                coords, elnodes, dmat, 1.0e6 * sig_yield, zero_disp,
+                jnp.asarray(ue), zeros_gp6, e, nu, et_e, False,
+            )
+            eigenvalues, eigenvectors = buckling_from_arrays(
+                coords, elnodes, dmat, sig_el_gp, fixmask,
+                k=2, rtol=rtol, maxiter=maxiter,
+            )
+            log(f"buckling load factors: {eigenvalues}")
+
+    if nstep == 1:
+        # Elastic (and linear-buckling) analysis only (fcVM.py:1216-1223).
+        disp_new = jnp.asarray(ue)
+        history.lbd = [0.0, 1.0]
+        history.load = [0.0, 1.0]
+        history.un.append(float(jnp.max(jnp.abs(disp_new))))
+        for lst in (history.crip, history.peeq, history.pressure, history.svm,
+                    history.triax, history.ecr, history.csr, history.peeqmax):
+            lst.append(lst[0])
+        return _results(
+            disp_output, disp_new, disp_old, disp_el, eigenvalues, eigenvectors,
+            sig_new, peeq, csr, sigmises, triax, sig_yield, history, gp_coords,
+            volume, loadsums, False, coords_old, coords_np, timers, cg_stats,
+        )
+
+    if run_buckling and params.max_imp != 0.0:
+        # Blend the two buckling modes into a geometric imperfection and
+        # restart the analysis from the perturbed geometry (fcVM.py:1224-1295).
+        ev1, ev2 = params.ev1, params.ev2
+        v1, v2 = eigenvectors[:, 0], eigenvectors[:, 1]
+        ua = ev1 / (ev1 + ev2) * v1 + ev2 / (ev1 + ev2) * v2
+        ub = ev1 / (ev1 + ev2) * v1 - ev2 / (ev1 + ev2) * v2
+        ma, mb = np.max(np.abs(ua)), np.max(np.abs(ub))
+        if ma > mb:
+            imper = params.max_imp / ma * np.sign(ua[np.argmax(np.abs(ua))]) * ua
+        else:
+            imper = params.max_imp / mb * np.sign(ub[np.argmax(np.abs(ub))]) * ub
+        coords_np = coords_np + np.asarray(imper).reshape(-1, 3)
+        coords = jnp.asarray(coords_np, dtype=dtype)
+        esm, pinv, glv, rhs, gp_coords, volume, loadsums = assemble(coords_np)
+        lin = _LinearState(esm, pinv, rtol, maxiter)
+        qnorm = max(float(jnp.linalg.norm(glv)), 1.0)
+        with timers.phase("elastic_solve"):
+            ue, _ = solve(lin, rhs)
+        disp_el = np.asarray(ue)
+        dl = dl0
+        du = dl * ue
+
+    ue = jnp.asarray(ue)
+    du = jnp.asarray(du)
+    sig_new = zeros_gp6
+    pgp = jnp.zeros((ne, 4), dtype=bool)
+
+    lbd = [0.0]
+    step = -1
+    cnt = True
+    fail = False
+    mrr = False  # maximum-restarts-reached
+    target_lf = params.target_lf
+    iterat_tot = 0
+
+    def do_residual(du_, lbd1):
+        return sysm.residual(
+            coords, elnodes, dmat, sig_yield, disp_new, du_, sig_old,
+            e, nu, et_e, glv, fixmask, jnp.asarray(lbd1, dtype=dtype),
+            jnp.asarray(qnorm, dtype=dtype), large_disp,
+        )
+
+    def record_step(qin):
+        nonlocal sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr
+        disp_nodes = np.asarray(disp_new).reshape(-1, 3)
+        history.un.append(float(np.sqrt((disp_nodes**2).sum(axis=1).max())))
+        sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr = mat.update_peeq_csr(
+            sig_test, sig_new, sig_yield, peeq, csr, e, nu, et_e, params.ultimate_strain
+        )
+        csr_np = np.asarray(csr).reshape(-1)
+        maxloc = int(np.argmax(csr_np))
+        history.crip.append(maxloc)
+        history.csr.append(float(csr_np[maxloc]))
+        history.pressure.append(float(np.asarray(pressure_gp).reshape(-1)[maxloc]))
+        history.svm.append(float(np.asarray(sigmises).reshape(-1)[maxloc]))
+        history.triax.append(float(np.asarray(triax).reshape(-1)[maxloc]))
+        history.ecr.append(float(np.asarray(ecr).reshape(-1)[maxloc]))
+        history.peeq.append(float(np.asarray(peeq).reshape(-1)[maxloc]))
+        history.peeqmax.append(float(np.asarray(peeq).max()))
+        if has_movdof:
+            history.load.append(float(jnp.sum(movdof * qin)))
+        else:
+            history.load.append(lbd[step + 1])
+        history.lbd.append(lbd[step + 1])
+        if checkpoint_path:
+            from fcvm_tpu.runtime.checkpoint import save_state
+
+            save_state(
+                checkpoint_path, step + 1,
+                dict(
+                    disp_new=np.asarray(disp_new), sig_new=np.asarray(sig_new),
+                    sig_yield=np.asarray(sig_yield), peeq=np.asarray(peeq),
+                    csr=np.asarray(csr), lbd=np.asarray(lbd),
+                ),
+            )
+
+    with timers.phase("stepping"):
+        while cnt:
+            cnt = False
+            iriks = True
+            pstep = 0
+            while pstep < nstep and not mrr:
+                step += 1
+                pstep += 1
+                restart = 0
+                log(f"Step: {step}")
+                a = du  # Riks control vector (fcVM.py:1316)
+                if iriks:
+                    sig_old = sig_new
+                    lbd.append(lbd[step] + dl)
+                else:
+                    lbd[step + 1] = lbd[step] + dl
+
+                sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd[step + 1])
+                error = float(error_dev)
+                iterat = 0
+                log(f"Iteration: {iterat}, Error: {error:.2e}")
+
+                while error > params.error_max and not mrr:
+                    iterat += 1
+                    iterat_tot += 1
+
+                    if large_disp and (iterat == 1 or bool(jnp.any(pgp))):
+                        t0 = time.perf_counter()
+                        esm_t, pinv_t, glv, ue = sysm.tangent_refresh(
+                            coords, elnodes, dmat, sig_old, pgp, disp_new, du,
+                            loads, density, fixmask, u_fix, g, h, rtol, maxiter,
+                        )
+                        ue.block_until_ready()
+                        cg_stats["tangent_time"] += time.perf_counter() - t0
+                        lin = _LinearState(esm_t, pinv_t, rtol, maxiter)
+                        a = ue * (jnp.linalg.norm(du) / jnp.linalg.norm(ue))
+
+                    due, _ = solve(lin, relax * r)
+                    du, lbd1, _ = sysm.riks_update(a, ue, due, du, lbd[step], lbd[step + 1])
+                    lbd[step + 1] = float(lbd1)
+
+                    sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd[step + 1])
+                    error = float(error_dev)
+                    log(f"Iteration: {iterat}, Error: {error:.2e}")
+
+                    if iterat > params.iterat_max:
+                        # Divergence restart with shrinking increments
+                        # (fcVM.py:1457-1484).
+                        restart += 1
+                        log(f"RESTART # {restart}")
+                        if restart > 4:
+                            log("MAXIMUM RESTARTS REACHED")
+                            fail = False
+                            step -= 1
+                            del lbd[-1]
+                            mrr = True
+                            break
+                        if step > 0:
+                            dl = (lbd[step] - lbd[step - 1]) / params.scale_re / restart
+                            du = (disp_new - disp_old) / params.scale_re / restart
+                        else:
+                            dl = dl0 / params.scale_re / restart
+                            du = dl * ue / params.scale_re / restart
+                        lbd[step + 1] = lbd[step] + dl
+                        sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd[step + 1])
+                        # Reference quirk (fcVM.py:1480): restart residual uses
+                        # lbd * glv for the external force like the main path;
+                        # its "(glv + modf)" variant only perturbs the printed
+                        # error, not the converged state.
+                        error = float(error_dev)
+                        iterat = 0
+
+                if mrr:
+                    break
+
+                if iriks and abs(target_lf - lbd[step]) < abs(lbd[step + 1] - lbd[step]):
+                    # Intercept the target load factor exactly by linear
+                    # rescaling of the final increment (fcVM.py:1486-1510).
+                    log("REACHED TARGET LOAD")
+                    fac = (target_lf - lbd[step]) / (lbd[step + 1] - lbd[step])
+                    du = fac * du
+                    sig_new = sig_old + fac * (sig_new - sig_old)
+                    sig_test = sig_old + fac * (sig_test - sig_old)
+                    lbd[step + 1] = target_lf
+                    disp_new = disp_new + du
+                    record_step(qin)
+                    break
+                else:
+                    # Converged load step (fcVM.py:1515-1557).
+                    disp_old = disp_new
+                    disp_new = disp_new + du
+                    dl = lbd[step + 1] - lbd[step]
+                    if iterat > 10:
+                        dl /= params.scale_dn
+                        du = du / params.scale_dn
+                    if iterat < 5:
+                        dl *= scale_up
+                        du = du * scale_up
+                    record_step(qin)
+                    if not iriks:
+                        break
+
+            if continuation is not None and not mrr:
+                action = continuation(history, dict(step=step, dl=dl, target_lf=target_lf))
+                if action == "add":
+                    cnt = True
+                elif action == "rev":
+                    cnt = True
+                    dl = -dl
+                    du = -du
+                elif isinstance(action, tuple) and action[0] == "target":
+                    cnt = True
+                    target_lf = float(action[1])
+
+    log(f"total number of CG solves: {cg_stats['solves']}, iterations: {cg_stats['iters']}")
+    log(f"total time evaluating K_inv * r: {cg_stats['time']:.3f}s")
+    if cg_stats["solves"]:
+        log(f"average time per solve: {cg_stats['time'] / cg_stats['solves']:.4f}s")
+
+    history.load = history.load[: step + 2]
+    return _results(
+        disp_output, disp_new, disp_old, disp_el, eigenvalues, eigenvectors,
+        sig_new, peeq, csr, sigmises, triax, sig_yield, history, gp_coords,
+        volume, loadsums, fail, coords_old, coords_np, timers, cg_stats,
+    )
+
+
+def _results(
+    disp_output, disp_new, disp_old, disp_el, eigenvalues, eigenvectors,
+    sig_new, peeq, csr, sigmises, triax, sig_yield, history, gp_coords,
+    volume, loadsums, fail, coords_old, coords_np, timers, cg_stats,
+) -> AnalysisResults:
+    disp_total = np.asarray(disp_new)
+    disp = disp_total if disp_output == "total" else disp_total - np.asarray(disp_old)
+    return AnalysisResults(
+        disp=disp,
+        disp_total=disp_total,
+        disp_el=np.asarray(disp_el),
+        eigenvalues=None if eigenvalues is None else np.asarray(eigenvalues),
+        eigenvectors=None if eigenvectors is None else np.asarray(eigenvectors),
+        sig_gp=np.asarray(sig_new),
+        peeq_gp=np.asarray(peeq),
+        csr_gp=np.asarray(csr),
+        svm_gp=np.asarray(sigmises),
+        triax_gp=np.asarray(triax),
+        sig_yield_gp=np.asarray(sig_yield),
+        history=history,
+        gp_coords=np.asarray(gp_coords),
+        volume=float(volume),
+        loadsums=np.asarray(loadsums),
+        fail=fail,
+        coords_old=coords_old,
+        coords=coords_np,
+        timers=timers.totals(),
+        cg_stats=cg_stats,
+    )

@@ -1,0 +1,183 @@
+"""Jitted whole-system composites shared by the driver, buckling and bench.
+
+Each function here is one ``jit`` boundary: assemble-elastic, solve,
+residual/stress-update, tangent refresh.  They take only arrays / pytrees
+(no Python objects) so the compiled executables are reused across load steps
+and Newton iterations without retracing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fcvm_tpu.ops import assembly as asm
+from fcvm_tpu.ops import material as mat
+from fcvm_tpu.ops import solver as slv
+from fcvm_tpu.ops.stress_update import update_stress_load
+
+
+class LoadTables(NamedTuple):
+    """Device-side load tables (see :class:`fcvm_tpu.models.spec.Loads`)."""
+
+    pressure_faces: jnp.ndarray
+    pressures: jnp.ndarray
+    traction_faces: jnp.ndarray
+    tractions: jnp.ndarray
+    edges: jnp.ndarray
+    edge_tractions: jnp.ndarray
+    vertices: jnp.ndarray
+    vertex_forces: jnp.ndarray
+    gravity: jnp.ndarray
+
+    @staticmethod
+    def from_spec(loads, dtype) -> "LoadTables":
+        return LoadTables(
+            jnp.asarray(loads.pressure_faces, dtype=jnp.int32),
+            jnp.asarray(loads.pressures, dtype=dtype),
+            jnp.asarray(loads.traction_faces, dtype=jnp.int32),
+            jnp.asarray(loads.tractions, dtype=dtype),
+            jnp.asarray(loads.edges, dtype=jnp.int32),
+            jnp.asarray(loads.edge_tractions, dtype=dtype),
+            jnp.asarray(loads.vertices, dtype=jnp.int32),
+            jnp.asarray(loads.vertex_forces, dtype=dtype),
+            jnp.asarray(loads.gravity, dtype=dtype),
+        )
+
+
+def external_loads(coords, disp, elnodes, loads: LoadTables, density, follower: bool):
+    """Global load vector + Gauss-point coordinates + volume + load sums.
+
+    ``follower=False``: everything on the original geometry (elastic
+    assembly, ``fcVM.py:647-767``).  ``follower=True``: pressure follows the
+    stretched surface and gravity integrates on deformed coordinates, while
+    uniform face/edge loads stay on the original geometry — the exact GNL
+    tangent behaviour of the reference (``fcVM.py:858-938, 962-1009``).
+    """
+    ndof = coords.shape[0] * 3
+    coords_def = coords + disp.reshape(-1, 3) if follower else coords
+    glv, gp_coords, volume = asm.gravity_load_and_gp_coords(
+        coords_def, elnodes, density, loads.gravity, ndof
+    )
+    glv = glv + asm.pressure_face_loads(coords_def, loads.pressure_faces, loads.pressures, ndof)
+    glv = glv + asm.uniform_face_loads(coords, loads.traction_faces, loads.tractions, ndof)
+    glv = glv + asm.edge_loads(coords, loads.edges, loads.edge_tractions, ndof)
+    glv = glv + asm.vertex_loads(loads.vertices, loads.vertex_forces, ndof, coords.dtype)
+    loadsums = jnp.sum(glv.reshape(-1, 3), axis=0)
+    return glv, gp_coords, volume, loadsums
+
+
+@jax.jit
+def assemble_elastic(coords, elnodes, dmat, loads: LoadTables, density, fixmask, u_fix):
+    """Elastic blocks + preconditioner + loads + elastic RHS.
+
+    The TPU equivalent of ``calcGSM`` (``fcVM.py:620-816``): instead of COO
+    triplets we keep (ne, 30, 30) blocks and the 3x3 nodal Jacobi inverses.
+    """
+    esm = asm.elastic_stiffness_blocks(coords, elnodes, dmat)
+    pinv = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
+    zero = jnp.zeros_like(u_fix)
+    glv, gp_coords, volume, loadsums = external_loads(
+        coords, zero, elnodes, loads, density, follower=False
+    )
+    eldofs = asm.element_dof_ids(elnodes)
+    rhs = asm.dirichlet_rhs(esm, eldofs, fixmask, u_fix, glv)
+    return esm, pinv, glv, rhs, gp_coords, volume, loadsums
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def solve_displacement(esm, elnodes, fixmask, pinv, b, rtol, maxiter: int):
+    """PCG solve of ``K_hat x = b`` (replaces ``factor(f)``)."""
+    eldofs = asm.element_dof_ids(elnodes)
+    matvec = asm.make_bc_matvec(esm, eldofs, fixmask)
+    precond = lambda r: asm.apply_block_precond(pinv, r)
+    return slv.pcg(matvec, b, precond=precond, rtol=rtol, maxiter=maxiter)
+
+
+@partial(jax.jit, static_argnames=("large_disp",))
+def residual(
+    coords,
+    elnodes,
+    dmat,
+    sig_yield,
+    disp_new,
+    du,
+    sig_old,
+    e,
+    nu,
+    et_e,
+    glv,
+    fixmask,
+    lbd1,
+    qnorm,
+    large_disp: bool,
+):
+    """Stress update + out-of-balance residual (``fcVM.py:1323-1342``)."""
+    sig_new, sig_test, pgp, qin = update_stress_load(
+        coords, elnodes, dmat, sig_yield, disp_new, du, sig_old, e, nu, et_e, large_disp
+    )
+    r = fixmask * (lbd1 * glv - qin)
+    error = jnp.linalg.norm(r) / qnorm
+    return sig_new, sig_test, pgp, qin, r, error
+
+
+@partial(jax.jit, static_argnames=("maxiter",))
+def tangent_refresh(
+    coords,
+    elnodes,
+    dmat,
+    sig_old,
+    pgp,
+    disp_new,
+    du,
+    loads: LoadTables,
+    density,
+    fixmask,
+    u_fix,
+    g,
+    h,
+    rtol,
+    maxiter: int,
+):
+    """GNL tangent reassembly + follower loads + tangent predictor solve.
+
+    The TPU equivalent of ``calcTSM`` + re-factorization + ``ue = K_t^-1 f``
+    (``fcVM.py:1351-1396``).  Returns the new blocks, preconditioner, load
+    vector and tangent elastic solution.
+    """
+    coords_def = coords + disp_new.reshape(-1, 3)
+    esm_t = asm.tangent_stiffness_blocks(
+        coords_def, elnodes, dmat, sig_old, pgp, g, h
+    )
+    pinv_t = asm.block_jacobi_inverse_blocks(esm_t, elnodes, fixmask)
+    glv_t, _, _, _ = external_loads(
+        coords, disp_new, elnodes, loads, density, follower=True
+    )
+    eldofs = asm.element_dof_ids(elnodes)
+    rhs = asm.dirichlet_rhs(esm_t, eldofs, fixmask, u_fix, glv_t)
+    matvec = asm.make_bc_matvec(esm_t, eldofs, fixmask)
+    precond = lambda r: asm.apply_block_precond(pinv_t, r)
+    ue = slv.pcg(matvec, rhs, precond=precond, rtol=rtol, maxiter=maxiter).x
+    return esm_t, pinv_t, glv_t, ue
+
+
+@jax.jit
+def riks_update(a, ue, due, du, lbd0, lbd1):
+    """Arc-length load correction + increment scale-back
+    (``fcVM.py:1414-1434``).
+
+    Returns (du, lbd1, dl).
+    """
+    dl = -jnp.vdot(a, due) / jnp.vdot(a, ue)
+    lbd1 = lbd1 + dl
+    aa = jnp.linalg.norm(a)
+    du = du + due + dl * ue
+    uu = jnp.linalg.norm(du)
+    sf = jnp.minimum(aa / uu, 1.0)
+    lbd1 = lbd0 + sf * (lbd1 - lbd0)
+    du = du * sf
+    return du, lbd1, dl

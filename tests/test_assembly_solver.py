@@ -1,0 +1,149 @@
+"""Assembly + matrix-free PCG vs scipy sparse direct, and physics checks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fcvm_tpu.models import meshgen
+from fcvm_tpu.models.spec import BoundaryConditions, Loads
+from fcvm_tpu.ops import assembly as asm
+from fcvm_tpu.ops import material as mat
+from fcvm_tpu.ops.solver import ScipyDirectSolver, pcg
+from fcvm_tpu.runtime import system as sysm
+
+E, NU = 210000.0, 0.3
+L = 10.0
+
+
+def _cantilever(n=2, traction=(100.0, 0.0, 0.0)):
+    mesh = meshgen.box_tet10(n, n, n, L, L, L)
+    fixed = mesh.select_nodes(lambda x, y, z: x < 1e-9)
+    bcs = BoundaryConditions.from_node_sets([(fixed, (0.0, 0.0, 0.0))])
+    faces = mesh.faces_on(lambda x, y, z: x > L - 1e-9)
+    loads = Loads(
+        traction_faces=faces, tractions=np.tile(traction, (len(faces), 1))
+    )
+    return mesh, bcs, loads
+
+
+def _assemble(mesh, bcs, loads):
+    coords = jnp.asarray(mesh.coords)
+    eln = jnp.asarray(mesh.elnodes)
+    dmat = mat.hooke_dmat(jnp.float64(E), jnp.float64(NU))
+    fixmask, u_fix, _ = bcs.masks(mesh.ndof)
+    lt = sysm.LoadTables.from_spec(loads, jnp.float64)
+    out = sysm.assemble_elastic(
+        coords, eln, dmat, lt, jnp.float64(0.0),
+        jnp.asarray(fixmask), jnp.asarray(u_fix),
+    )
+    return coords, eln, fixmask, u_fix, out
+
+
+def test_esm_symmetry_and_rigid_body():
+    mesh, bcs, loads = _cantilever()
+    coords, eln, fixmask, u_fix, (esm, *_rest) = _assemble(mesh, bcs, loads)
+    esm_np = np.asarray(esm)
+    assert np.abs(esm_np - esm_np.transpose(0, 2, 1)).max() < 1e-6
+    # rigid translation produces zero force before BCs
+    kv = asm.make_matvec(esm, asm.element_dof_ids(eln), mesh.ndof)
+    rigid = jnp.asarray(np.tile([1.0, -2.0, 0.5], mesh.n_nodes))
+    assert float(jnp.max(jnp.abs(kv(rigid)))) < 1e-6
+
+
+def test_load_sums_and_volume():
+    mesh, bcs, loads = _cantilever()
+    _, _, _, _, (esm, pinv, glv, rhs, gpc, volume, loadsums) = _assemble(mesh, bcs, loads)
+    np.testing.assert_allclose(np.asarray(loadsums), [100.0 * L * L, 0, 0], atol=1e-8)
+    assert abs(float(volume) - L**3) < 1e-6
+
+
+def test_cg_matches_scipy_direct():
+    mesh, bcs, loads = _cantilever()
+    _, eln, fixmask, _, (esm, pinv, glv, rhs, *_r) = _assemble(mesh, bcs, loads)
+    res = sysm.solve_displacement(
+        esm, eln, jnp.asarray(fixmask), pinv, rhs, 1e-12, 5000
+    )
+    direct = ScipyDirectSolver(esm, asm.element_dof_ids(eln), fixmask, mesh.ndof)
+    xd = direct.solve(rhs)
+    assert float(jnp.max(jnp.abs(res.x - xd))) < 1e-10 * float(jnp.max(jnp.abs(xd)))
+
+
+def test_uniaxial_elastic_displacement():
+    """Symmetry-constrained box in uniaxial tension: u = sigma L / E exactly."""
+    mesh = meshgen.box_tet10(2, 2, 2, L, L, L)
+    sigma = 100.0
+    bcs = BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+        ]
+    )
+    faces = mesh.faces_on(lambda x, y, z: x > L - 1e-9)
+    loads = Loads(traction_faces=faces, tractions=np.tile([sigma, 0, 0], (len(faces), 1)))
+    _, eln, fixmask, u_fix, (esm, pinv, glv, rhs, *_r) = _assemble(mesh, bcs, loads)
+    res = sysm.solve_displacement(esm, eln, jnp.asarray(fixmask), pinv, rhs, 1e-12, 5000)
+    u = np.asarray(res.x).reshape(-1, 3)
+    end = mesh.select_nodes(lambda x, y, z: x > L - 1e-9)
+    np.testing.assert_allclose(u[end, 0], sigma * L / E, rtol=1e-9)
+    side = mesh.select_nodes(lambda x, y, z: y > L - 1e-9)
+    np.testing.assert_allclose(u[side, 1], -NU * sigma * L / E, rtol=1e-8)
+
+
+def test_prescribed_displacement_rhs():
+    """Nonzero Dirichlet values reproduce the uniform-strain solution."""
+    mesh = meshgen.box_tet10(2, 2, 2, L, L, L)
+    u0 = 0.05
+    bcs = BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+            (mesh.select_nodes(lambda x, y, z: x > L - 1e-9), (u0, None, None)),
+        ]
+    )
+    _, eln, fixmask, u_fix, (esm, pinv, glv, rhs, *_r) = _assemble(mesh, bcs, Loads())
+    res = sysm.solve_displacement(esm, eln, jnp.asarray(fixmask), pinv, rhs, 1e-12, 5000)
+    u = np.asarray(res.x).reshape(-1, 3)
+    # linear ux(x) = u0 x / L everywhere
+    np.testing.assert_allclose(u[:, 0], u0 * mesh.coords[:, 0] / L, atol=1e-10)
+
+
+def test_pressure_follows_normal():
+    """Pressure on the +x face of a box pulls in +x when positive."""
+    mesh = meshgen.box_tet10(1, 1, 1, L, L, L)
+    faces = mesh.faces_on(lambda x, y, z: x > L - 1e-9)
+    loads = Loads(pressure_faces=faces, pressures=np.full(len(faces), 2.0))
+    lt = sysm.LoadTables.from_spec(loads, jnp.float64)
+    glv = asm.pressure_face_loads(
+        jnp.asarray(mesh.coords), lt.pressure_faces, lt.pressures, mesh.ndof
+    )
+    sums = np.asarray(glv).reshape(-1, 3).sum(axis=0)
+    np.testing.assert_allclose(sums, [2.0 * L * L, 0, 0], atol=1e-9)
+
+
+def test_edge_and_vertex_loads():
+    mesh = meshgen.box_tet10(1, 1, 1, L, L, L)
+    # an edge along x at y=0,z=0 consists of line3 (corner, corner, midside)
+    nid = {tuple(np.round(c, 9)): i for i, c in enumerate(mesh.coords)}
+    e1 = [nid[(0.0, 0.0, 0.0)], nid[(L, 0.0, 0.0)], nid[(L / 2, 0.0, 0.0)]]
+    loads = Loads(edges=[e1], edge_tractions=[[0.0, 3.0, 0.0]])
+    lt = sysm.LoadTables.from_spec(loads, jnp.float64)
+    glv = asm.edge_loads(jnp.asarray(mesh.coords), lt.edges, lt.edge_tractions, mesh.ndof)
+    sums = np.asarray(glv).reshape(-1, 3).sum(axis=0)
+    np.testing.assert_allclose(sums, [0.0, 3.0 * L, 0.0], atol=1e-9)
+
+    loads = Loads(vertices=[5], vertex_forces=[[1.0, 2.0, 3.0]])
+    lt = sysm.LoadTables.from_spec(loads, jnp.float64)
+    glv = asm.vertex_loads(lt.vertices, lt.vertex_forces, mesh.ndof, jnp.float64)
+    np.testing.assert_allclose(np.asarray(glv)[15:18], [1.0, 2.0, 3.0])
+
+
+def test_pcg_standalone():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(40, 40))
+    a = a @ a.T + 40 * np.eye(40)
+    b = rng.normal(size=40)
+    amat = jnp.asarray(a)
+    res = pcg(lambda v: amat @ v, jnp.asarray(b), rtol=1e-12, maxiter=200)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(a, b), atol=1e-9)
