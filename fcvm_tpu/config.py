@@ -63,9 +63,15 @@ class FcvmConfig:
         return jnp.dtype(jnp.float32)
 
     def resolve_cg_maxiter(self, ndof: int) -> int:
+        """Safety cap only — the rtol criterion does the stopping.
+
+        CG converges in <= ndof steps in exact arithmetic; slender
+        bending-dominated meshes genuinely need O(ndof) iterations under
+        block-Jacobi, so the cap must not truncate them.
+        """
         if self.cg_maxiter > 0:
             return self.cg_maxiter
-        return max(200, int(10 * ndof ** 0.5))
+        return min(max(1000, 2 * ndof), 200_000)
 
 
 _config = FcvmConfig()

@@ -120,3 +120,30 @@ def update_stress_load(
     eldofs = element_dof_ids(elnodes)
     qin = jax.ops.segment_sum(elv.reshape(-1), eldofs.reshape(-1), num_segments=ndof)
     return sig_new, sig_test, pgp, qin
+
+
+@partial(jax.jit, static_argnames=("large_disp",))
+def internal_force_from_stress(
+    coords: jnp.ndarray,
+    elnodes: jnp.ndarray,
+    sig_gp: jnp.ndarray,
+    disp: jnp.ndarray,
+    large_disp: bool,
+):
+    """``qin = sum_e B^T sigma w |J|`` for a *given* stress field.
+
+    Used for the reaction force of the target-LF interception state, whose
+    stress is a linear interpolation rather than a radial-return result
+    (``fcVM.py:1486-1510``) — the reference never re-evaluates the reaction
+    there (documented divergence; its ``rfl`` history skips that step).
+    """
+    ndof = disp.shape[0]
+    coords_el = coords[elnodes]
+    if large_disp:
+        coords_el = coords_el + disp.reshape(-1, 3)[elnodes]
+    det, _, bmat = jax.vmap(el.tet10_element_geometry)(coords_el)
+    w = jnp.asarray(el.W10, dtype=coords.dtype)
+    scale = w[None, :] * jnp.abs(det)  # (ne, 4)
+    elv = jnp.einsum("egkn,egk,eg->en", bmat, sig_gp, scale)
+    eldofs = element_dof_ids(elnodes)
+    return jax.ops.segment_sum(elv.reshape(-1), eldofs.reshape(-1), num_segments=ndof)

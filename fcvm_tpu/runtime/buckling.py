@@ -108,15 +108,19 @@ def buckling_from_arrays(
     theta_old = None
     for _ in range(max_outer):
         z = k_inverse(minus_g(v))
-        a_small = np.asarray(z.T @ minus_g(z))
-        b_small = np.asarray(z.T @ kmv(z))
+        # Euclidean orthonormalization keeps the Rayleigh-Ritz projection
+        # well conditioned once columns align with the dominant eigenspace.
+        q, _ = np.linalg.qr(np.asarray(z))
+        q = jnp.asarray(q, dtype=dtype)
+        a_small = np.asarray(q.T @ minus_g(q))
+        b_small = np.asarray(q.T @ kmv(q))
         b_small = 0.5 * (b_small + b_small.T)
         a_small = 0.5 * (a_small + a_small.T)
         theta, c = scipy.linalg.eigh(a_small, b_small)
         order = np.argsort(theta)[::-1]
         theta = theta[order]
         c = c[:, order]
-        v = z @ jnp.asarray(c, dtype=dtype)
+        v = q @ jnp.asarray(c, dtype=dtype)
         if theta_old is not None:
             denom = np.maximum(np.abs(theta[:k]), 1e-300)
             if np.max(np.abs(theta[:k] - theta_old[:k]) / denom) < outer_tol:
@@ -124,7 +128,7 @@ def buckling_from_arrays(
         theta_old = theta
 
     lam = 1.0 / theta[:k]
-    vecs = np.asarray(v[:, :k])
+    vecs = np.array(v[:, :k])
     # (-G)-metric normalization (matches ARPACK M-normalization).
     gv = np.asarray(minus_g(jnp.asarray(vecs, dtype=dtype)))
     for i in range(k):
@@ -175,5 +179,5 @@ def linear_buckling(model, params, k: int = 2):
     )
     return buckling_from_arrays(
         coords, elnodes, dmat, sig_el, fixmask,
-        k=k, rtol=cfg.cg_rtol, maxiter=maxiter,
+        k=k, rtol=min(cfg.cg_rtol, 1.0e-10), maxiter=maxiter,
     )

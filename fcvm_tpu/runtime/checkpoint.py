@@ -21,7 +21,8 @@ def save_state(path: str, step: int, state: dict) -> str:
     p.mkdir(parents=True, exist_ok=True)
     f = p / f"step_{step:05d}.npz"
     tmp = p / f".step_{step:05d}.npz.tmp"
-    np.savez_compressed(tmp, **state)
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(fh, **state)
     os.replace(tmp, f)
     return str(f)
 

@@ -36,7 +36,7 @@ from fcvm_tpu.config import get_config
 from fcvm_tpu.models.inp import ControlParams
 from fcvm_tpu.models.spec import Model
 from fcvm_tpu.ops import material as mat
-from fcvm_tpu.ops.stress_update import update_stress_load
+from fcvm_tpu.ops.stress_update import internal_force_from_stress, update_stress_load
 from fcvm_tpu.runtime import system as sysm
 from fcvm_tpu.runtime.buckling import buckling_from_arrays
 from fcvm_tpu.runtime.profiling import PhaseTimers
@@ -247,7 +247,7 @@ def solve_collapse(
             )
             eigenvalues, eigenvectors = buckling_from_arrays(
                 coords, elnodes, dmat, sig_el_gp, fixmask,
-                k=2, rtol=rtol, maxiter=maxiter,
+                k=2, rtol=min(rtol, 1.0e-10), maxiter=maxiter,
             )
             log(f"buckling load factors: {eigenvalues}")
 
@@ -427,6 +427,13 @@ def solve_collapse(
                     sig_new = sig_old + fac * (sig_new - sig_old)
                     sig_test = sig_old + fac * (sig_test - sig_old)
                     lbd[step + 1] = target_lf
+                    if has_movdof:
+                        # consistent reaction for the interpolated state
+                        # (divergence: the reference skips the rfl record
+                        # here entirely, fcVM.py:1486-1523)
+                        qin = internal_force_from_stress(
+                            coords, elnodes, sig_new, disp_new, large_disp
+                        )
                     disp_new = disp_new + du
                     record_step(qin)
                     break

@@ -1,0 +1,139 @@
+"""Buckling eigensolver + geometric-nonlinear path validation.
+
+Euler column is the reference's own validation case (manual section 9.3,
+``output files/Bar buckling.out``: 434.7 N vs 432 N theory).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import fcvm_tpu
+from fcvm_tpu.models import meshgen
+
+E, NU = 210000.0, 0.3
+
+
+def _column_model(nx=8, ny=1, nz=1, lc=20.0, w=1.0, p=1000.0):
+    mesh = meshgen.box_tet10(nx, ny, nz, lc, w, w)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [(mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, 0.0, 0.0))]
+    )
+    faces = mesh.faces_on(lambda x, y, z: x > lc - 1e-9)
+    loads = fcvm_tpu.Loads(
+        traction_faces=faces,
+        tractions=np.tile([-p / (w * w), 0, 0], (len(faces), 1)),
+    )
+    return mesh, fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads)
+
+
+def test_euler_column_buckling():
+    lc, w, p = 20.0, 1.0, 1000.0
+    mesh, model = _column_model(lc=lc, w=w, p=p)
+    params = fcvm_tpu.ControlParams(gnl="GNLY", nstep=1)
+    lam, vecs = fcvm_tpu.linear_buckling(model, params, k=2)
+    p_cr = np.pi**2 * E * (w**4 / 12) / (4 * lc**2)  # clamped-free column
+    # coarse tet10 mesh: a few % stiff; the two bending planes are degenerate
+    np.testing.assert_allclose(lam, p_cr / p, rtol=0.03)
+    assert abs(lam[0] - lam[1]) / lam[0] < 0.02
+    # mode shapes: lateral deflection, max-normalized sign-fixed
+    v = vecs.reshape(-1, 3, 2)
+    assert np.abs(v[:, 0, :]).max() < 0.2 * np.abs(v).max()  # mostly lateral
+
+
+def test_elastic_buckling_through_driver():
+    """GNLY + nstep=1: solve_collapse runs the buckling branch
+    (fcVM.py:1199-1223) and returns factors + elastic displacement."""
+    mesh, model = _column_model()
+    params = fcvm_tpu.ControlParams(gnl="GNLY", nstep=1, max_imp=0.0)
+    res = fcvm_tpu.solve_collapse(model, params)
+    assert res.eigenvalues is not None and len(res.eigenvalues) == 2
+    lc, w, p = 20.0, 1.0, 1000.0
+    p_cr = np.pi**2 * E * (w**4 / 12) / (4 * lc**2)
+    np.testing.assert_allclose(res.eigenvalues, p_cr / p, rtol=0.03)
+    # elastic axial shortening at full load
+    end = mesh.select_nodes(lambda x, y, z: x > lc - 1e-9)
+    ux = res.disp_total.reshape(-1, 3)[end, 0].mean()
+    assert abs(ux - (-p * lc / (E * w * w))) < 0.05 * p * lc / (E * w * w)
+
+
+def test_imperfection_seeding_perturbs_coords():
+    mesh, model = _column_model()
+    params = fcvm_tpu.ControlParams(
+        gnl="GNLY", nstep=3, max_imp=0.05, ev1=1.0, ev2=0.0,
+        error_max=1e-6, target_lf=0.05, sig_yield=1e6,
+    )
+    res = fcvm_tpu.solve_collapse(model, params)
+    dc = np.abs(res.coords - res.coords_old).max()
+    np.testing.assert_allclose(dc, 0.05, rtol=1e-9)  # maxImp applied exactly
+    assert res.eigenvalues is not None
+
+
+def test_gnl_stress_convection_rigid_rotation():
+    """A rigid rotation increment convects the stress as R sigma R^T
+    (fcVM.py:2383-2429) up to the small-angle spurious strain the
+    reference's linearized deps also carries."""
+    from fcvm_tpu.ops import material as mat
+    from fcvm_tpu.ops.stress_update import update_stress_load
+
+    mesh = meshgen.box_tet10(1, 1, 1, 1.0, 1.0, 1.0)
+    coords = jnp.asarray(mesh.coords)
+    eln = jnp.asarray(mesh.elnodes)
+    ne = mesh.n_elements
+    dmat = mat.hooke_dmat(jnp.float64(E), jnp.float64(NU))
+    sig0 = np.tile([100.0, -40.0, 10.0, 5.0, -2.0, 7.0], (ne, 4, 1))
+
+    phi = 1e-4
+    c, s = np.cos(phi), np.sin(phi)
+    r = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    du = (mesh.coords @ r.T - mesh.coords).reshape(-1)
+
+    huge = jnp.full((ne, 4), 1e30)
+    sig_new, _, _, _ = update_stress_load(
+        coords, eln, dmat, huge, jnp.zeros(mesh.ndof), jnp.asarray(du),
+        jnp.asarray(sig0), E, NU, 0.0, True,
+    )
+    t = np.zeros((3, 3))
+    t[0, 0], t[1, 1], t[2, 2] = 100.0, -40.0, 10.0
+    t[0, 1] = t[1, 0] = 5.0
+    t[0, 2] = t[2, 0] = -2.0
+    t[1, 2] = t[2, 1] = 7.0
+    rt = r @ t @ r.T
+    expect = np.array([rt[0, 0], rt[1, 1], rt[2, 2], rt[0, 1], rt[0, 2], rt[1, 2]])
+    got = np.asarray(sig_new).reshape(-1, 6)
+    # spurious elastic strain from the linearized deps is O(E * phi^2)
+    np.testing.assert_allclose(got, np.tile(expect, (got.shape[0], 1)), atol=5e-3)
+
+
+def test_gnl_driver_small_strain_matches_linear():
+    """At small strains the GNL path must agree with the linear path."""
+    lcase = 10.0
+    mesh = meshgen.box_tet10(2, 2, 2, lcase, lcase, lcase)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+        ]
+    )
+    faces = mesh.faces_on(lambda x, y, z: x > lcase - 1e-9)
+    loads = fcvm_tpu.Loads(
+        traction_faces=faces, tractions=np.tile([10.0, 0, 0], (len(faces), 1))
+    )
+    model = fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads)
+    end = mesh.select_nodes(lambda x, y, z: x > lcase - 1e-9)
+
+    res_lin = fcvm_tpu.solve_collapse(
+        model,
+        fcvm_tpu.ControlParams(sig_yield=240.0, nstep=4, error_max=1e-10, target_lf=1.0),
+    )
+    res_gnl = fcvm_tpu.solve_collapse(
+        model,
+        fcvm_tpu.ControlParams(
+            sig_yield=240.0, nstep=4, error_max=1e-10, target_lf=1.0,
+            gnl="GNLY", max_imp=0.0,
+        ),
+    )
+    ux_lin = res_lin.disp_total.reshape(-1, 3)[end, 0].mean()
+    ux_gnl = res_gnl.disp_total.reshape(-1, 3)[end, 0].mean()
+    # strain 5e-5: geometric effects ~ O(strain) relative
+    assert abs(ux_gnl - ux_lin) / abs(ux_lin) < 5e-4
