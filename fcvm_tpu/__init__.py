@@ -35,6 +35,7 @@ from fcvm_tpu.models.spec import (
 from fcvm_tpu.models.inp import ControlParams, read_inp, write_inp
 from fcvm_tpu.runtime.driver import solve_collapse, AnalysisResults
 from fcvm_tpu.runtime.buckling import linear_buckling
+from fcvm_tpu.api import run_analysis, run_sum
 
 __all__ = [
     "__version__",
@@ -52,4 +53,6 @@ __all__ = [
     "solve_collapse",
     "AnalysisResults",
     "linear_buckling",
+    "run_analysis",
+    "run_sum",
 ]

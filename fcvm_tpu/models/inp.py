@@ -56,31 +56,29 @@ class ControlParams:
 
 
 def read_inp(path) -> ControlParams:
+    """Parse a control file.
+
+    The bundled corpus contains files from earlier format revisions with
+    13-20 lines (the current reference driver cannot read those either — its
+    bare ``except`` at ``fcVM.FCMacro:97`` silently aborts); missing trailing
+    fields take the GUI defaults.
+    """
     lines = Path(path).read_text(encoding="utf8").splitlines()
     vals = [ln.strip() for ln in lines]
-    return ControlParams(
-        sig_yield=float(vals[0]),
-        grav_x=float(vals[1]),
-        grav_y=float(vals[2]),
-        grav_z=float(vals[3]),
-        nstep=int(vals[4]),
-        iterat_max=int(vals[5]),
-        error_max=float(vals[6]),
-        relax=float(vals[7]),
-        scale_re=float(vals[8]),
-        scale_up=float(vals[9]),
-        scale_dn=float(vals[10]),
-        disp_output=vals[11],
-        ultimate_strain=float(vals[12]),
-        et_e=float(vals[13]),
-        target_lf=float(vals[14]),
-        csr_option=vals[15],
-        averaged_option=vals[16],
-        gnl=vals[17],
-        max_imp=float(vals[18]),
-        ev1=float(vals[19]),
-        ev2=float(vals[20]),
-    )
+    p = ControlParams()
+    fields = [
+        ("sig_yield", float), ("grav_x", float), ("grav_y", float),
+        ("grav_z", float), ("nstep", lambda s: int(float(s))),
+        ("iterat_max", lambda s: int(float(s))),
+        ("error_max", float), ("relax", float), ("scale_re", float),
+        ("scale_up", float), ("scale_dn", float), ("disp_output", str),
+        ("ultimate_strain", float), ("et_e", float), ("target_lf", float),
+        ("csr_option", str), ("averaged_option", str), ("gnl", str),
+        ("max_imp", float), ("ev1", float), ("ev2", float),
+    ]
+    for (name, conv), raw in zip(fields, vals):
+        setattr(p, name, conv(raw))
+    return p
 
 
 def write_inp(params: ControlParams, path) -> None:

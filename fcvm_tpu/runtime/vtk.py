@@ -1,0 +1,153 @@
+"""Legacy-ASCII VTK export of quadratic-tetra results (no pyvista needed).
+
+Rebuild of ``exportVTK`` (``source code/fcVM.py:2903-2950``): an
+UnstructuredGrid of VTK_QUADRATIC_TETRA (cell type 24) with the same point
+data fields.  Field-name divergence (documented): the reference embeds
+trailing ``\\n`` in several field names, which legacy VTK cannot represent;
+names here are the same text without the newline, with spaces preserved
+via the VTK FIELD encoding.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from fcvm_tpu.ops import postproc
+
+VTK_QUADRATIC_TETRA = 24
+
+# Our tet10 midside order is (0-1),(1-2),(0-2),(0-3),(1-3),(2-3); VTK's
+# quadratic tetra expects (0-1),(1-2),(2-0),(0-3),(1-3),(2-3) -> identical
+# node sets, so the connectivity maps 1:1.
+_VTK_ORDER = list(range(10))
+
+
+def _fmt_array(a: np.ndarray) -> str:
+    a = np.asarray(a, dtype=np.float64)
+    flat = a.reshape(-1)
+    out = []
+    for i in range(0, len(flat), 9):
+        out.append(" ".join(f"{v:.10g}" for v in flat[i : i + 9]))
+    return "\n".join(out)
+
+
+def write_vtk(
+    path,
+    coords: np.ndarray,
+    elnodes: np.ndarray,
+    point_data: dict,
+) -> None:
+    """Write a legacy VTK file with the given nodal fields.
+
+    Args:
+      point_data: ``name -> (nn,) | (nn, 3) | (nn, 6)`` arrays; 6-wide arrays
+        are written as symmetric tensors (xx, yy, zz, xy, zx, yz order kept
+        as a 6-component field, matching the reference's flat export).
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    elnodes = np.asarray(elnodes)
+    nn = len(coords)
+    ne = len(elnodes)
+    lines = [
+        "# vtk DataFile Version 4.2",
+        "fcvm_tpu results",
+        "ASCII",
+        "DATASET UNSTRUCTURED_GRID",
+        f"POINTS {nn} double",
+        _fmt_array(coords),
+        f"CELLS {ne} {ne * 11}",
+    ]
+    cells = np.concatenate(
+        [np.full((ne, 1), 10, dtype=np.int64), elnodes[:, _VTK_ORDER]], axis=1
+    )
+    lines.append("\n".join(" ".join(str(v) for v in row) for row in cells))
+    lines.append(f"CELL_TYPES {ne}")
+    lines.append("\n".join([str(VTK_QUADRATIC_TETRA)] * ne))
+    lines.append(f"POINT_DATA {nn}")
+
+    scalars = {k: v for k, v in point_data.items() if np.ndim(v) == 1}
+    vectors = {k: v for k, v in point_data.items() if np.ndim(v) == 2 and v.shape[1] == 3}
+    wide = {k: v for k, v in point_data.items() if np.ndim(v) == 2 and v.shape[1] not in (3,)}
+
+    nfields = len(scalars) + len(wide)
+    if nfields:
+        lines.append(f"FIELD FieldData {nfields}")
+        for name, v in scalars.items():
+            lines.append(f"{name.replace(' ', '_')} 1 {nn} double")
+            lines.append(_fmt_array(v))
+        for name, v in wide.items():
+            lines.append(f"{name.replace(' ', '_')} {v.shape[1]} {nn} double")
+            lines.append(_fmt_array(v))
+    for name, v in vectors.items():
+        lines.append(f"VECTORS {name.replace(' ', '_')} double")
+        lines.append(_fmt_array(v))
+    Path(path).write_text("\n".join(lines) + "\n", encoding="utf8")
+
+
+def export_results(
+    path,
+    results,
+    elnodes: np.ndarray,
+    params,
+    fy: float,
+    include_rho: bool = False,
+) -> dict:
+    """Full result export mirroring ``exportVTK``'s field set.
+
+    Returns the point-data dict that was written (for testing).
+    """
+    mesh_coords = results.coords
+    nn = len(mesh_coords)
+    noce = _elements_per_node(elnodes, nn)
+    stress, peeq, csr, svm, triax = postproc.map_stresses(
+        params.averaged_option == "averaged",
+        elnodes,
+        nn,
+        results.sig_gp,
+        results.peeq_gp,
+        results.csr_gp,
+        results.svm_gp,
+        noce,
+        params.sig_yield,
+    )
+    s1, s2, s3, v1, v2, v3 = postproc.principal_stresses(stress)
+    data = {
+        "Critical Strain Ratio": csr,
+        "Equivalent Plastic Strain": peeq,
+        "von Mises Stress": svm,
+        "Triaxiality": triax,
+        "Displacement": results.disp.reshape(nn, 3),
+        "Stress Tensor": stress,
+        "Major Principal Stress": s1,
+        "Intermediate Principal Stress": s2,
+        "Minor Principal Stress": s3,
+        "Major Principal Stress Vector": v1,
+        "Intermediate Principal Stress Vector": v2,
+        "Minor Principal Stress Vector": v3,
+    }
+    if params.gnl == "GNLY" and results.eigenvectors is not None and not (
+        params.nstep > 1 and params.max_imp == 0.0
+    ):
+        ev = results.eigenvalues
+        vecs = results.eigenvectors
+        data["Elastic Displacement"] = results.disp_el.reshape(nn, 3)
+        for i in (0, 1):
+            v = vecs[:, i] / np.max(np.abs(vecs[:, i]))
+            data[f"Buckling shape for lambda{i + 1} = {round(float(ev[i]), 3)}"] = (
+                v.reshape(nn, 3)
+            )
+    if include_rho:
+        rho = postproc.reinforcement_rho(stress, fy)
+        data["Reinforcement Ratio x"] = rho[:, 0]
+        data["Reinforcement Ratio y"] = rho[:, 1]
+        data["Reinforcement Ratio z"] = rho[:, 2]
+    write_vtk(path, mesh_coords, elnodes, data)
+    return data
+
+
+def _elements_per_node(elnodes: np.ndarray, nn: int) -> np.ndarray:
+    counts = np.zeros(nn, dtype=np.int64)
+    np.add.at(counts, np.asarray(elnodes).reshape(-1), 1)
+    return counts
