@@ -1,0 +1,236 @@
+"""Headline benchmark: wall time per Newton load step, collapse analysis.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Metric: milliseconds per Riks/Newton load step (tangent stress updates +
+preconditioned-CG solves, the reference's per-step hot path,
+``fcVM.py:1304-1557``) on a ~500k-DOF tet10 mesh driven into the plastic
+regime, on one TPU chip in f32.
+
+vs_baseline: speedup against a reference-style CPU step measured on the same
+machine — scipy SuperLU triangular solves (the stand-in for the reference's
+CHOLMOD backend, ``fcVM.py:66-71``) plus vectorized numpy stress updates,
+with the same per-step solve/update counts, on a smaller mesh both paths can
+run (3D LU fill-in makes 500k DOF infeasible for the direct baseline —
+which is itself the point of the matrix-free design), scaled by nothing:
+the ratio is measured at the matched size.
+
+Extra diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+E, NU, SY = 210000.0, 0.3, 240.0
+LBOX = 10.0
+SIGMA = 100.0
+ET_E = 0.1
+
+NX_TPU = int(os.environ.get("FCVM_BENCH_NX", "22"))  # ~500k dof
+NX_CPU = int(os.environ.get("FCVM_BENCH_NX_CPU", "8"))  # direct-solver-feasible
+N_SOLVES_PER_STEP = 3  # typical NR iterations per plastic load step
+CG_RTOL = 1e-5
+
+
+def build(nx):
+    import fcvm_tpu
+    from fcvm_tpu.models import meshgen
+
+    mesh = meshgen.box_tet10(nx, nx, nx, LBOX, LBOX, LBOX)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+        ]
+    )
+    faces = mesh.faces_on(lambda x, y, z: x > LBOX - 1e-9)
+    loads = fcvm_tpu.Loads(
+        traction_faces=faces, tractions=np.tile([SIGMA, 0, 0], (len(faces), 1))
+    )
+    return mesh, fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads)
+
+
+def tpu_step_time(nx):
+    """Steady-state wall time of one plastic Riks load step on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcvm_tpu.ops import material as mat
+    from fcvm_tpu.ops.stress_update import update_stress_load
+    from fcvm_tpu.runtime import system as sysm
+
+    dtype = jnp.float32
+    mesh, model = build(nx)
+    log(f"TPU mesh: nn={mesh.n_nodes} ne={mesh.n_elements} ndof={mesh.ndof}")
+    coords = jnp.asarray(mesh.coords, dtype)
+    eln = jnp.asarray(mesh.elnodes)
+    e = jnp.asarray(E, dtype)
+    nu = jnp.asarray(NU, dtype)
+    dmat = mat.hooke_dmat(e, nu)
+    fixmask_np, u_fix_np, _ = model.bcs.masks(mesh.ndof)
+    fixmask = jnp.asarray(fixmask_np, dtype)
+    u_fix = jnp.asarray(u_fix_np, dtype)
+    lt = sysm.LoadTables.from_spec(model.loads, dtype)
+
+    t0 = time.perf_counter()
+    esm, pinv, glv, rhs, gpc, vol, ls = jax.block_until_ready(
+        sysm.assemble_elastic(coords, eln, dmat, lt, jnp.asarray(0.0, dtype), fixmask, u_fix)
+    )
+    t_asm_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    esm, pinv, glv, rhs, gpc, vol, ls = jax.block_until_ready(
+        sysm.assemble_elastic(coords, eln, dmat, lt, jnp.asarray(0.0, dtype), fixmask, u_fix)
+    )
+    t_asm = time.perf_counter() - t0
+    log(f"assembly: cold {t_asm_cold:.2f}s steady {t_asm * 1e3:.2f}ms "
+        f"({mesh.ndof / t_asm / 1e9:.2f} GDOF/s)")
+
+    maxiter = 3000
+    solve = lambda b: sysm.solve_displacement(esm, eln, fixmask, pinv, b, CG_RTOL, maxiter)
+    res = jax.block_until_ready(solve(rhs))  # compile + elastic predictor
+    ue = res.x
+    log(f"elastic solve: {int(res.iters)} CG iters, relres {float(res.relres):.2e}")
+
+    ne = mesh.n_elements
+    sig_yield = jnp.full((ne, 4), SY, dtype)
+    zeros6 = jnp.zeros((ne, 4, 6), dtype)
+    et = jnp.asarray(ET_E, dtype)
+    qnorm = jnp.asarray(float(jnp.linalg.norm(glv)), dtype)
+
+    # drive to just past yield so the step is genuinely plastic
+    lbd0 = 2.45
+    disp = lbd0 * ue
+    sig0, _, _, _ = update_stress_load(
+        coords, eln, dmat, 1e9 * sig_yield, jnp.zeros(mesh.ndof, dtype),
+        disp, zeros6, e, nu, et, False,
+    )
+    dl = 0.05
+
+    def one_step():
+        du = dl * ue
+        t_start = time.perf_counter()
+        sig_new = sig0
+        for _ in range(N_SOLVES_PER_STEP):
+            sig_new, sig_test, pgp, qin, r, err = sysm.residual(
+                coords, eln, dmat, sig_yield, disp, du, sig0, e, nu, et,
+                glv, fixmask, jnp.asarray(lbd0 + dl, dtype), qnorm, False,
+            )
+            due = solve(r).x
+            du = du + 0.1 * due
+        jax.block_until_ready((sig_new, du))
+        return time.perf_counter() - t_start, int(res.iters)
+
+    one_step()  # warm every kernel
+    times = [one_step()[0] for _ in range(3)]
+    t_step = min(times)
+    log(f"TPU per-step: {t_step * 1e3:.1f} ms (3 runs: {[f'{t*1e3:.0f}' for t in times]})")
+    return t_step, mesh.ndof, t_asm, int(res.iters)
+
+
+def cpu_step_time(nx):
+    """Reference-style CPU step: SuperLU triangular solves + numpy stress
+    update, same counts."""
+    import jax
+    import jax.numpy as jnp
+    import scipy.sparse.linalg as spla
+
+    from fcvm_tpu.ops import assembly as asm
+    from fcvm_tpu.ops import material as mat
+    from fcvm_tpu.ops.solver import assemble_scipy_csc
+
+    dtype = jnp.float32
+    mesh, model = build(nx)
+    log(f"CPU-baseline mesh: nn={mesh.n_nodes} ne={mesh.n_elements} ndof={mesh.ndof}")
+    coords = jnp.asarray(mesh.coords, jnp.float32)
+    eln = jnp.asarray(mesh.elnodes)
+    dmat = mat.hooke_dmat(jnp.asarray(E, dtype), jnp.asarray(NU, dtype))
+    esm = np.asarray(asm.elastic_stiffness_blocks(coords, eln, dmat), dtype=np.float64)
+    fixmask_np, _, _ = model.bcs.masks(mesh.ndof)
+    eldofs = np.asarray(asm.element_dof_ids(eln))
+    k = assemble_scipy_csc(esm, eldofs, fixmask_np, mesh.ndof)
+    t0 = time.perf_counter()
+    lu = spla.splu(k)
+    t_factor = time.perf_counter() - t0
+    log(f"CPU factor: {t_factor:.2f}s")
+
+    rng = np.random.default_rng(0)
+    b = rng.normal(size=mesh.ndof)
+    # one numpy stress update (vectorized == numba-class throughput)
+    coords_el = np.asarray(mesh.coords)[mesh.elnodes]
+    from fcvm_tpu.ops import elements as el
+
+    dshp = el.DSHP10_AT_GP
+
+    def numpy_stress_update(du):
+        du_el = du.reshape(-1, 3)[mesh.elnodes]  # (ne, 10, 3)
+        xs = np.einsum("eki,gjk->egij", coords_el, dshp)
+        det = np.linalg.det(xs)
+        xsi = np.linalg.inv(xs)
+        dshpg = np.einsum("egki,gkj->egij", xsi, dshp)
+        grad = np.einsum("eia,egbi->egab", du_el, dshpg)
+        eps = 0.5 * (grad + grad.transpose(0, 1, 3, 2))
+        tr = np.trace(eps, axis1=2, axis2=3)
+        lam = E * NU / (1 + NU) / (1 - 2 * NU)
+        g2 = E / (1 + NU)
+        sig = g2 * eps
+        sig[:, :, 0, 0] += lam * tr
+        sig[:, :, 1, 1] += lam * tr
+        sig[:, :, 2, 2] += lam * tr
+        p = np.trace(sig, axis1=2, axis2=3) / 3
+        dev = sig.copy()
+        for i in range(3):
+            dev[:, :, i, i] -= p
+        svm = np.sqrt(1.5 * (dev**2).sum(axis=(2, 3)))
+        fac = np.where(svm > SY, SY / np.maximum(svm, 1e-30), 1.0)
+        sig = dev * fac[..., None, None]
+        qin = np.einsum("egab,egbi,eg->eia", sig, dshpg, np.abs(det) * el.W10[None, :])
+        out = np.zeros(mesh.ndof)
+        np.add.at(out, (3 * mesh.elnodes[:, :, None] + np.arange(3)).reshape(-1), qin.reshape(-1))
+        return out
+
+    t0 = time.perf_counter()
+    for _ in range(N_SOLVES_PER_STEP):
+        x = lu.solve(b)
+        q = numpy_stress_update(x * 1e-6)
+    t_step = time.perf_counter() - t0
+    log(f"CPU per-step (solves + stress updates): {t_step * 1e3:.1f} ms")
+    return t_step, mesh.ndof, t_factor
+
+
+def main():
+    t_cpu, ndof_cpu, t_factor = cpu_step_time(NX_CPU)
+
+    # matched-size TPU measurement for the honest ratio
+    t_tpu_small, _, _, _ = tpu_step_time(NX_CPU)
+    vs_baseline = t_cpu / t_tpu_small
+
+    t_tpu, ndof, t_asm, cg_iters = tpu_step_time(NX_TPU)
+    log(
+        f"matched-size ({ndof_cpu} dof) speedup vs SuperLU+numpy step: "
+        f"{vs_baseline:.2f}x; headline {ndof}-dof TPU step {t_tpu * 1e3:.1f} ms"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": f"newton_load_step_wall_ms_{round(ndof / 1000)}kdof",
+                "value": round(t_tpu * 1e3, 2),
+                "unit": "ms",
+                "vs_baseline": round(vs_baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Mesh IO roundtrips (native C++ parser vs python fallback) + RCM."""
+
+import numpy as np
+import pytest
+
+from fcvm_tpu import native
+from fcvm_tpu.models import meshgen, meshio_io
+from fcvm_tpu.models.spec import Mesh
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return meshgen.box_tet10(2, 2, 2, 3.0, 2.0, 1.0)
+
+
+def _assert_same(a: Mesh, b: Mesh):
+    np.testing.assert_allclose(a.coords, b.coords, atol=1e-12)
+    np.testing.assert_array_equal(a.elnodes, b.elnodes)
+
+
+def test_gmsh_roundtrip_python(tmp_path, mesh):
+    p = tmp_path / "m.msh"
+    meshio_io.write_gmsh(p, mesh)
+    back = meshio_io._read_gmsh_py(p)
+    _assert_same(mesh, back)
+
+
+def test_unv_roundtrip_python(tmp_path, mesh):
+    p = tmp_path / "m.unv"
+    meshio_io.write_unv(p, mesh)
+    back = meshio_io._read_unv_py(p)
+    _assert_same(mesh, back)
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_gmsh_roundtrip_native(tmp_path, mesh):
+    p = tmp_path / "m.msh"
+    meshio_io.write_gmsh(p, mesh)
+    out = native.read_gmsh_native(str(p))
+    assert out is not None
+    _assert_same(mesh, Mesh(out[0], out[1]))
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_unv_roundtrip_native(tmp_path, mesh):
+    p = tmp_path / "m.unv"
+    meshio_io.write_unv(p, mesh)
+    out = native.read_unv_native(str(p))
+    assert out is not None
+    _assert_same(mesh, Mesh(out[0], out[1]))
+
+
+def test_node_order_preserves_volume(tmp_path, mesh):
+    """A wrong midside permutation would corrupt element Jacobians."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcvm_tpu.ops import elements as el
+
+    p = tmp_path / "m.msh"
+    meshio_io.write_gmsh(p, mesh)
+    back = meshio_io.read_mesh(p)
+    det, _, _ = jax.vmap(el.tet10_element_geometry)(
+        jnp.asarray(back.coords)[jnp.asarray(back.elnodes)]
+    )
+    vol = float(jnp.sum(jnp.abs(det) * jnp.asarray(el.W10)[None, :]))
+    assert abs(vol - 3.0 * 2.0 * 1.0) < 1e-9
+    assert float(jnp.min(det.min())) > 0  # orientation preserved
+
+
+def test_rcm_reduces_bandwidth(mesh):
+    rng = np.random.default_rng(0)
+    # scramble node numbering, then RCM should restore locality
+    perm = rng.permutation(mesh.n_nodes)
+    scrambled_coords, scrambled_eln = native.apply_node_permutation(
+        mesh.coords, mesh.elnodes, perm
+    )
+    bw0 = native.bandwidth(scrambled_eln, mesh.n_nodes)
+    order = native.rcm_order(scrambled_eln, mesh.n_nodes)
+    assert sorted(order.tolist()) == list(range(mesh.n_nodes))
+    c2, e2 = native.apply_node_permutation(scrambled_coords, scrambled_eln, order)
+    bw1 = native.bandwidth(e2, mesh.n_nodes)
+    assert bw1 <= bw0
+    # geometry unchanged
+    assert abs(np.sort(c2[:, 0]).sum() - np.sort(mesh.coords[:, 0]).sum()) < 1e-9
+
+
+def test_rcm_python_fallback_matches_contract(mesh):
+    order = native._rcm_python(mesh.elnodes.astype(np.int64), mesh.n_nodes)
+    assert sorted(order.tolist()) == list(range(mesh.n_nodes))
+
+
+def test_native_builds():
+    """The C++ library must compile in this environment."""
+    assert native.build(), "native toolchain present but build failed"
+    assert native.available()
