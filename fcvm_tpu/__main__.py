@@ -1,0 +1,97 @@
+"""Command-line front end: ``python -m fcvm_tpu <command> case.toml``.
+
+The batch equivalent of the reference workbench's Start / Save / Sum buttons
+(``InitGui.py:141-145``):
+
+  run     full collapse analysis -> .out, .vtk, .png (the Start button)
+  buckle  linear buckling factors + mode shapes
+  info    parse + validate a case, print the model summary
+  bench   quick per-step timing of the case on the current backend
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="fcvm_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    for name in ("run", "buckle", "info", "bench"):
+        p = sub.add_parser(name)
+        p.add_argument("case", help="TOML case file")
+        p.add_argument("--outdir", default="out")
+        p.add_argument("--x64", action="store_true", help="enable float64")
+        p.add_argument("--cpu", action="store_true", help="force CPU backend")
+        p.add_argument("--checkpoint", action="store_true")
+        p.add_argument("--steps", type=int, default=0, help="override nstep")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+
+    import fcvm_tpu
+    from fcvm_tpu.models.casefile import load_case
+
+    model, params = load_case(args.case)
+    if args.steps:
+        params.nstep = args.steps
+
+    if args.cmd == "info":
+        m = model.mesh
+        fixmask, u_fix, movdof = model.bcs.masks(m.ndof)
+        print(f"model: {model.name}")
+        print(f"nodes: {m.n_nodes}  elements: {m.n_elements}  ndof: {m.ndof}")
+        print(f"material: E={model.material.e} nu={model.material.nu} "
+              f"rho={model.material.density}")
+        print(f"fixed dofs: {int((fixmask < 0.5).sum())}  "
+              f"driven dofs: {int(movdof.sum())}")
+        print(f"loads: {len(model.loads.pressure_faces)} pressure faces, "
+              f"{len(model.loads.traction_faces)} traction faces, "
+              f"{len(model.loads.vertices)} point loads, "
+              f"gravity {model.loads.gravity.tolist()}")
+        print(f"control: nstep={params.nstep} gnl={params.gnl} "
+              f"sig_yield={params.sig_yield} target_LF={params.target_lf}")
+        return 0
+
+    if args.cmd == "buckle":
+        lam, vecs = fcvm_tpu.linear_buckling(model, params, k=2)
+        print("buckling load factors:", lam)
+        return 0
+
+    if args.cmd == "run":
+        res = fcvm_tpu.run_analysis(
+            model, params, outdir=args.outdir,
+            checkpoint=args.checkpoint, progress=print,
+        )
+        h = res.history
+        print(f"final load level: {h.lbd[-1]:.5f}  max |u|: {max(h.un):.5e}  "
+              f"PEEQ max: {h.peeqmax[-1]:.4e}  CSR max: {h.csr[-1]:.4e}")
+        print(f"wrote {args.outdir}/{model.name}.out .vtk .png")
+        return 0
+
+    if args.cmd == "bench":
+        t0 = time.time()
+        res = fcvm_tpu.solve_collapse(model, params)
+        dt = time.time() - t0
+        nsteps = max(len(res.history.lbd) - 1, 1)
+        print(json.dumps({
+            "metric": "case_step_wall_ms",
+            "value": round(dt / nsteps * 1e3, 2),
+            "unit": "ms",
+            "steps": nsteps,
+            "cg_solves": res.cg_stats["solves"],
+            "cg_iters": res.cg_stats["iters"],
+        }))
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -122,26 +122,28 @@ def plate_with_hole_tet10(
     """
     # In-plane quad grid by transfinite blending between the quarter circle
     # and the outer rectangle boundary (two patches: lower-right, upper).
-    angles = np.linspace(0.0, 0.5 * np.pi, n_circ + 1)
+    # Outer boundary: walk the rectangle perimeter (width,0) -> corner
+    # (width,height) -> (0,height) with a node snapped exactly onto the
+    # corner, so the loaded edges are exact regardless of resolution.
+    perim = height + width
+    n1 = max(1, min(n_circ - 1, round(n_circ * height / perim)))
+    outer_pts = np.zeros((n_circ + 1, 2))
+    for ia in range(n_circ + 1):
+        if ia <= n1:
+            outer_pts[ia] = (width, height * ia / n1)
+        else:
+            outer_pts[ia] = (width - width * (ia - n1) / (n_circ - n1), height)
 
-    # Radial blending: for each angle, inner point on the hole, outer point on
-    # the rectangle edge hit by the ray.
+    angles = np.linspace(0.0, 0.5 * np.pi, n_circ + 1)
     pts = np.zeros((n_circ + 1, n_rad + 1, 2))
     for ia, a in enumerate(angles):
-        ca, sa = np.cos(a), np.sin(a)
-        inner = np.array([radius * ca, radius * sa])
-        # ray-rectangle intersection
-        tx = width / ca if ca > 1e-12 else np.inf
-        ty = height / sa if sa > 1e-12 else np.inf
-        t = min(tx, ty)
-        outer = np.array([t * ca, t * sa])
+        inner = np.array([radius * np.cos(a), radius * np.sin(a)])
+        outer = outer_pts[ia]
         for ir in range(n_rad + 1):
             s = ir / n_rad
             # grade toward the hole (stress concentration)
             s = s**1.2
             pts[ia, ir] = (1 - s) * inner + s * outer
-    # straighten the outermost ring onto the rectangle for a clean boundary
-    # (already exact by construction).
 
     nz = n_thick
     zs = np.linspace(0.0, thickness, nz + 1)

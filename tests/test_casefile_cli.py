@@ -1,0 +1,118 @@
+"""TOML case files + CLI front end."""
+
+import numpy as np
+
+from fcvm_tpu.models.casefile import load_case
+from fcvm_tpu.models.inp import ControlParams, write_inp
+
+CASE = """
+name = "cli_box"
+[mesh.generator]
+kind = "box"
+nx = 2
+lx = 10.0
+
+[material]
+e = 210000.0
+nu = 0.3
+
+[control]
+sig_yield = 240.0
+nstep = 3
+error_max = 1e-8
+target_lf = 1.0
+
+[[bc]]
+where = "x < 1e-9"
+ux = 0.0
+uy = 0.0
+uz = 0.0
+
+[[load.face]]
+where = "x > 10.0 - 1e-9"
+traction = [50.0, 0.0, 0.0]
+"""
+
+
+def test_load_case(tmp_path):
+    p = tmp_path / "case.toml"
+    p.write_text(CASE)
+    model, params = load_case(p)
+    assert model.name == "cli_box"
+    assert model.mesh.n_elements == 48
+    assert params.nstep == 3
+    assert len(model.loads.traction_faces) > 0
+    fixmask, _, _ = model.bcs.masks(model.ndof)
+    assert (fixmask < 0.5).sum() > 0
+
+
+def test_case_with_reference_inp(tmp_path):
+    inp = ControlParams(sig_yield=123.0, nstep=7, gnl="GNLN", grav_z=-9.81)
+    write_inp(inp, tmp_path / "ref.inp")
+    p = tmp_path / "case.toml"
+    p.write_text(
+        """
+[mesh.generator]
+kind = "box"
+nx = 1
+lx = 1.0
+[control]
+inp = "ref.inp"
+[[bc]]
+where = "z < 1e-9"
+uz = 0.0
+"""
+    )
+    model, params = load_case(p)
+    assert params.sig_yield == 123.0
+    assert params.nstep == 7
+    # gravity from the .inp propagates into the load tables
+    np.testing.assert_allclose(model.loads.gravity, [0.0, 0.0, -9.81])
+
+
+def test_cli_info_and_run(tmp_path, capsys):
+    from fcvm_tpu.__main__ import main
+
+    p = tmp_path / "case.toml"
+    p.write_text(CASE)
+    assert main(["info", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "elements: 48" in out
+
+    outdir = tmp_path / "out"
+    assert main(["run", str(p), "--outdir", str(outdir)]) == 0
+    assert (outdir / "cli_box.out").exists()
+    assert (outdir / "cli_box.vtk").exists()
+
+
+def test_cli_buckle(tmp_path, capsys):
+    from fcvm_tpu.__main__ import main
+
+    p = tmp_path / "case.toml"
+    p.write_text(
+        """
+name = "col"
+[mesh.generator]
+kind = "box"
+nx = 6
+ny = 1
+nz = 1
+lx = 20.0
+ly = 1.0
+lz = 1.0
+[control]
+gnl = "GNLY"
+nstep = 1
+[[bc]]
+where = "x < 1e-9"
+ux = 0.0
+uy = 0.0
+uz = 0.0
+[[load.face]]
+where = "x > 20.0 - 1e-9"
+traction = [-1000.0, 0.0, 0.0]
+"""
+    )
+    assert main(["buckle", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "buckling load factors" in out

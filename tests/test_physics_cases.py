@@ -1,0 +1,84 @@
+"""Headline physics validations from the reference corpus (BASELINE.md):
+plate-with-hole collapse, gravity self-weight."""
+
+import numpy as np
+import pytest
+
+import fcvm_tpu
+from fcvm_tpu.models import meshgen
+
+E, NU = 210000.0, 0.3
+
+
+def test_plate_with_hole_collapse():
+    """Quarter plate with a hole in tension, perfect plasticity: the limit
+    load factor must sit just above the net-section lower bound
+    sigma_y (W - R) / (W sigma_applied) and converge toward it with mesh
+    refinement (reference manual section 9.1; at 14x10 in-plane resolution
+    the plateau is ~1.69 for a bound of 1.60)."""
+    sy, applied = 100.0, 50.0
+    mesh = meshgen.plate_with_hole_tet10(
+        radius=10.0, width=50.0, height=100.0, thickness=5.0,
+        n_circ=10, n_rad=8, n_thick=1,
+    )
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+        ]
+    )
+    top = mesh.faces_on(lambda x, y, z: y > 100 - 1e-6)
+    loads = fcvm_tpu.Loads(
+        traction_faces=top, tractions=np.tile([0, applied, 0], (len(top), 1))
+    )
+    model = fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads, name="plate")
+    params = fcvm_tpu.ControlParams(
+        sig_yield=sy, nstep=12, iterat_max=20, error_max=5e-4,
+        et_e=0.0, target_lf=5.0, ultimate_strain=0.25,
+    )
+
+    def cont(h, i):
+        if len(h.lbd) > 45:
+            return "stop"
+        if len(h.lbd) > 6 and abs(h.lbd[-1] - h.lbd[-4]) < 2e-3:
+            return "stop"
+        return "add"
+
+    res = fcvm_tpu.solve_collapse(model, params, continuation=cont)
+    plateau = max(res.history.lbd)
+    bound = (50.0 - 10.0) / 50.0 * sy / applied  # 1.6
+    assert plateau > bound * 0.99  # limit load respects the lower bound
+    assert plateau < bound * 1.10  # and is within coarse-mesh distance of it
+    # the hot spot is at the hole edge on the net section (y ~ 0, x ~ R)
+    crip = res.history.crip[-1]
+    gx, gy = res.gp_coords.reshape(-1, 3)[crip][:2]
+    assert gx < 25.0 and gy < 25.0
+    # CSR accumulated at the critical point
+    assert res.history.csr[-1] > 0.0
+
+
+def test_gravity_self_weight_column():
+    """Column under self-weight: sigma_zz(z) = -rho g (H - z), tip
+    displacement = rho g H^2 / 2E (exact for uniaxial stress state)."""
+    rho, g, h = 7.85e-6, 9810.0, 100.0  # kg/mm^3, mm/s^2, mm
+    mesh = meshgen.box_tet10(1, 1, 8, 2.0, 2.0, h)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+            (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+        ]
+    )
+    loads = fcvm_tpu.Loads(gravity=[0.0, 0.0, -g])
+    model = fcvm_tpu.Model(
+        mesh, fcvm_tpu.Material(E, NU, density=rho), bcs, loads, name="col"
+    )
+    params = fcvm_tpu.ControlParams(
+        sig_yield=1e9, nstep=1, error_max=1e-10, gnl="GNLN"
+    )
+    res = fcvm_tpu.solve_collapse(model, params)
+    np.testing.assert_allclose(res.loadsums[2], -rho * g * (2.0 * 2.0 * h), rtol=1e-9)
+    top = mesh.select_nodes(lambda x, y, z: z > h - 1e-9)
+    uz = res.disp_total.reshape(-1, 3)[top, 2].mean()
+    np.testing.assert_allclose(uz, -rho * g * h**2 / (2 * E), rtol=2e-3)
