@@ -36,8 +36,13 @@ class FcvmConfig:
         default keeps the inner solve ~3 orders tighter.
       cg_atol: absolute CG tolerance floor.
       cg_maxiter: CG iteration cap. ``0`` = 10 * sqrt(ndof) heuristic.
-      precond: ``"block_jacobi"`` (3x3 nodal blocks) or ``"jacobi"`` or
-        ``"none"``.
+      precond: ``"two_level"`` (default; 3x3 nodal blocks + aggregation
+        coarse correction with rigid-body modes, see
+        :mod:`fcvm_tpu.ops.precond`) or ``"block_jacobi"``.
+      coarse_max_clusters: cap on the number of node clusters of the
+        two-level coarse space (coarse dim = 6 * clusters; the dense coarse
+        inverse is built once on device).
+      coarse_cluster_nodes: preferred nodes per cluster before the cap.
       n_eig_vectors: subspace size for the buckling eigensolver (>= 2
         requested modes, larger improves convergence).
       seed_elastic_factorization: retain elastic-stiffness preconditioner
@@ -51,9 +56,16 @@ class FcvmConfig:
     cg_rtol: float = 1.0e-6
     cg_atol: float = 0.0
     cg_maxiter: int = 0
-    precond: str = "block_jacobi"
+    precond: str = "two_level"
+    coarse_max_clusters: int = 1500
+    coarse_cluster_nodes: int = 32
     n_eig_vectors: int = 8
     seed_elastic_factorization: bool = True
+
+    def resolve_cluster_size(self, nn: int) -> int:
+        """Nodes per cluster for the two-level coarse space."""
+        cs = max(self.coarse_cluster_nodes, -(-nn // self.coarse_max_clusters))
+        return min(cs, max(nn // 2, 1))
 
     def resolve_dtype(self):
         if self.dtype is not None:

@@ -84,14 +84,22 @@ def buckling_from_arrays(
     esm = asm.elastic_stiffness_blocks(coords, elnodes, dmat)
     nsm = asm.geometric_stiffness_blocks(coords, elnodes, sig_gp)
     eldofs = asm.element_dof_ids(elnodes)
-    pinv = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
 
     kmv = _multi_matvec(esm, eldofs, fixmask, identity_on_fixed=True)
     gmv_raw = _multi_matvec(nsm, eldofs, fixmask, identity_on_fixed=False)
     minus_g = lambda u: -gmv_raw(u)
 
     kmv_single = asm.make_bc_matvec(esm, eldofs, fixmask)
-    precond = lambda r: asm.apply_block_precond(pinv, r)
+    from fcvm_tpu.ops.precond import apply_precond, build_two_level
+
+    if cfg.precond == "two_level":
+        pc = build_two_level(
+            esm, elnodes, coords, fixmask,
+            cluster_size=cfg.resolve_cluster_size(coords.shape[0]),
+        )
+    else:
+        pc = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
+    precond = lambda r: apply_precond(pc, r)
 
     @jax.jit
     def k_inverse(w):
@@ -167,8 +175,14 @@ def linear_buckling(model, params, k: int = 2):
     esm, pinv, glv, rhs, _, _, _ = sysm.assemble_elastic(
         coords, elnodes, dmat, loads, density, fixmask, u_fix
     )
+    if cfg.precond == "two_level":
+        pc = sysm.build_precond(
+            esm, elnodes, coords, fixmask, cfg.resolve_cluster_size(mesh.n_nodes)
+        )
+    else:
+        pc = pinv
     maxiter = cfg.resolve_cg_maxiter(mesh.ndof)
-    ue = sysm.solve_displacement(esm, elnodes, fixmask, pinv, rhs, cfg.cg_rtol, maxiter).x
+    ue = sysm.solve_displacement(esm, elnodes, fixmask, pc, rhs, cfg.cg_rtol, maxiter).x
 
     ne = mesh.n_elements
     zeros_gp6 = jnp.zeros((ne, 4, 6), dtype=dtype)

@@ -107,9 +107,9 @@ class AnalysisResults:
 class _LinearState:
     """Current linear operator: blocks + preconditioner (+ its CG budget)."""
 
-    def __init__(self, esm, pinv, rtol, maxiter):
+    def __init__(self, esm, pc, rtol, maxiter):
         self.esm = esm
-        self.pinv = pinv
+        self.pc = pc
         self.rtol = rtol
         self.maxiter = maxiter
 
@@ -180,25 +180,36 @@ def solve_collapse(
                 jnp.asarray(coords, dtype=dtype), elnodes, dmat, loads, density, fixmask, u_fix
             )
 
-    def solve(lin: _LinearState, b):
+    def solve(lin: _LinearState, b, x0=None):
         t0 = time.perf_counter()
-        res = sysm.solve_displacement(lin.esm, elnodes, fixmask, lin.pinv, b, lin.rtol, lin.maxiter)
+        res = sysm.solve_displacement(
+            lin.esm, elnodes, fixmask, lin.pc, b, lin.rtol, lin.maxiter, x0=x0
+        )
         x = res.x.block_until_ready()
         cg_stats["solves"] += 1
         cg_stats["iters"] += int(res.iters)
         cg_stats["time"] += time.perf_counter() - t0
         return x, float(res.relres)
 
+    def make_pc(esm, pinv, coords_dev):
+        if cfg.precond == "two_level":
+            with timers.phase("precond_build"):
+                return sysm.build_precond(
+                    esm, elnodes, coords_dev, fixmask,
+                    cfg.resolve_cluster_size(mesh.n_nodes),
+                )
+        return pinv
+
     coords = jnp.asarray(coords_np, dtype=dtype)
     esm, pinv, glv, rhs, gp_coords, volume, loadsums = assemble(coords_np)
-    lin = _LinearState(esm, pinv, rtol, maxiter)
+    lin = _LinearState(esm, make_pc(esm, pinv, coords), rtol, maxiter)
 
     qnorm = float(jnp.linalg.norm(glv))
     if qnorm < 1.0:
         qnorm = 1.0
 
     with timers.phase("elastic_solve"):
-        ue, _ = solve(lin, rhs)
+        ue, _ = solve(lin, rhs, x0=u_fix)
     disp_el = np.asarray(ue)
 
     dl0 = 1.0 / nstep
@@ -281,10 +292,10 @@ def solve_collapse(
         coords_np = coords_np + np.asarray(imper).reshape(-1, 3)
         coords = jnp.asarray(coords_np, dtype=dtype)
         esm, pinv, glv, rhs, gp_coords, volume, loadsums = assemble(coords_np)
-        lin = _LinearState(esm, pinv, rtol, maxiter)
+        lin = _LinearState(esm, make_pc(esm, pinv, coords), rtol, maxiter)
         qnorm = max(float(jnp.linalg.norm(glv)), 1.0)
         with timers.phase("elastic_solve"):
-            ue, _ = solve(lin, rhs)
+            ue, _ = solve(lin, rhs, x0=u_fix)
         disp_el = np.asarray(ue)
         dl = dl0
         du = dl * ue
@@ -371,13 +382,14 @@ def solve_collapse(
 
                     if large_disp and (iterat == 1 or bool(jnp.any(pgp))):
                         t0 = time.perf_counter()
-                        esm_t, pinv_t, glv, ue = sysm.tangent_refresh(
+                        esm_t, pc_t, glv, ue = sysm.tangent_refresh(
                             coords, elnodes, dmat, sig_old, pgp, disp_new, du,
                             loads, density, fixmask, u_fix, g, h, rtol, maxiter,
+                            pc=lin.pc,
                         )
                         ue.block_until_ready()
                         cg_stats["tangent_time"] += time.perf_counter() - t0
-                        lin = _LinearState(esm_t, pinv_t, rtol, maxiter)
+                        lin = _LinearState(esm_t, pc_t, rtol, maxiter)
                         a = ue * (jnp.linalg.norm(du) / jnp.linalg.norm(ue))
 
                     due, _ = solve(lin, relax * r)

@@ -18,6 +18,7 @@ import numpy as np
 from fcvm_tpu.ops import assembly as asm
 from fcvm_tpu.ops import material as mat
 from fcvm_tpu.ops import solver as slv
+from fcvm_tpu.ops.precond import apply_precond, build_two_level, refresh_blocks
 from fcvm_tpu.ops.stress_update import update_stress_load
 
 
@@ -90,12 +91,25 @@ def assemble_elastic(coords, elnodes, dmat, loads: LoadTables, density, fixmask,
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
-def solve_displacement(esm, elnodes, fixmask, pinv, b, rtol, maxiter: int):
-    """PCG solve of ``K_hat x = b`` (replaces ``factor(f)``)."""
+def solve_displacement(esm, elnodes, fixmask, pc, b, rtol, maxiter: int, x0=None):
+    """PCG solve of ``K_hat x = b`` (replaces ``factor(f)``).
+
+    ``pc`` is either (nn, 3, 3) block-Jacobi inverses or a
+    :class:`fcvm_tpu.ops.precond.TwoLevelPrecond`.  Seeding ``x0`` with the
+    prescribed-displacement vector makes the fixed dofs exact from iteration
+    zero (the preconditioner is identity there, so search directions never
+    touch them).
+    """
     eldofs = asm.element_dof_ids(elnodes)
     matvec = asm.make_bc_matvec(esm, eldofs, fixmask)
-    precond = lambda r: asm.apply_block_precond(pinv, r)
-    return slv.pcg(matvec, b, precond=precond, rtol=rtol, maxiter=maxiter)
+    precond = lambda r: apply_precond(pc, r)
+    return slv.pcg(matvec, b, precond=precond, x0=x0, rtol=rtol, maxiter=maxiter)
+
+
+@partial(jax.jit, static_argnames=("cluster_size",))
+def build_precond(esm, elnodes, coords, fixmask, cluster_size: int):
+    """Two-level preconditioner build (jitted; dense coarse inverse)."""
+    return build_two_level(esm, elnodes, coords, fixmask, cluster_size=cluster_size)
 
 
 @partial(jax.jit, static_argnames=("large_disp",))
@@ -142,27 +156,29 @@ def tangent_refresh(
     h,
     rtol,
     maxiter: int,
+    pc=None,
 ):
     """GNL tangent reassembly + follower loads + tangent predictor solve.
 
     The TPU equivalent of ``calcTSM`` + re-factorization + ``ue = K_t^-1 f``
     (``fcVM.py:1351-1396``).  Returns the new blocks, preconditioner, load
-    vector and tangent elastic solution.
+    vector and tangent elastic solution.  The two-level coarse correction is
+    kept from the elastic operator; only the nodal blocks are rebuilt.
     """
     coords_def = coords + disp_new.reshape(-1, 3)
     esm_t = asm.tangent_stiffness_blocks(
         coords_def, elnodes, dmat, sig_old, pgp, g, h
     )
-    pinv_t = asm.block_jacobi_inverse_blocks(esm_t, elnodes, fixmask)
+    pc_t = refresh_blocks(pc, esm_t, elnodes, fixmask)
     glv_t, _, _, _ = external_loads(
         coords, disp_new, elnodes, loads, density, follower=True
     )
     eldofs = asm.element_dof_ids(elnodes)
     rhs = asm.dirichlet_rhs(esm_t, eldofs, fixmask, u_fix, glv_t)
     matvec = asm.make_bc_matvec(esm_t, eldofs, fixmask)
-    precond = lambda r: asm.apply_block_precond(pinv_t, r)
+    precond = lambda r: apply_precond(pc_t, r)
     ue = slv.pcg(matvec, rhs, precond=precond, rtol=rtol, maxiter=maxiter).x
-    return esm_t, pinv_t, glv_t, ue
+    return esm_t, pc_t, glv_t, ue
 
 
 @jax.jit

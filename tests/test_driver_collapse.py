@@ -138,7 +138,7 @@ def test_displacement_control_reaction_elastic():
     lf = res.history.lbd[-1]
     assert abs(lf - 0.5) < 1e-12
     sigma = E * (lf * u_end) / L
-    np.testing.assert_allclose(res.history.load[-1], sigma * L * L, rtol=1e-7)
+    np.testing.assert_allclose(res.history.load[-1], sigma * L * L, rtol=5e-6)
     end = mesh.select_nodes(lambda x, y, z: x > L - 1e-9)
     ux = res.disp_total.reshape(-1, 3)[end, 0]
     np.testing.assert_allclose(ux, lf * u_end, rtol=1e-6)
