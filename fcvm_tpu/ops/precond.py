@@ -115,30 +115,46 @@ def build_two_level(
     The coarse operator uses the Dirichlet-masked blocks, so it approximates
     ``K_hat`` exactly on the coarse space; near-singular coarse dofs (fully
     constrained clusters) are regularized to identity.
+
+    The coarse Galerkin assembly runs on host in chunked numpy: its natural
+    intermediates have tiny trailing (6, 6) dims that tile catastrophically
+    in TPU HBM (a (ne, 10, 10, 6, 6) value pads ~28x).  It happens once per
+    analysis; the dense inverse goes back on device where the MXU makes it
+    cheap.
     """
-    nn = fixmask.shape[0] // 3
+    import numpy as np
+
+    nn_pad = fixmask.shape[0] // 3  # includes dof-alignment padding
     pinv = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
 
-    qmat = _rigid_modes(coords, cluster_size)
+    nn = coords.shape[0]
+    coords_p = jnp.pad(coords, ((0, nn_pad - nn), (0, 0)))
+    qmat = _rigid_modes(coords_p, cluster_size)
     ncl = qmat.shape[0] // cluster_size
-    m3 = fixmask.reshape(nn, 3)
-    qmat_bc = qmat.at[:nn].mul(m3[:, :, None])
+    m3 = jnp.pad(fixmask.reshape(nn_pad, 3), ((0, qmat.shape[0] - nn_pad), (0, 0)))
+    qmat_bc = qmat * m3[:, :, None]
 
     ne = esm.shape[0]
-    blocks = esm.reshape(ne, 10, 3, 10, 3)
-    qe = qmat_bc[elnodes]  # (ne, 10, 3, 6)
-    cid = jnp.asarray(jnp.arange(qmat.shape[0]) // cluster_size)[elnodes]  # (ne, 10)
-    # 6x6 coarse pair blocks: Q_i^T B_ij Q_j
-    pair = jnp.einsum("eiax,eiajb,ejby->eijxy", qe, blocks, qe)  # (ne,10,10,6,6)
-    keys = (cid[:, :, None] * ncl + cid[:, None, :]).reshape(-1)
-    kc = jax.ops.segment_sum(
-        pair.reshape(-1, 6, 6), keys, num_segments=ncl * ncl
-    ).reshape(ncl, ncl, 6, 6)
-    kc_dense = jnp.transpose(kc, (0, 2, 1, 3)).reshape(6 * ncl, 6 * ncl)
-    # regularize empty/constrained coarse dofs
-    diag = jnp.diag(kc_dense)
-    scale = jnp.max(diag)
-    fix_diag = jnp.where(diag <= 1e-12 * scale, scale, 0.0)
-    kc_dense = kc_dense + jnp.diag(fix_diag)
-    coarse_inv = jnp.linalg.inv(kc_dense)
+    esm_np = np.asarray(esm)
+    eln_np = np.asarray(elnodes)
+    q_np = np.asarray(qmat_bc)
+    cid_np = (np.arange(qmat.shape[0]) // cluster_size)[eln_np]  # (ne, 10)
+
+    kc = np.zeros((ncl, ncl, 6, 6), dtype=np.float64)
+    chunk = max(1, 2_000_000 // 100)  # ~2M pair-blocks per chunk
+    for s in range(0, ne, chunk):
+        e = slice(s, min(s + chunk, ne))
+        blocks = esm_np[e].reshape(-1, 10, 3, 10, 3).astype(np.float64)
+        qe = q_np[eln_np[e]]  # (c, 10, 3, 6)
+        pair = np.einsum("eiax,eiajb,ejby->eijxy", qe, blocks, qe)
+        ci = cid_np[e][:, :, None].repeat(10, axis=2)
+        cj = cid_np[e][:, None, :].repeat(10, axis=1)
+        np.add.at(kc, (ci.reshape(-1), cj.reshape(-1)), pair.reshape(-1, 6, 6))
+
+    kc_dense = np.transpose(kc, (0, 2, 1, 3)).reshape(6 * ncl, 6 * ncl)
+    diag = np.diagonal(kc_dense)
+    scale = diag.max()
+    reg = np.where(diag <= 1e-12 * scale, scale, 0.0)
+    kc_dense = kc_dense + np.diag(reg)
+    coarse_inv = jnp.linalg.inv(jnp.asarray(kc_dense, dtype=esm.dtype))
     return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, fixmask)

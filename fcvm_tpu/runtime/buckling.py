@@ -157,6 +157,7 @@ def linear_buckling(model, params, k: int = 2):
     """
     from fcvm_tpu.ops.stress_update import update_stress_load
     from fcvm_tpu.runtime import system as sysm
+    from fcvm_tpu.utils.indexing import pad_ndof, pad_vector
 
     cfg = get_config()
     dtype = cfg.resolve_dtype()
@@ -167,8 +168,9 @@ def linear_buckling(model, params, k: int = 2):
     nu = jnp.asarray(model.material.nu, dtype=dtype)
     dmat = mat.hooke_dmat(e, nu)
     fixmask_np, u_fix_np, _ = model.bcs.masks(mesh.ndof)
-    fixmask = jnp.asarray(fixmask_np, dtype=dtype)
-    u_fix = jnp.asarray(u_fix_np, dtype=dtype)
+    ndof_pad = pad_ndof(mesh.ndof)
+    fixmask = jnp.asarray(pad_vector(fixmask_np, ndof_pad), dtype=dtype)
+    u_fix = jnp.asarray(pad_vector(u_fix_np, ndof_pad), dtype=dtype)
     loads = sysm.LoadTables.from_spec(model.loads, dtype)
     density = jnp.asarray(model.material.density, dtype=dtype)
 
@@ -188,10 +190,11 @@ def linear_buckling(model, params, k: int = 2):
     zeros_gp6 = jnp.zeros((ne, 4, 6), dtype=dtype)
     huge_yield = jnp.full((ne, 4), 1.0e30, dtype=dtype)
     sig_el, _, _, _ = update_stress_load(
-        coords, elnodes, dmat, huge_yield, jnp.zeros(mesh.ndof, dtype=dtype),
+        coords, elnodes, dmat, huge_yield, jnp.zeros(ndof_pad, dtype=dtype),
         ue, zeros_gp6, e, nu, jnp.asarray(0.0, dtype=dtype), False,
     )
-    return buckling_from_arrays(
+    lam, vecs = buckling_from_arrays(
         coords, elnodes, dmat, sig_el, fixmask,
         k=k, rtol=min(cfg.cg_rtol, 1.0e-10), maxiter=maxiter,
     )
+    return lam, vecs[: mesh.ndof]

@@ -40,6 +40,7 @@ from fcvm_tpu.ops.stress_update import internal_force_from_stress, update_stress
 from fcvm_tpu.runtime import system as sysm
 from fcvm_tpu.runtime.buckling import buckling_from_arrays
 from fcvm_tpu.runtime.profiling import PhaseTimers
+from fcvm_tpu.utils.indexing import pad_ndof, pad_vector
 
 
 @dataclasses.dataclass
@@ -164,9 +165,12 @@ def solve_collapse(
 
     elnodes = jnp.asarray(mesh.elnodes, dtype=jnp.int32)
     fixmask_np, u_fix_np, movdof_np = model.bcs.masks(ndof)
-    fixmask = jnp.asarray(fixmask_np, dtype=dtype)
-    u_fix = jnp.asarray(u_fix_np, dtype=dtype)
-    movdof = jnp.asarray(movdof_np, dtype=dtype)
+    # All dof vectors are padded for TPU gather/scatter alignment
+    # (fcvm_tpu.utils.indexing); padding dofs are decoupled identity rows.
+    ndof_pad = pad_ndof(ndof)
+    fixmask = jnp.asarray(pad_vector(fixmask_np, ndof_pad), dtype=dtype)
+    u_fix = jnp.asarray(pad_vector(u_fix_np, ndof_pad), dtype=dtype)
+    movdof = jnp.asarray(pad_vector(movdof_np, ndof_pad), dtype=dtype)
     has_movdof = bool(movdof_np.max() > 0.5)
     loads = sysm.LoadTables.from_spec(model.loads, dtype)
 
@@ -228,13 +232,13 @@ def solve_collapse(
     sigmises = jnp.zeros((ne, 4), dtype=dtype)
     ecr = jnp.zeros((ne, 4), dtype=dtype)
     pgp = jnp.zeros((ne, 4), dtype=bool)
-    disp_new = jnp.zeros(ndof, dtype=dtype)
-    disp_old = jnp.zeros(ndof, dtype=dtype)
+    disp_new = jnp.zeros(ndof_pad, dtype=dtype)
+    disp_old = jnp.zeros(ndof_pad, dtype=dtype)
 
     eigenvalues = None
     eigenvectors = None
     history = History()
-    zero_disp = jnp.zeros(ndof, dtype=dtype)
+    zero_disp = jnp.zeros(ndof_pad, dtype=dtype)
 
     # Displacement control: replace the load norm with the elastic reaction
     # on the driven boundary (fcVM.py:1169-1177).
@@ -289,7 +293,7 @@ def solve_collapse(
             imper = params.max_imp / ma * np.sign(ua[np.argmax(np.abs(ua))]) * ua
         else:
             imper = params.max_imp / mb * np.sign(ub[np.argmax(np.abs(ub))]) * ub
-        coords_np = coords_np + np.asarray(imper).reshape(-1, 3)
+        coords_np = coords_np + np.asarray(imper)[:ndof].reshape(-1, 3)
         coords = jnp.asarray(coords_np, dtype=dtype)
         esm, pinv, glv, rhs, gp_coords, volume, loadsums = assemble(coords_np)
         lin = _LinearState(esm, make_pc(esm, pinv, coords), rtol, maxiter)
@@ -348,7 +352,7 @@ def solve_collapse(
             save_state(
                 checkpoint_path, step + 1,
                 dict(
-                    disp_new=np.asarray(disp_new), sig_new=np.asarray(sig_new),
+                    disp_new=np.asarray(disp_new)[:ndof], sig_new=np.asarray(sig_new),
                     sig_yield=np.asarray(sig_yield), peeq=np.asarray(peeq),
                     csr=np.asarray(csr), lbd=np.asarray(lbd),
                 ),
@@ -494,14 +498,21 @@ def _results(
     sig_new, peeq, csr, sigmises, triax, sig_yield, history, gp_coords,
     volume, loadsums, fail, coords_old, coords_np, timers, cg_stats,
 ) -> AnalysisResults:
-    disp_total = np.asarray(disp_new)
-    disp = disp_total if disp_output == "total" else disp_total - np.asarray(disp_old)
+    ndof = 3 * len(coords_np)  # strip the dof-alignment padding
+    disp_total = np.asarray(disp_new)[:ndof]
+    disp = (
+        disp_total
+        if disp_output == "total"
+        else disp_total - np.asarray(disp_old)[:ndof]
+    )
     return AnalysisResults(
         disp=disp,
         disp_total=disp_total,
-        disp_el=np.asarray(disp_el),
+        disp_el=np.asarray(disp_el)[:ndof],
         eigenvalues=None if eigenvalues is None else np.asarray(eigenvalues),
-        eigenvectors=None if eigenvectors is None else np.asarray(eigenvectors),
+        eigenvectors=(
+            None if eigenvectors is None else np.asarray(eigenvectors)[:ndof]
+        ),
         sig_gp=np.asarray(sig_new),
         peeq_gp=np.asarray(peeq),
         csr_gp=np.asarray(csr),

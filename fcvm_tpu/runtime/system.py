@@ -58,9 +58,13 @@ def external_loads(coords, disp, elnodes, loads: LoadTables, density, follower: 
     stretched surface and gravity integrates on deformed coordinates, while
     uniform face/edge loads stay on the original geometry — the exact GNL
     tangent behaviour of the reference (``fcVM.py:858-938, 962-1009``).
+
+    ``disp`` may be longer than ``3 * nn`` (dof-vector padding for TPU
+    gather/scatter alignment); the returned load vector matches its length.
     """
-    ndof = coords.shape[0] * 3
-    coords_def = coords + disp.reshape(-1, 3) if follower else coords
+    ndof = disp.shape[0]
+    nn = coords.shape[0]
+    coords_def = coords + disp.reshape(-1, 3)[:nn] if follower else coords
     glv, gp_coords, volume = asm.gravity_load_and_gp_coords(
         coords_def, elnodes, density, loads.gravity, ndof
     )
@@ -106,9 +110,9 @@ def solve_displacement(esm, elnodes, fixmask, pc, b, rtol, maxiter: int, x0=None
     return slv.pcg(matvec, b, precond=precond, x0=x0, rtol=rtol, maxiter=maxiter)
 
 
-@partial(jax.jit, static_argnames=("cluster_size",))
 def build_precond(esm, elnodes, coords, fixmask, cluster_size: int):
-    """Two-level preconditioner build (jitted; dense coarse inverse)."""
+    """Two-level preconditioner build (host Galerkin assembly + device
+    dense inverse; not jitted — see :func:`fcvm_tpu.ops.precond.build_two_level`)."""
     return build_two_level(esm, elnodes, coords, fixmask, cluster_size=cluster_size)
 
 
@@ -165,7 +169,7 @@ def tangent_refresh(
     vector and tangent elastic solution.  The two-level coarse correction is
     kept from the elastic operator; only the nodal blocks are rebuilt.
     """
-    coords_def = coords + disp_new.reshape(-1, 3)
+    coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
     esm_t = asm.tangent_stiffness_blocks(
         coords_def, elnodes, dmat, sig_old, pgp, g, h
     )
