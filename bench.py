@@ -70,6 +70,8 @@ def tpu_step_time(nx):
     from fcvm_tpu.ops.stress_update import update_stress_load
     from fcvm_tpu.runtime import system as sysm
 
+    from fcvm_tpu.utils.indexing import pad_ndof, pad_vector
+
     dtype = jnp.float32
     mesh, model = build(nx)
     log(f"TPU mesh: nn={mesh.n_nodes} ne={mesh.n_elements} ndof={mesh.ndof}")
@@ -79,8 +81,9 @@ def tpu_step_time(nx):
     nu = jnp.asarray(NU, dtype)
     dmat = mat.hooke_dmat(e, nu)
     fixmask_np, u_fix_np, _ = model.bcs.masks(mesh.ndof)
-    fixmask = jnp.asarray(fixmask_np, dtype)
-    u_fix = jnp.asarray(u_fix_np, dtype)
+    nd_pad = pad_ndof(mesh.ndof)
+    fixmask = jnp.asarray(pad_vector(fixmask_np, nd_pad), dtype)
+    u_fix = jnp.asarray(pad_vector(u_fix_np, nd_pad), dtype)
     lt = sysm.LoadTables.from_spec(model.loads, dtype)
 
     t0 = time.perf_counter()
@@ -96,11 +99,26 @@ def tpu_step_time(nx):
     log(f"assembly: cold {t_asm_cold:.2f}s steady {t_asm * 1e3:.2f}ms "
         f"({mesh.ndof / t_asm / 1e9:.2f} GDOF/s)")
 
-    maxiter = 3000
-    solve = lambda b: sysm.solve_displacement(esm, eln, fixmask, pinv, b, CG_RTOL, maxiter)
+    from fcvm_tpu.config import get_config
+    from fcvm_tpu.ops.precond import build_two_level
+
+    cfg = get_config()
+    if cfg.precond == "two_level":
+        t0 = time.perf_counter()
+        pc = jax.block_until_ready(
+            build_two_level(esm, eln, coords, fixmask,
+                            cluster_size=cfg.resolve_cluster_size(mesh.n_nodes))
+        )
+        log(f"two-level precond build: {time.perf_counter() - t0:.2f}s")
+    else:
+        pc = pinv
+
+    maxiter = 5000
+    solve = lambda b: sysm.solve_displacement(esm, eln, fixmask, pc, b, CG_RTOL, maxiter)
     res = jax.block_until_ready(solve(rhs))  # compile + elastic predictor
     ue = res.x
-    log(f"elastic solve: {int(res.iters)} CG iters, relres {float(res.relres):.2e}")
+    cg_iters = int(res.iters)
+    log(f"elastic solve: {cg_iters} CG iters, relres {float(res.relres):.2e}")
 
     ne = mesh.n_elements
     sig_yield = jnp.full((ne, 4), SY, dtype)
@@ -112,7 +130,7 @@ def tpu_step_time(nx):
     lbd0 = 2.45
     disp = lbd0 * ue
     sig0, _, _, _ = update_stress_load(
-        coords, eln, dmat, 1e9 * sig_yield, jnp.zeros(mesh.ndof, dtype),
+        coords, eln, dmat, 1e9 * sig_yield, jnp.zeros(nd_pad, dtype),
         disp, zeros6, e, nu, et, False,
     )
     dl = 0.05
@@ -129,13 +147,13 @@ def tpu_step_time(nx):
             due = solve(r).x
             du = du + 0.1 * due
         jax.block_until_ready((sig_new, du))
-        return time.perf_counter() - t_start, int(res.iters)
+        return time.perf_counter() - t_start
 
     one_step()  # warm every kernel
-    times = [one_step()[0] for _ in range(3)]
+    times = [one_step() for _ in range(3)]
     t_step = min(times)
     log(f"TPU per-step: {t_step * 1e3:.1f} ms (3 runs: {[f'{t*1e3:.0f}' for t in times]})")
-    return t_step, mesh.ndof, t_asm, int(res.iters)
+    return t_step, mesh.ndof, t_asm, cg_iters
 
 
 def cpu_step_time(nx):

@@ -120,6 +120,7 @@ def solve_collapse(
     params: ControlParams,
     continuation: Optional[Callable] = None,
     checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
     progress: Optional[Callable[[str], None]] = None,
 ) -> AnalysisResults:
     """Run a full collapse analysis (the Start-button pipeline, GUI-free).
@@ -317,6 +318,34 @@ def solve_collapse(
     target_lf = params.target_lf
     iterat_tot = 0
 
+    if resume_from is not None:
+        # Restore the converged state of an earlier run's checkpoint
+        # (new capability vs the reference, which has only the in-session
+        # GUI continuation loop, fcVM.py:1659-1686).
+        from fcvm_tpu.runtime.checkpoint import latest_step
+
+        ck_step, st = latest_step(resume_from)
+        if ck_step is not None:
+            log(f"resuming from checkpoint step {ck_step}")
+            disp_new = jnp.asarray(pad_vector(st["disp_new"], ndof_pad), dtype=dtype)
+            disp_old = jnp.asarray(pad_vector(st["disp_old"], ndof_pad), dtype=dtype)
+            du = jnp.asarray(pad_vector(st["du"], ndof_pad), dtype=dtype)
+            sig_new = jnp.asarray(st["sig_new"], dtype=dtype)
+            sig_test = jnp.asarray(st["sig_test"], dtype=dtype)
+            sig_yield = jnp.asarray(st["sig_yield"], dtype=dtype)
+            peeq = jnp.asarray(st["peeq"], dtype=dtype)
+            csr = jnp.asarray(st["csr"], dtype=dtype)
+            pgp = jnp.asarray(st["pgp"])
+            lbd = list(st["lbd"])
+            step = len(lbd) - 2
+            dl = float(st["dl"]) if "dl" in st else (lbd[-1] - lbd[-2])
+            history = History(**{
+                k: list(st[f"hist_{k}"])
+                for k in ("un", "load", "crip", "peeq", "pressure", "svm",
+                          "triax", "ecr", "csr", "peeqmax", "lbd")
+            })
+            history.crip = [int(v) for v in history.crip]
+
     def do_residual(du_, lbd1):
         return sysm.residual(
             coords, elnodes, dmat, sig_yield, disp_new, du_, sig_old,
@@ -349,14 +378,23 @@ def solve_collapse(
         if checkpoint_path:
             from fcvm_tpu.runtime.checkpoint import save_state
 
-            save_state(
-                checkpoint_path, step + 1,
-                dict(
-                    disp_new=np.asarray(disp_new)[:ndof], sig_new=np.asarray(sig_new),
-                    sig_yield=np.asarray(sig_yield), peeq=np.asarray(peeq),
-                    csr=np.asarray(csr), lbd=np.asarray(lbd),
-                ),
+            state = dict(
+                disp_new=np.asarray(disp_new)[:ndof],
+                disp_old=np.asarray(disp_old)[:ndof],
+                du=np.asarray(du)[:ndof],
+                sig_new=np.asarray(sig_new),
+                sig_test=np.asarray(sig_test),
+                sig_yield=np.asarray(sig_yield),
+                peeq=np.asarray(peeq),
+                csr=np.asarray(csr),
+                pgp=np.asarray(pgp),
+                lbd=np.asarray(lbd),
+                dl=np.asarray(dl),
             )
+            for k in ("un", "load", "crip", "peeq", "pressure", "svm",
+                      "triax", "ecr", "csr", "peeqmax", "lbd"):
+                state[f"hist_{k}"] = np.asarray(getattr(history, k))
+            save_state(checkpoint_path, step + 1, state)
 
     with timers.phase("stepping"):
         while cnt:
