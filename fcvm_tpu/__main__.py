@@ -75,6 +75,14 @@ def main(argv=None):
         print(f"final load level: {h.lbd[-1]:.5f}  max |u|: {max(h.un):.5e}  "
               f"PEEQ max: {h.peeqmax[-1]:.4e}  CSR max: {h.csr[-1]:.4e}")
         print(f"wrote {args.outdir}/{model.name}.out .vtk .png")
+        from fcvm_tpu.models.casefile import parse_sum_groups
+
+        edge_groups, face_groups = parse_sum_groups(args.case, model.mesh)
+        if edge_groups or face_groups:
+            fcvm_tpu.run_sum(
+                model, res, params, edge_groups, face_groups, outdir=args.outdir
+            )
+            print(f"wrote {args.outdir}/{model.name}.avr")
         return 0
 
     if args.cmd == "bench":

@@ -130,6 +130,25 @@ def load_case(path) -> tuple[Model, ControlParams]:
     return Model(mesh, material, bcs, loads, name=name), params
 
 
+def parse_sum_groups(path, mesh: Mesh):
+    """``[[sum.edge]] / [[sum.face]]`` selectors -> named element groups for
+    the Sum-button equivalent (:func:`fcvm_tpu.api.run_sum`)."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        case = tomllib.load(f)
+    spec = case.get("sum", {})
+    edge_groups = {}
+    face_groups = {}
+    for i, entry in enumerate(spec.get("edge", [])):
+        name = entry.get("name", f"Edge{i + 1}")
+        edge_groups[name] = mesh.edges_on(_predicate(entry["where"]))
+    for i, entry in enumerate(spec.get("face", [])):
+        name = entry.get("name", f"Face{i + 1}")
+        face_groups[name] = mesh.faces_on(_predicate(entry["where"]))
+    return edge_groups, face_groups
+
+
 def _build_mesh(spec: dict, base: Path) -> Mesh:
     from fcvm_tpu.models import meshgen, meshio_io
 

@@ -116,3 +116,47 @@ traction = [-1000.0, 0.0, 0.0]
     assert main(["buckle", str(p)]) == 0
     out = capsys.readouterr().out
     assert "buckling load factors" in out
+
+
+def test_cli_run_with_sum_groups(tmp_path):
+    from fcvm_tpu.__main__ import main
+
+    p = tmp_path / "case.toml"
+    p.write_text(
+        CASE
+        + """
+[[sum.face]]
+name = "loaded_face"
+where = "x > 10.0 - 1e-9"
+
+[[sum.edge]]
+name = "bottom_edge"
+where = "(y < 1e-9) & (z < 1e-9)"
+"""
+    )
+    outdir = tmp_path / "out"
+    assert main(["run", str(p), "--outdir", str(outdir)]) == 0
+    avr = (outdir / "cli_box.avr").read_text()
+    assert "loaded_face" in avr and "bottom_edge" in avr
+    # the loaded face area is 100; check the printed row
+    import re
+
+    row = [ln for ln in avr.splitlines() if "loaded_face" in ln][0]
+    area = float(row.split()[0])
+    assert abs(area - 100.0) < 1e-6
+
+
+def test_boundary_edges_extraction():
+    from fcvm_tpu.models import meshgen
+
+    mesh = meshgen.box_tet10(1, 1, 1, 2.0, 2.0, 2.0)
+    edges = mesh.edges_on(lambda x, y, z: (y < 1e-9) & (z < 1e-9))
+    # the x-axis edge of the box: 1 element edge (2 halves? nx=1 -> 1 edge...)
+    assert len(edges) >= 1
+    import numpy as np
+
+    lengths = []
+    for e in edges:
+        c = mesh.coords[e]
+        lengths.append(np.linalg.norm(c[1] - c[0]))
+    assert abs(sum(lengths) - 2.0) < 1e-9
