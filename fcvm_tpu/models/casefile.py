@@ -43,7 +43,14 @@ from pathlib import Path
 import numpy as np
 
 from fcvm_tpu.models.inp import ControlParams, read_inp
-from fcvm_tpu.models.spec import BoundaryConditions, Loads, Material, Mesh, Model
+from fcvm_tpu.models.spec import (
+    BoundaryConditions,
+    Loads,
+    Material,
+    Mesh,
+    Model,
+    distribute_total_force,
+)
 
 
 def _predicate(expr: str):
@@ -100,14 +107,38 @@ def load_case(path) -> tuple[Model, ControlParams]:
         faces = mesh.faces_on(_predicate(entry["where"]))
         t_faces.append(faces)
         t_vals.append(np.tile(np.asarray(entry["traction"], float), (len(faces), 1)))
+    e_edges, e_vals = [], []
     vert_ids, vert_forces = [], []
     for entry in loadspec.get("vertex", []):
         nodes = mesh.select_nodes(_predicate(entry["where"]))
         force = np.asarray(entry["force"], float)
-        n = max(len(nodes), 1)
         for nd in nodes:
             vert_ids.append(nd)
             vert_forces.append(force / len(nodes))
+    for entry in loadspec.get("force", []):
+        # total force distributed by area/length/count, the reference's
+        # Fem::ConstraintForce semantics (fcVM.py:289-326)
+        pred = _predicate(entry["where"])
+        on = entry.get("on", "face")
+        if on == "face":
+            kw = distribute_total_force(mesh, entry["total"], faces=mesh.faces_on(pred))
+            if kw:
+                t_faces.append(kw["traction_faces"])
+                t_vals.append(kw["tractions"])
+        elif on == "edge":
+            kw = distribute_total_force(mesh, entry["total"], edges=mesh.edges_on(pred))
+            if kw:
+                e_edges.append(kw["edges"])
+                e_vals.append(kw["edge_tractions"])
+        elif on == "vertex":
+            kw = distribute_total_force(
+                mesh, entry["total"], vertices=mesh.select_nodes(pred)
+            )
+            if kw:
+                vert_ids.extend(kw["vertices"].tolist())
+                vert_forces.extend(kw["vertex_forces"].tolist())
+        else:
+            raise ValueError(f"unknown force target: {on}")
 
     gravity = np.asarray(
         case.get("loads", {}).get("gravity", loadspec.get("gravity", [0.0, 0.0, 0.0])),
@@ -122,6 +153,8 @@ def load_case(path) -> tuple[Model, ControlParams]:
         pressures=np.concatenate(p_vals) if p_vals else np.zeros(0),
         traction_faces=np.concatenate(t_faces) if t_faces else np.zeros((0, 6), np.int32),
         tractions=np.concatenate(t_vals) if t_vals else np.zeros((0, 3)),
+        edges=np.concatenate(e_edges) if e_edges else np.zeros((0, 3), np.int32),
+        edge_tractions=np.concatenate(e_vals) if e_vals else np.zeros((0, 3)),
         vertices=np.asarray(vert_ids, np.int32),
         vertex_forces=np.asarray(vert_forces, float).reshape(-1, 3),
         gravity=gravity,

@@ -236,6 +236,54 @@ class Loads:
         self.gravity = np.asarray(self.gravity, dtype=np.float64).reshape(3)
 
 
+def distribute_total_force(mesh: Mesh, force, faces=None, edges=None, vertices=None):
+    """Convert a total force vector into per-unit load-table entries.
+
+    The reference's ``Fem::ConstraintForce`` distributes a total force over
+    the selected boundary by face area / edge length / vertex count
+    (``fcVM.py:289-326``).  Returns a :class:`Loads`-kwargs dict with the
+    matching per-unit tractions.
+    """
+    force = np.asarray(force, dtype=np.float64).reshape(3)
+    out = {}
+    if faces is not None and len(faces):
+        faces = np.asarray(faces, dtype=np.int32).reshape(-1, 6)
+        area = _face_area(mesh.coords, faces)
+        out["traction_faces"] = faces
+        out["tractions"] = np.tile(force / area, (len(faces), 1))
+    if edges is not None and len(edges):
+        edges = np.asarray(edges, dtype=np.int32).reshape(-1, 3)
+        length = _edge_length(mesh.coords, edges)
+        out["edges"] = edges
+        out["edge_tractions"] = np.tile(force / length, (len(edges), 1))
+    if vertices is not None and len(vertices):
+        vertices = np.asarray(vertices, dtype=np.int32).reshape(-1)
+        out["vertices"] = vertices
+        out["vertex_forces"] = np.tile(force / len(vertices), (len(vertices), 1))
+    return out
+
+
+def _face_area(coords, faces):
+    """Total area of tri6 faces by 6-point Gauss integration."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcvm_tpu.ops import elements as el
+
+    xsj, _ = jax.vmap(el.tri6_surface_frame)(jnp.asarray(coords)[faces])
+    return float(jnp.sum(jnp.abs(xsj) * jnp.asarray(el.W6)[None, :]))
+
+
+def _edge_length(coords, edges):
+    import jax
+    import jax.numpy as jnp
+
+    from fcvm_tpu.ops import elements as el
+
+    xsj = jax.vmap(el.line3_jacobian)(jnp.asarray(coords)[edges])
+    return float(jnp.sum(jnp.abs(xsj) * jnp.asarray(el.W2)[None, :]))
+
+
 @dataclasses.dataclass
 class Model:
     """A complete analysis model: mesh + material + constraints + loads."""

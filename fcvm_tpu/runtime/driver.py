@@ -106,13 +106,28 @@ class AnalysisResults:
 
 
 class _LinearState:
-    """Current linear operator: blocks + preconditioner (+ its CG budget)."""
+    """Current linear operator: blocks + preconditioner (+ its CG budget).
+
+    With ``config.solver == "scipy"`` a host LU factorization is built
+    lazily per operator state — the debugging tier mirroring the reference's
+    factor-once-per-tangent Cholesky (``fcVM.py:1120-1135``)."""
 
     def __init__(self, esm, pc, rtol, maxiter):
         self.esm = esm
         self.pc = pc
         self.rtol = rtol
         self.maxiter = maxiter
+        self._direct = None
+
+    def direct(self, elnodes, fixmask):
+        if self._direct is None:
+            from fcvm_tpu.ops.assembly import element_dof_ids
+            from fcvm_tpu.ops.solver import ScipyDirectSolver
+
+            self._direct = ScipyDirectSolver(
+                self.esm, element_dof_ids(elnodes), fixmask, fixmask.shape[0]
+            )
+        return self._direct
 
 
 def solve_collapse(
@@ -187,6 +202,11 @@ def solve_collapse(
 
     def solve(lin: _LinearState, b, x0=None):
         t0 = time.perf_counter()
+        if cfg.solver == "scipy":
+            x = jnp.asarray(np.asarray(lin.direct(elnodes, fixmask).solve(b)), dtype=dtype)
+            cg_stats["solves"] += 1
+            cg_stats["time"] += time.perf_counter() - t0
+            return x, 0.0
         res = sysm.solve_displacement(
             lin.esm, elnodes, fixmask, lin.pc, b, lin.rtol, lin.maxiter, x0=x0
         )
@@ -432,6 +452,16 @@ def solve_collapse(
                         ue.block_until_ready()
                         cg_stats["tangent_time"] += time.perf_counter() - t0
                         lin = _LinearState(esm_t, pc_t, rtol, maxiter)
+                        if cfg.solver == "scipy":
+                            from fcvm_tpu.ops.assembly import (
+                                dirichlet_rhs,
+                                element_dof_ids,
+                            )
+
+                            rhs_t = dirichlet_rhs(
+                                esm_t, element_dof_ids(elnodes), fixmask, u_fix, glv
+                            )
+                            ue, _ = solve(lin, rhs_t, x0=u_fix)
                         a = ue * (jnp.linalg.norm(du) / jnp.linalg.norm(ue))
 
                     due, _ = solve(lin, relax * r)

@@ -160,3 +160,82 @@ def test_boundary_edges_extraction():
         c = mesh.coords[e]
         lengths.append(np.linalg.norm(c[1] - c[0]))
     assert abs(sum(lengths) - 2.0) < 1e-9
+
+
+def test_total_force_distribution(tmp_path):
+    """[[load.force]]: total force divided by area/length/count
+    (fcVM.py:289-326 semantics)."""
+    from fcvm_tpu.models.casefile import load_case
+    import numpy as np
+
+    p = tmp_path / "case.toml"
+    p.write_text(
+        """
+[mesh.generator]
+kind = "box"
+nx = 2
+lx = 10.0
+[[bc]]
+where = "x < 1e-9"
+ux = 0.0
+uy = 0.0
+uz = 0.0
+[[load.force]]
+where = "x > 10.0 - 1e-9"
+on = "face"
+total = [500.0, 0.0, 0.0]
+[[load.force]]
+where = "(x > 10.0 - 1e-9) & (y < 1e-9) & (z < 1e-9)"
+on = "vertex"
+total = [0.0, 7.0, 0.0]
+"""
+    )
+    model, params = load_case(p)
+    # face tractions integrate back to the total force
+    import jax.numpy as jnp
+    from fcvm_tpu.ops import assembly as asm
+    from fcvm_tpu.runtime import system as sysm
+    from fcvm_tpu.utils.indexing import pad_ndof
+
+    lt = sysm.LoadTables.from_spec(model.loads, jnp.float64)
+    nd = pad_ndof(model.ndof)
+    glv, _, _, sums = sysm.external_loads(
+        jnp.asarray(model.mesh.coords), jnp.zeros(nd), jnp.asarray(model.mesh.elnodes),
+        lt, jnp.float64(0.0), follower=False,
+    )
+    np.testing.assert_allclose(np.asarray(sums), [500.0, 7.0, 0.0], atol=1e-9)
+
+
+def test_scipy_solver_tier_matches_cg():
+    import fcvm_tpu
+    from fcvm_tpu.config import FcvmConfig, get_config, set_config
+    from fcvm_tpu.models import meshgen
+    import numpy as np
+
+    mesh = meshgen.box_tet10(2, 2, 2, 10.0, 10.0, 10.0)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [(mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, 0.0, 0.0))]
+    )
+    faces = mesh.faces_on(lambda x, y, z: x > 10.0 - 1e-9)
+    loads = fcvm_tpu.Loads(
+        traction_faces=faces, tractions=np.tile([50.0, 10.0, 0], (len(faces), 1))
+    )
+    model = fcvm_tpu.Model(mesh, fcvm_tpu.Material(210000.0, 0.3), bcs, loads)
+    # intercept a common target so both solver tiers end at the same LF
+    # (adaptive step sizes legitimately differ with solver accuracy)
+    params = fcvm_tpu.ControlParams(sig_yield=100.0, nstep=4, error_max=1e-9,
+                                    et_e=0.1, target_lf=0.5)
+    old = get_config()
+    try:
+        set_config(FcvmConfig(solver="cg", cg_rtol=1e-12))
+        res_cg = fcvm_tpu.solve_collapse(model, params)
+        set_config(FcvmConfig(solver="scipy"))
+        res_lu = fcvm_tpu.solve_collapse(model, params)
+    finally:
+        set_config(old)
+    assert abs(res_lu.history.lbd[-1] - 0.5) < 1e-12
+    assert abs(res_cg.history.lbd[-1] - 0.5) < 1e-12
+    np.testing.assert_allclose(
+        res_lu.disp_total, res_cg.disp_total, rtol=1e-4, atol=1e-10
+    )
+    np.testing.assert_allclose(res_lu.peeq_gp, res_cg.peeq_gp, rtol=1e-3, atol=1e-12)
