@@ -1,0 +1,101 @@
+"""Pallas TPU kernels for the hot operator path.
+
+The matrix-free ``K @ v`` decomposes into gather -> per-element 30x30 block
+matvec -> scatter-add.  With dof-vector padding (``fcvm_tpu.utils.indexing``)
+the gather/scatter already run at memory bandwidth in XLA; the remaining
+off-bandwidth piece is the batched block matvec, whose natural
+``(ne, 30, 30)`` layout wastes ~4.3x of every vector register on lane
+padding (30 < 128 lanes).
+
+:func:`block_matvec` stores the blocks element-major — ``(30, 30, ne)`` with
+elements on the 128-wide lane axis — and performs the contraction as 30x30
+vectorized FMAs over element lanes inside VMEM tiles.  This is
+bandwidth-optimal: each esm value is read exactly once per application.
+
+All kernels run in interpreter mode on CPU for testing (``interpret=True``
+when not on TPU).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ELEM_TILE = 2048  # elements per grid step; VMEM: 30*30*TILE*4 = 7.4 MB
+
+
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def _block_matvec_kernel(esm_ref, ue_ref, out_ref):
+    """out[i, :] = sum_j esm[i, j, :] * ue[j, :] over the element lane axis."""
+    ue = ue_ref[:]  # (30, TILE)
+    acc = jnp.zeros_like(out_ref)
+    for j in range(30):
+        acc = acc + esm_ref[:, j, :] * ue[j, :][None, :]
+    out_ref[:] = acc
+
+
+def block_matvec(esm_t: jnp.ndarray, ue_t: jnp.ndarray, interpret=None) -> jnp.ndarray:
+    """Batched 30x30 block matvec in element-major layout.
+
+    Args:
+      esm_t: (30, 30, ne_pad) element stiffness blocks, ne_pad % ELEM_TILE == 0.
+      ue_t: (30, ne_pad) gathered element dof values.
+
+    Returns:
+      (30, ne_pad) element force contributions.
+    """
+    ne = esm_t.shape[2]
+    assert ne % ELEM_TILE == 0, "pad elements to ELEM_TILE"
+    if interpret is None:
+        interpret = not _on_tpu()
+    grid = (ne // ELEM_TILE,)
+    return pl.pallas_call(
+        _block_matvec_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((30, 30, ELEM_TILE), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((30, ELEM_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((30, ELEM_TILE), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((30, ne), ue_t.dtype),
+        interpret=interpret,
+    )(esm_t, ue_t)
+
+
+def pad_elements_to_tile(ne: int) -> int:
+    return -(-ne // ELEM_TILE) * ELEM_TILE
+
+
+def make_pallas_matvec(esm: jnp.ndarray, eldofs: jnp.ndarray, fixmask: jnp.ndarray):
+    """BC-eliminated ``K_hat @ v`` with the Pallas block matvec inside.
+
+    Precomputes the element-major transposed blocks (padded with zero
+    elements to a tile multiple) and slot-major dof index tables so the
+    gather and scatter hit the aligned fast paths.
+    """
+    ne = esm.shape[0]
+    ne_pad = pad_elements_to_tile(ne)
+    ndof = fixmask.shape[0]
+    # (30, 30, ne_pad): zero-padding elements contribute nothing
+    esm_t = jnp.transpose(esm, (1, 2, 0))
+    esm_t = jnp.pad(esm_t, ((0, 0), (0, 0), (0, ne_pad - ne)))
+    # slot-major indices (30, ne_pad); padding elements point at dof 0 but
+    # multiply zero blocks, so their scatter contributions are zero
+    eldofs_t = jnp.pad(eldofs.T, ((0, 0), (0, ne_pad - ne)))
+    flat_scatter = eldofs_t.reshape(-1)
+
+    def khat(u):
+        up = fixmask * u
+        ue_t = up[eldofs_t]  # (30, ne_pad) aligned gather
+        fe_t = block_matvec(esm_t, ue_t)
+        y = jax.ops.segment_sum(fe_t.reshape(-1), flat_scatter, num_segments=ndof)
+        return fixmask * y + (1.0 - fixmask) * u
+
+    return khat
