@@ -87,8 +87,14 @@ def _rigid_modes(coords, cluster_size):
     z = jnp.zeros(nn_pad, dtype=coords.dtype)
     eye = jnp.eye(3, dtype=coords.dtype)
     trans = jnp.broadcast_to(eye, (nn_pad, 3, 3))
-    # rotation modes: u = omega x d -> u_a = eps_abc omega_b d_c
-    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+    # rotation modes: u = omega x d -> u_a = eps_abc omega_b d_c, normalized
+    # by the cluster rms offset so all six modes have comparable magnitude
+    # (keeps cond(K_c) low enough for an f32 apply of the coarse inverse).
+    d_rms = jnp.sqrt(
+        (d.reshape(ncl, cluster_size, 3) ** 2).mean(axis=(1, 2))
+    )  # (ncl,)
+    scale = 1.0 / jnp.maximum(jnp.repeat(d_rms, cluster_size), 1e-30)
+    dx, dy, dz = d[:, 0] * scale, d[:, 1] * scale, d[:, 2] * scale
     rot = jnp.stack(
         [
             jnp.stack([z, dz, -dy], axis=-1),
@@ -146,15 +152,31 @@ def build_two_level(
         e = slice(s, min(s + chunk, ne))
         blocks = esm_np[e].reshape(-1, 10, 3, 10, 3).astype(np.float64)
         qe = q_np[eln_np[e]]  # (c, 10, 3, 6)
-        pair = np.einsum("eiax,eiajb,ejby->eijxy", qe, blocks, qe)
+        pair = np.einsum("eiax,eiajb,ejby->eijxy", qe, blocks, qe, optimize=True)
         ci = cid_np[e][:, :, None].repeat(10, axis=2)
         cj = cid_np[e][:, None, :].repeat(10, axis=1)
         np.add.at(kc, (ci.reshape(-1), cj.reshape(-1)), pair.reshape(-1, 6, 6))
 
     kc_dense = np.transpose(kc, (0, 2, 1, 3)).reshape(6 * ncl, 6 * ncl)
-    diag = np.diagonal(kc_dense)
+    diag = np.diagonal(kc_dense).copy()
     scale = diag.max()
-    reg = np.where(diag <= 1e-12 * scale, scale, 0.0)
-    kc_dense = kc_dense + np.diag(reg)
-    coarse_inv = jnp.linalg.inv(jnp.asarray(kc_dense, dtype=esm.dtype))
+    diag[diag <= 1e-12 * scale] = scale
+    # Symmetric Jacobi scaling before the f64 host inversion keeps the
+    # explicit inverse balanced, bounding the f32 cancellation error of the
+    # per-iteration coarse matvec (a raw f32/TPU LU inversion is unusable:
+    # the coarse matrix inherits the stiffness conditioning).
+    dscale = 1.0 / np.sqrt(diag)
+    kc_scaled = kc_dense * dscale[:, None] * dscale[None, :]
+    np.fill_diagonal(kc_scaled, np.maximum(np.diagonal(kc_scaled), 1.0))
+    # Ridge on the scaled matrix: index-contiguous clusters can be nearly
+    # collinear (band-ordered meshes), leaving a near-null axis-rotation
+    # mode whose exploding inverse entries an f32 apply cannot cancel.
+    # The ridge bounds ||inv|| by 1/ridge while perturbing healthy modes
+    # (diag ~ 1) by O(ridge).
+    ridge = 1.0e-4
+    kc_scaled += ridge * np.eye(len(kc_scaled))
+    inv_scaled = np.linalg.inv(kc_scaled)
+    coarse_inv = jnp.asarray(
+        inv_scaled * dscale[:, None] * dscale[None, :], dtype=esm.dtype
+    )
     return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, fixmask)

@@ -117,9 +117,11 @@ def update_stress_load(
         coords_el, u_el, du_el, sig_old, sig_yield
     )
 
-    eldofs = element_dof_ids(elnodes)
-    qin = jax.ops.segment_sum(elv.reshape(-1), eldofs.reshape(-1), num_segments=ndof)
-    return sig_new, sig_test, pgp, qin
+    # node-row scatter: 3x fewer indices than per-dof (see make_matvec)
+    qin3 = jax.ops.segment_sum(
+        elv.reshape(-1, 3), elnodes.reshape(-1), num_segments=ndof // 3
+    )
+    return sig_new, sig_test, pgp, qin3.reshape(-1)
 
 
 @partial(jax.jit, static_argnames=("large_disp",))
@@ -145,5 +147,7 @@ def internal_force_from_stress(
     w = jnp.asarray(el.W10, dtype=coords.dtype)
     scale = w[None, :] * jnp.abs(det)  # (ne, 4)
     elv = jnp.einsum("egkn,egk,eg->en", bmat, sig_gp, scale)
-    eldofs = element_dof_ids(elnodes)
-    return jax.ops.segment_sum(elv.reshape(-1), eldofs.reshape(-1), num_segments=ndof)
+    qin3 = jax.ops.segment_sum(
+        elv.reshape(-1, 3), elnodes.reshape(-1), num_segments=ndof // 3
+    )
+    return qin3.reshape(-1)
