@@ -8,13 +8,16 @@ preconditioned-CG solves, the reference's per-step hot path,
 ``fcVM.py:1304-1557``) on a ~500k-DOF tet10 mesh driven into the plastic
 regime, on one TPU chip in f32.
 
-vs_baseline: speedup against a reference-style CPU step measured on the same
-machine — scipy SuperLU triangular solves (the stand-in for the reference's
-CHOLMOD backend, ``fcVM.py:66-71``) plus vectorized numpy stress updates,
-with the same per-step solve/update counts, on a smaller mesh both paths can
-run (3D LU fill-in makes 500k DOF infeasible for the direct baseline —
-which is itself the point of the matrix-free design), scaled by nothing:
-the ratio is measured at the matched size.
+vs_baseline: speedup against a reference-style CPU *collapse* step measured
+on the same machine — SuperLU factorization + triangular solves (the
+stand-in for the reference's CHOLMOD backend, ``fcVM.py:66-71``) plus
+vectorized numpy stress updates.  The factorization is part of the step:
+under geometric nonlinearity the reference re-factorizes whenever any Gauss
+point is plastic (``fcVM.py:1351-1396``), i.e. on every step of the collapse
+regime.  The modified-NR (geometric-linear) ratio without the factor is also
+logged to stderr.  Measured at a matched size both paths can run (3D LU
+fill-in makes the 500k-DOF direct baseline infeasible — which is itself the
+point of the matrix-free design).
 
 Extra diagnostics go to stderr; stdout carries only the JSON line.
 """
@@ -36,8 +39,8 @@ LBOX = 10.0
 SIGMA = 100.0
 ET_E = 0.1
 
-NX_TPU = int(os.environ.get("FCVM_BENCH_NX", "22"))  # ~500k dof
-NX_CPU = int(os.environ.get("FCVM_BENCH_NX_CPU", "8"))  # direct-solver-feasible
+NX_TPU = int(os.environ.get("FCVM_BENCH_NX", "27"))  # 3*(2*27+1)^3 ~ 499k dof
+NX_CPU = int(os.environ.get("FCVM_BENCH_NX_CPU", "10"))  # direct-solver-feasible
 N_SOLVES_PER_STEP = 3  # typical NR iterations per plastic load step
 CG_RTOL = 1e-5
 
@@ -97,7 +100,7 @@ def tpu_step_time(nx):
     )
     t_asm = time.perf_counter() - t0
     log(f"assembly: cold {t_asm_cold:.2f}s steady {t_asm * 1e3:.2f}ms "
-        f"({mesh.ndof / t_asm / 1e9:.2f} GDOF/s)")
+        f"({mesh.ndof / t_asm / 1e6:.1f} MDOF/s)")
 
     from fcvm_tpu.config import get_config
     from fcvm_tpu.ops.precond import build_two_level
@@ -221,13 +224,18 @@ def cpu_step_time(nx):
     for _ in range(N_SOLVES_PER_STEP):
         x = lu.solve(b)
         q = numpy_stress_update(x * 1e-6)
-    t_step = time.perf_counter() - t0
-    log(f"CPU per-step (solves + stress updates): {t_step * 1e3:.1f} ms")
-    return t_step, mesh.ndof, t_factor
+    t_mnr = time.perf_counter() - t0
+    log(f"CPU modified-NR step (solves + stress updates): {t_mnr * 1e3:.1f} ms")
+    t0 = time.perf_counter()
+    lu2 = spla.splu(k)  # tangent re-factorization: the collapse-regime step
+    t_refactor = time.perf_counter() - t0
+    t_step = t_refactor + t_mnr
+    log(f"CPU collapse step (refactor + solves + updates): {t_step * 1e3:.1f} ms")
+    return t_step, t_mnr, mesh.ndof, t_factor
 
 
 def main():
-    t_cpu, ndof_cpu, t_factor = cpu_step_time(NX_CPU)
+    t_cpu, t_cpu_mnr, ndof_cpu, t_factor = cpu_step_time(NX_CPU)
 
     # matched-size TPU measurement for the honest ratio
     t_tpu_small, _, _, _ = tpu_step_time(NX_CPU)
@@ -235,8 +243,10 @@ def main():
 
     t_tpu, ndof, t_asm, cg_iters = tpu_step_time(NX_TPU)
     log(
-        f"matched-size ({ndof_cpu} dof) speedup vs SuperLU+numpy step: "
-        f"{vs_baseline:.2f}x; headline {ndof}-dof TPU step {t_tpu * 1e3:.1f} ms"
+        f"matched-size ({ndof_cpu} dof): collapse-step speedup "
+        f"{vs_baseline:.2f}x (modified-NR-only ratio "
+        f"{t_cpu_mnr / t_tpu_small:.2f}x); headline {ndof}-dof TPU step "
+        f"{t_tpu * 1e3:.1f} ms"
     )
     print(
         json.dumps(

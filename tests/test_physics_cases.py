@@ -82,3 +82,43 @@ def test_gravity_self_weight_column():
     top = mesh.select_nodes(lambda x, y, z: z > h - 1e-9)
     uz = res.disp_total.reshape(-1, 3)[top, 2].mean()
     np.testing.assert_allclose(uz, -rho * g * h**2 / (2 * E), rtol=2e-3)
+
+
+def test_vertical_cut_slope_stability():
+    """Gravity-driven collapse of a vertical cut in undrained clay
+    (phi=0 soil body, the reference's embankment family, manual section 9.2):
+    stability number N_s = LF * gamma * H / c_u must match Taylor's 3.64-3.83
+    within coarse-mesh overshoot."""
+    h, length, t = 10.0, 16.0, 2.0
+    rho, g = 2.0e-6, 9810.0
+    sy = 0.02  # MPa; c_u = sy / sqrt(3)
+    mesh = meshgen.box_tet10(8, 1, 6, length, t, h)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (0.0, 0.0, 0.0)),
+            (mesh.select_nodes(lambda x, y, z: x > length - 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            (mesh.select_nodes(lambda x, y, z: y > t - 1e-9), (None, 0.0, None)),
+        ]
+    )
+    loads = fcvm_tpu.Loads(gravity=[0.0, 0.0, -g])
+    model = fcvm_tpu.Model(
+        mesh, fcvm_tpu.Material(50.0, 0.49, density=rho), bcs, loads, name="cut"
+    )
+    params = fcvm_tpu.ControlParams(
+        sig_yield=sy, nstep=10, iterat_max=25, error_max=3e-4,
+        et_e=0.0, target_lf=9.0, ultimate_strain=0.5,
+    )
+
+    def cont(hist, info):
+        if len(hist.lbd) > 40:
+            return "stop"
+        if len(hist.lbd) > 8 and abs(hist.lbd[-1] - hist.lbd[-4]) < 1e-2 * hist.lbd[-1]:
+            return "stop"
+        return "add"
+
+    res = fcvm_tpu.solve_collapse(model, params, continuation=cont)
+    lf = max(res.history.lbd)
+    n_s = lf * rho * g * h / (sy / np.sqrt(3.0))
+    assert 3.35 < n_s < 4.45  # Taylor 3.64-3.83 + coarse-mesh overshoot
+    assert res.peeq_gp.max() > 0.0  # a plastic mechanism formed
