@@ -146,7 +146,7 @@ def build_two_level(
     q_np = np.asarray(qmat_bc)
     cid_np = (np.arange(qmat.shape[0]) // cluster_size)[eln_np]  # (ne, 10)
 
-    kc = np.zeros((ncl, ncl, 6, 6), dtype=np.float64)
+    kc_flat = np.zeros((ncl * ncl, 6, 6), dtype=np.float64)
     chunk = max(1, 2_000_000 // 100)  # ~2M pair-blocks per chunk
     for s in range(0, ne, chunk):
         e = slice(s, min(s + chunk, ne))
@@ -155,7 +155,14 @@ def build_two_level(
         pair = np.einsum("eiax,eiajb,ejby->eijxy", qe, blocks, qe, optimize=True)
         ci = cid_np[e][:, :, None].repeat(10, axis=2)
         cj = cid_np[e][:, None, :].repeat(10, axis=1)
-        np.add.at(kc, (ci.reshape(-1), cj.reshape(-1)), pair.reshape(-1, 6, 6))
+        keys = (ci * ncl + cj).reshape(-1)
+        vals = pair.reshape(-1, 36)
+        # bincount per component: ~100x faster than np.add.at on block rows
+        for comp in range(36):
+            kc_flat[:, comp // 6, comp % 6] += np.bincount(
+                keys, weights=vals[:, comp], minlength=ncl * ncl
+            )
+    kc = kc_flat.reshape(ncl, ncl, 6, 6)
 
     kc_dense = np.transpose(kc, (0, 2, 1, 3)).reshape(6 * ncl, 6 * ncl)
     diag = np.diagonal(kc_dense).copy()
