@@ -148,12 +148,12 @@ def sharded_matvec_fn(sm: ShardedModel, esm):
 
     def khat(u):
         def local(esm_l, elnodes_l, fixmask, u_r):
-            up = fixmask * u_r
-            eldofs = _eldofs(elnodes_l)
-            fe = jnp.einsum("eij,ej->ei", esm_l, up[eldofs])
+            up = (fixmask * u_r).reshape(-1, 3)
+            ne_l = elnodes_l.shape[0]
+            fe = jnp.einsum("eij,ej->ei", esm_l, up[elnodes_l].reshape(ne_l, 30))
             y = jax.ops.segment_sum(
-                fe.reshape(-1), eldofs.reshape(-1), num_segments=ndof
-            )
+                fe.reshape(-1, 3), elnodes_l.reshape(-1), num_segments=ndof // 3
+            ).reshape(-1)
             y = jax.lax.psum(y, "e")
             return fixmask * y + (1.0 - fixmask) * u_r
 
@@ -193,10 +193,9 @@ def sharded_internal_force_fn(sm: ShardedModel, e, nu, et_e, large_disp: bool):
                 coords_el, u_el, du_el, sig_old_l, sig_yield_l
             )
             elv = elv * weights[:, None]
-            eldofs = _eldofs(elnodes_l)
             qin = jax.ops.segment_sum(
-                elv.reshape(-1), eldofs.reshape(-1), num_segments=ndof
-            )
+                elv.reshape(-1, 3), elnodes_l.reshape(-1), num_segments=ndof // 3
+            ).reshape(-1)
             return sig_new, sig_test, pgp, jax.lax.psum(qin, "e")
 
         return jax.shard_map(
