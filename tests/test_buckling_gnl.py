@@ -137,3 +137,41 @@ def test_gnl_driver_small_strain_matches_linear():
     ux_gnl = res_gnl.disp_total.reshape(-1, 3)[end, 0].mean()
     # strain 5e-5: geometric effects ~ O(strain) relative
     assert abs(ux_gnl - ux_lin) / abs(ux_lin) < 5e-4
+
+
+def test_shallow_arch_snap_through():
+    """Riks arc-length must trace past the limit point of a shallow pinned
+    arch (the reference's snapback example family): the load factor peaks
+    and then descends along the unstable branch while displacement grows."""
+    from fcvm_tpu.models.spec import Mesh
+
+    length, w, h, rise = 100.0, 5.0, 1.0, 8.0
+    mesh0 = meshgen.box_tet10(32, 1, 1, length, w, h)
+    c = mesh0.coords.copy()
+    c[:, 2] += rise * (1 - ((2 * c[:, 0] / length) - 1) ** 2)
+    mesh = Mesh(c, mesh0.elnodes)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: (x < 1e-9) & (z < 1e-6)), (0.0, 0.0, 0.0)),
+            (mesh.select_nodes(lambda x, y, z: (x > length - 1e-9) & (z < 1e-6)), (0.0, 0.0, 0.0)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+        ]
+    )
+    top = mesh.faces_on(lambda x, y, z: (np.abs(x - length / 2) < length / 10) & (z > 6.0))
+    loads = fcvm_tpu.Loads(
+        traction_faces=top, tractions=np.tile([0, 0, -0.5], (len(top), 1))
+    )
+    model = fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads, name="arch")
+    params = fcvm_tpu.ControlParams(
+        sig_yield=1e5, nstep=30, iterat_max=40, error_max=1e-6,
+        gnl="GNLY", max_imp=0.0, target_lf=999.0,
+    )
+    cont = lambda hist, info: "add" if len(hist.lbd) < 42 else "stop"
+    res = fcvm_tpu.solve_collapse(model, params, continuation=cont)
+    lbd = np.asarray(res.history.lbd)
+    un = np.asarray(res.history.un)
+    i_pk = int(np.argmax(lbd))
+    assert 0 < i_pk < len(lbd) - 3  # a genuine interior limit point
+    assert lbd[i_pk:].min() < 0.95 * lbd[i_pk]  # descending unstable branch
+    assert un[-1] > un[i_pk]  # while displacement keeps growing
+    assert res.peeq_gp.max() == 0.0  # purely geometric (elastic) instability
