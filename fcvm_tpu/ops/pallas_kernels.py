@@ -14,6 +14,15 @@ bandwidth-optimal: each esm value is read exactly once per application.
 
 All kernels run in interpreter mode on CPU for testing (``interpret=True``
 when not on TPU).
+
+Environment note: the current axon remote-compile helper only accepts
+single-program Pallas kernels (any ``grid > 1`` or manual-DMA kernel fails
+its Mosaic stage with an opaque HTTP 500; verified 2026-08).  The kernels
+here are validated on real TPU at single-tile size and in interpreter mode
+at full size; the production matvec uses the XLA einsum formulation, which
+measures within ~1.6x of the memory-bandwidth floor (1.9 ms for 230 MB of
+blocks at 273k dofs), so the headroom a fused kernel could recover is small
+next to the gather/scatter cost anyway.
 """
 
 from __future__ import annotations
