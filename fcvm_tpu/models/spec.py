@@ -286,13 +286,26 @@ def _edge_length(coords, edges):
 
 @dataclasses.dataclass
 class Model:
-    """A complete analysis model: mesh + material + constraints + loads."""
+    """A complete analysis model: mesh + material + constraints + loads.
+
+    ``materials_by_element`` is the per-element (E, nu, rho) table — the
+    reference extracts exactly this (``materialbyElement``,
+    ``fcVM.py:170-181``) but its kernels then use row 0 only; here it is
+    honored throughout assembly, stress update and gravity when given.
+    """
 
     mesh: Mesh
     material: Material
     bcs: BoundaryConditions
     loads: Loads
     name: str = "model"
+    materials_by_element: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        if self.materials_by_element is not None:
+            self.materials_by_element = np.asarray(
+                self.materials_by_element, dtype=np.float64
+            ).reshape(self.mesh.n_elements, 3)
 
     @property
     def ndof(self) -> int:

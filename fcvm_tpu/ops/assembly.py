@@ -51,9 +51,14 @@ def _single_elastic_esm(coords_el, dmat):
 
 @partial(jax.jit, static_argnames=())
 def elastic_stiffness_blocks(coords: jnp.ndarray, elnodes: jnp.ndarray, dmat: jnp.ndarray):
-    """(ne, 30, 30) elastic element stiffness blocks (``fcVM.py:739-756``)."""
+    """(ne, 30, 30) elastic element stiffness blocks (``fcVM.py:739-756``).
+
+    ``dmat`` may be (6, 6) (single material, the reference's effective
+    behavior) or (ne, 6, 6) (true per-element materials — the reference
+    extracts the table but its kernels use element 0, ``fcVM.py:736``)."""
     coords_el = coords[elnodes]  # (ne, 10, 3)
-    return jax.vmap(_single_elastic_esm, in_axes=(0, None))(coords_el, dmat)
+    axes = (0, 0) if dmat.ndim == 3 else (0, None)
+    return jax.vmap(_single_elastic_esm, in_axes=axes)(coords_el, dmat)
 
 
 def _single_tangent_esm(coords_el, dmat, sig_el, pgp_el, g3fac):
@@ -94,7 +99,9 @@ def tangent_stiffness_blocks(
     """
     g3fac = 3.0 * g / (1.0 + h / (3.0 * g))
     coords_el = coords_def[elnodes]
-    return jax.vmap(_single_tangent_esm, in_axes=(0, None, 0, 0, None))(
+    d_ax = 0 if dmat.ndim == 3 else None
+    f_ax = 0 if jnp.ndim(g3fac) == 1 else None
+    return jax.vmap(_single_tangent_esm, in_axes=(0, d_ax, 0, 0, f_ax))(
         coords_el, dmat, sig_gp, pgp, g3fac
     )
 
@@ -150,8 +157,9 @@ def gravity_load_and_gp_coords(coords_eff, elnodes, density, grav, ndof):
     det = det3(xs)  # (ne, 4)
     scale = w[None, :] * jnp.abs(det)  # (ne, 4)
     grav = jnp.asarray(grav, dtype=coords_eff.dtype)
-    # gamma[e, j, c] = grav[c] * rho * sum_g shp[g, j] * scale[e, g]
-    gamma = jnp.einsum("eg,gj,c->ejc", scale, shp, grav) * density
+    # gamma[e, j, c] = grav[c] * rho_e * sum_g shp[g, j] * scale[e, g]
+    rho = density[:, None, None] if jnp.ndim(density) == 1 else density
+    gamma = jnp.einsum("eg,gj,c->ejc", scale, shp, grav) * rho
     glv = jax.ops.segment_sum(
         gamma.reshape(-1, 3), elnodes.reshape(-1), num_segments=ndof // 3
     ).reshape(-1)

@@ -110,12 +110,14 @@ def update_stress_load(
     u_el = disp.reshape(-1, 3)[elnodes]
     du_el = du.reshape(-1, 3)[elnodes]
 
-    def one_element(c, u, d, s, sy):
-        return _element_stress_update(c, u, d, s, sy, dmat, h, g, large_disp)
+    def one_element(c, u, d, s, sy, dmat_e, h_e, g_e):
+        return _element_stress_update(c, u, d, s, sy, dmat_e, h_e, g_e, large_disp)
 
-    sig_new, sig_test, pgp, elv = jax.vmap(one_element)(
-        coords_el, u_el, du_el, sig_old, sig_yield
-    )
+    # per-element materials: dmat (ne, 6, 6), h/g (ne,); else broadcast
+    mat_axes = (0, 0, 0) if dmat.ndim == 3 else (None, None, None)
+    sig_new, sig_test, pgp, elv = jax.vmap(
+        one_element, in_axes=(0, 0, 0, 0, 0) + mat_axes
+    )(coords_el, u_el, du_el, sig_old, sig_yield, dmat, h, g)
 
     # node-row scatter: 3x fewer indices than per-dof (see make_matvec)
     qin3 = jax.ops.segment_sum(

@@ -171,13 +171,22 @@ def solve_collapse(
     coords_np = mesh.coords.copy()
     coords_old = mesh.coords.copy()
 
-    e = jnp.asarray(model.material.e, dtype=dtype)
-    nu = jnp.asarray(model.material.nu, dtype=dtype)
-    density = jnp.asarray(model.material.density, dtype=dtype)
+    if model.materials_by_element is not None:
+        mbe = model.materials_by_element
+        e = jnp.asarray(mbe[:, 0], dtype=dtype)
+        nu = jnp.asarray(mbe[:, 1], dtype=dtype)
+        density = jnp.asarray(mbe[:, 2], dtype=dtype)
+    else:
+        e = jnp.asarray(model.material.e, dtype=dtype)
+        nu = jnp.asarray(model.material.nu, dtype=dtype)
+        density = jnp.asarray(model.material.density, dtype=dtype)
     et_e = jnp.asarray(params.et_e, dtype=dtype)
     dmat = mat.hooke_dmat(e, nu)
     g = mat.shear_modulus(e, nu)
     h = mat.hardening_modulus(e, et_e)
+    # gauss-point broadcast shapes for the damage update (ne, 4) states
+    e_gp = e[:, None] if e.ndim == 1 else e
+    nu_gp = nu[:, None] if nu.ndim == 1 else nu
 
     elnodes = jnp.asarray(mesh.elnodes, dtype=jnp.int32)
     fixmask_np, u_fix_np, movdof_np = model.bcs.masks(ndof)
@@ -378,7 +387,8 @@ def solve_collapse(
         disp_nodes = np.asarray(disp_new).reshape(-1, 3)
         history.un.append(float(np.sqrt((disp_nodes**2).sum(axis=1).max())))
         sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr = mat.update_peeq_csr(
-            sig_test, sig_new, sig_yield, peeq, csr, e, nu, et_e, params.ultimate_strain
+            sig_test, sig_new, sig_yield, peeq, csr, e_gp, nu_gp, et_e,
+            params.ultimate_strain,
         )
         csr_np = np.asarray(csr).reshape(-1)
         maxloc = int(np.argmax(csr_np))

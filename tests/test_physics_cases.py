@@ -122,3 +122,63 @@ def test_vertical_cut_slope_stability():
     n_s = lf * rho * g * h / (sy / np.sqrt(3.0))
     assert 3.35 < n_s < 4.45  # Taylor 3.64-3.83 + coarse-mesh overshoot
     assert res.peeq_gp.max() > 0.0  # a plastic mechanism formed
+
+
+def test_multi_material_series_bar():
+    """Two materials in series under uniform tension: u(L) = sigma (L1/E1 +
+    L2/E2).  True per-element materials — beyond the reference, whose
+    kernels use the first material row only (fcVM.py:736)."""
+    l_tot, sigma = 10.0, 100.0
+    e1, e2 = 100000.0, 200000.0
+    mesh = meshgen.box_tet10(4, 2, 2, l_tot, 5.0, 5.0)
+    centroids = mesh.coords[mesh.elnodes[:, :4]].mean(axis=1)
+    mbe = np.zeros((mesh.n_elements, 3))
+    mbe[:, 0] = np.where(centroids[:, 0] < l_tot / 2, e1, e2)
+    mbe[:, 1] = 0.0  # nu = 0 keeps the series state exactly uniaxial
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+        ]
+    )
+    faces = mesh.faces_on(lambda x, y, z: x > l_tot - 1e-9)
+    loads = fcvm_tpu.Loads(
+        traction_faces=faces, tractions=np.tile([sigma, 0, 0], (len(faces), 1))
+    )
+    model = fcvm_tpu.Model(
+        mesh, fcvm_tpu.Material(e1, 0.0), bcs, loads,
+        name="series", materials_by_element=mbe,
+    )
+    params = fcvm_tpu.ControlParams(sig_yield=1e6, nstep=2, error_max=1e-10, target_lf=1.0)
+    res = fcvm_tpu.solve_collapse(model, params)
+    end = mesh.select_nodes(lambda x, y, z: x > l_tot - 1e-9)
+    ux = res.disp_total.reshape(-1, 3)[end, 0]
+    expect = sigma * (l_tot / 2 / e1 + l_tot / 2 / e2)
+    np.testing.assert_allclose(ux, expect, rtol=1e-7)
+
+
+def test_multi_material_gravity_density():
+    """Per-element densities: total weight = sum(rho_i g V_i)."""
+    mesh = meshgen.box_tet10(2, 2, 4, 2.0, 2.0, 8.0)
+    centroids = mesh.coords[mesh.elnodes[:, :4]].mean(axis=1)
+    mbe = np.zeros((mesh.n_elements, 3))
+    mbe[:, 0] = 210000.0
+    mbe[:, 1] = 0.3
+    rho1, rho2 = 1.0e-6, 3.0e-6
+    mbe[:, 2] = np.where(centroids[:, 2] < 4.0, rho1, rho2)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [(mesh.select_nodes(lambda x, y, z: z < 1e-9), (0.0, 0.0, 0.0))]
+    )
+    g = 9810.0
+    loads = fcvm_tpu.Loads(gravity=[0.0, 0.0, -g])
+    model = fcvm_tpu.Model(
+        mesh, fcvm_tpu.Material(210000.0, 0.3, rho1), bcs, loads,
+        materials_by_element=mbe,
+    )
+    params = fcvm_tpu.ControlParams(sig_yield=1e9, nstep=1)
+    res = fcvm_tpu.solve_collapse(model, params)
+    vol_half = 2.0 * 2.0 * 4.0
+    np.testing.assert_allclose(
+        res.loadsums[2], -g * vol_half * (rho1 + rho2), rtol=1e-9
+    )
