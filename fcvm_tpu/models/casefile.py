@@ -76,6 +76,24 @@ def load_case(path) -> tuple[Model, ControlParams]:
         nu=float(matspec.get("nu", 0.3)),
         density=float(matspec.get("density", 0.0)),
     )
+    # optional per-element material regions selected by centroid predicates
+    materials_by_element = None
+    if matspec.get("region"):
+        centroids = mesh.coords[mesh.elnodes[:, :4]].mean(axis=1)
+        mbe = np.tile(
+            [material.e, material.nu, material.density], (mesh.n_elements, 1)
+        )
+        for reg in matspec["region"]:
+            m = _predicate(reg["where"])(
+                centroids[:, 0], centroids[:, 1], centroids[:, 2]
+            )
+            if "e" in reg:
+                mbe[m, 0] = float(reg["e"])
+            if "nu" in reg:
+                mbe[m, 1] = float(reg["nu"])
+            if "density" in reg:
+                mbe[m, 2] = float(reg["density"])
+        materials_by_element = mbe
 
     ctrl = case.get("control", {})
     if "inp" in ctrl:
@@ -160,7 +178,11 @@ def load_case(path) -> tuple[Model, ControlParams]:
         gravity=gravity,
     )
     name = case.get("name", path.stem)
-    return Model(mesh, material, bcs, loads, name=name), params
+    model = Model(
+        mesh, material, bcs, loads, name=name,
+        materials_by_element=materials_by_element,
+    )
+    return model, params
 
 
 def parse_sum_groups(path, mesh: Mesh):

@@ -239,3 +239,33 @@ def test_scipy_solver_tier_matches_cg():
         res_lu.disp_total, res_cg.disp_total, rtol=1e-4, atol=1e-10
     )
     np.testing.assert_allclose(res_lu.peeq_gp, res_cg.peeq_gp, rtol=1e-3, atol=1e-12)
+
+
+def test_material_regions(tmp_path):
+    from fcvm_tpu.models.casefile import load_case
+    import numpy as np
+
+    p = tmp_path / "case.toml"
+    p.write_text(
+        """
+[mesh.generator]
+kind = "box"
+nx = 2
+lx = 10.0
+[material]
+e = 100000.0
+nu = 0.0
+[[material.region]]
+where = "x > 5.0"
+e = 200000.0
+[[bc]]
+where = "x < 1e-9"
+ux = 0.0
+"""
+    )
+    model, params = load_case(p)
+    assert model.materials_by_element is not None
+    centroids = model.mesh.coords[model.mesh.elnodes[:, :4]].mean(axis=1)
+    left = centroids[:, 0] < 5.0
+    np.testing.assert_allclose(model.materials_by_element[left, 0], 100000.0)
+    np.testing.assert_allclose(model.materials_by_element[~left, 0], 200000.0)
