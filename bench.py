@@ -69,6 +69,7 @@ def tpu_step_time(nx):
     import jax
     import jax.numpy as jnp
 
+    from fcvm_tpu.ops import assembly as asm_ops
     from fcvm_tpu.ops import material as mat
     from fcvm_tpu.ops.stress_update import update_stress_load
     from fcvm_tpu.runtime import system as sysm
@@ -88,15 +89,16 @@ def tpu_step_time(nx):
     fixmask = jnp.asarray(pad_vector(fixmask_np, nd_pad), dtype)
     u_fix = jnp.asarray(pad_vector(u_fix_np, nd_pad), dtype)
     lt = sysm.LoadTables.from_spec(model.loads, dtype)
+    plan = asm_ops.build_scatter_plan(mesh.elnodes, nd_pad // 3)
 
     t0 = time.perf_counter()
     esm, pinv, glv, rhs, gpc, vol, ls = jax.block_until_ready(
-        sysm.assemble_elastic(coords, eln, dmat, lt, jnp.asarray(0.0, dtype), fixmask, u_fix)
+        sysm.assemble_elastic(coords, eln, dmat, lt, jnp.asarray(0.0, dtype), fixmask, u_fix, plan)
     )
     t_asm_cold = time.perf_counter() - t0
     t0 = time.perf_counter()
     esm, pinv, glv, rhs, gpc, vol, ls = jax.block_until_ready(
-        sysm.assemble_elastic(coords, eln, dmat, lt, jnp.asarray(0.0, dtype), fixmask, u_fix)
+        sysm.assemble_elastic(coords, eln, dmat, lt, jnp.asarray(0.0, dtype), fixmask, u_fix, plan)
     )
     t_asm = time.perf_counter() - t0
     log(f"assembly: cold {t_asm_cold:.2f}s steady {t_asm * 1e3:.2f}ms "
@@ -117,7 +119,9 @@ def tpu_step_time(nx):
         pc = pinv
 
     maxiter = 5000
-    solve = lambda b: sysm.solve_displacement(esm, eln, fixmask, pc, b, CG_RTOL, maxiter)
+    solve = lambda b: sysm.solve_displacement(
+        esm, eln, fixmask, pc, b, CG_RTOL, maxiter, plan=plan
+    )
     res = jax.block_until_ready(solve(rhs))  # compile + elastic predictor
     ue = res.x
     cg_iters = int(res.iters)
@@ -134,7 +138,7 @@ def tpu_step_time(nx):
     disp = lbd0 * ue
     sig0, _, _, _ = update_stress_load(
         coords, eln, dmat, 1e9 * sig_yield, jnp.zeros(nd_pad, dtype),
-        disp, zeros6, e, nu, et, False,
+        disp, zeros6, e, nu, et, False, plan,
     )
     dl = 0.05
 
@@ -145,7 +149,7 @@ def tpu_step_time(nx):
         for _ in range(N_SOLVES_PER_STEP):
             sig_new, sig_test, pgp, qin, r, err = sysm.residual(
                 coords, eln, dmat, sig_yield, disp, du, sig0, e, nu, et,
-                glv, fixmask, jnp.asarray(lbd0 + dl, dtype), qnorm, False,
+                glv, fixmask, jnp.asarray(lbd0 + dl, dtype), qnorm, False, plan,
             )
             due = solve(r).x
             du = du + 0.1 * due

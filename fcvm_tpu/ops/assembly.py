@@ -19,6 +19,7 @@ by the element count; the solution is identical.)
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -246,17 +247,104 @@ def vertex_loads(vertices, forces, ndof, dtype):
 # ---------------------------------------------------------------------------
 
 
-def make_matvec(esm: jnp.ndarray, eldofs: jnp.ndarray, ndof: int):
+class ScatterPlan(NamedTuple):
+    """Degree-bucketed incidence tables: node scatter-add as pure gathers.
+
+    TPU scatter-add runs ~8x slower than gather for the same index count
+    (measured on v5e: 16 ms vs 3.5 ms for 1.18M node rows at 500k dofs).
+    The plan inverts the (element, slot) -> node map at build time: for each
+    node, the positions of its incident rows in the flat ``(ne*10, 3)``
+    value stream, padded to a per-bucket fixed degree.  Applying it is a
+    fixed gather + small-axis sum + permutation gather — no scatter at all.
+
+    Buckets group nodes by incidence degree so padding stays <15% (tet10
+    midside nodes have ~4-6 incident elements, corners up to ~24+).
+    """
+
+    node_counts: tuple  # static per-bucket lengths are implied by shapes
+    inc: tuple  # per bucket: (nb, Db) int32 positions into the value stream
+    invperm: jnp.ndarray  # (nn,) int32; out = concat(bucket sums, zeros)[invperm]
+
+
+def build_scatter_plan(elnodes, nn: int) -> ScatterPlan:
+    """Host-side plan build from (ne, 10) connectivity (numpy, one-time)."""
+    import numpy as np
+
+    eln_np = np.asarray(elnodes)
+    flat = eln_np.reshape(-1)
+    nrows = flat.shape[0]
+    cnt = np.bincount(flat, minlength=nn)
+    srt = np.argsort(flat, kind="stable")
+    ofs = np.zeros(nn + 1, np.int64)
+    np.cumsum(cnt, out=ofs[1:])
+
+    dmax = max(int(cnt.max()), 1)
+    caps, c = [], 4
+    while c < dmax:
+        caps.append(c)
+        c = c * 3 // 2 if c >= 8 else c + 2
+    caps.append(dmax)
+
+    node_groups, incs = [], []
+    lo = 0
+    for cap in caps:
+        nodes = np.where((cnt > lo) & (cnt <= cap))[0]
+        lo = cap
+        if len(nodes) == 0:
+            continue
+        k = np.arange(cap)
+        idx = ofs[nodes][:, None] + k[None, :]
+        valid = k[None, :] < cnt[nodes][:, None]
+        inc = np.where(valid, srt[np.minimum(idx, nrows - 1)], nrows)
+        node_groups.append(nodes)
+        incs.append(jnp.asarray(inc.astype(np.int32)))
+    zero_nodes = np.where(cnt == 0)[0]
+    node_order = np.concatenate(node_groups + [zero_nodes]) if node_groups else zero_nodes
+    invperm = np.empty(nn, np.int64)
+    invperm[node_order] = np.arange(nn)
+    return ScatterPlan(
+        tuple(len(n) for n in node_groups),
+        tuple(incs),
+        jnp.asarray(invperm.astype(np.int32)),
+    )
+
+
+def scatter_node_rows(rows3: jnp.ndarray, plan: ScatterPlan) -> jnp.ndarray:
+    """Sum (nrows, 3) value rows into (nn, 3) node rows via the plan."""
+    rows_ext = jnp.concatenate([rows3, jnp.zeros((1, 3), rows3.dtype)])
+    outs = [rows_ext[inc].sum(axis=1) for inc in plan.inc]
+    nz = plan.invperm.shape[0] - sum(o.shape[0] for o in outs)
+    outs.append(jnp.zeros((nz, 3), rows3.dtype))
+    return jnp.concatenate(outs)[plan.invperm]
+
+
+def make_matvec(
+    esm: jnp.ndarray, eldofs: jnp.ndarray, ndof: int, plan: Optional[ScatterPlan] = None
+):
     """Raw ``K @ v`` from element blocks: gather -> block matmul -> scatter.
 
     Node-row granularity: TPU gather/scatter cost is per *index*, so moving
     3-vectors per node instead of scalars per dof cuts the index count 3x
     (measured 4.4x end-to-end on v5e at 273k dofs).  Requires ``ndof``
     divisible by 3 (guaranteed by the 384-alignment padding).
+
+    With a :class:`ScatterPlan` the scatter-add becomes pure gathers,
+    1.86x faster end-to-end on v5e at 500k dofs (23.3 -> 12.5 ms).
     """
     ne = esm.shape[0]
     elnodes = eldofs[:, ::3] // 3  # (ne, 10) node ids
     nn = ndof // 3
+
+    if plan is not None:
+        esm4 = esm.reshape(ne, 10, 3, 30)
+
+        def kv(u):
+            u3 = u.reshape(nn, 3)[elnodes]  # (ne, 10, 3) row gather
+            # (ne, 10, 3) output: reshape to rows is free (major dims only)
+            fe = jnp.einsum("eabj,ej->eab", esm4, u3.reshape(ne, 30))
+            return scatter_node_rows(fe.reshape(-1, 3), plan).reshape(-1)
+
+        return kv
 
     def kv(u):
         u3 = u.reshape(nn, 3)[elnodes]  # (ne, 10, 3) row gather
@@ -269,7 +357,12 @@ def make_matvec(esm: jnp.ndarray, eldofs: jnp.ndarray, ndof: int):
     return kv
 
 
-def make_bc_matvec(esm: jnp.ndarray, eldofs: jnp.ndarray, fixmask: jnp.ndarray):
+def make_bc_matvec(
+    esm: jnp.ndarray,
+    eldofs: jnp.ndarray,
+    fixmask: jnp.ndarray,
+    plan: Optional[ScatterPlan] = None,
+):
     """``K_hat @ v`` with eliminated Dirichlet dofs.
 
     ``K_hat u = P K P u + (I - P) u`` with ``P = diag(fixmask)``; identical
@@ -277,7 +370,7 @@ def make_bc_matvec(esm: jnp.ndarray, eldofs: jnp.ndarray, fixmask: jnp.ndarray):
     (``fcVM.py:771-796``).
     """
     ndof = fixmask.shape[0]
-    kv = make_matvec(esm, eldofs, ndof)
+    kv = make_matvec(esm, eldofs, ndof, plan)
 
     def khat(u):
         return fixmask * kv(fixmask * u) + (1.0 - fixmask) * u
@@ -285,14 +378,14 @@ def make_bc_matvec(esm: jnp.ndarray, eldofs: jnp.ndarray, fixmask: jnp.ndarray):
     return khat
 
 
-def dirichlet_rhs(esm, eldofs, fixmask, u_fix, glv):
+def dirichlet_rhs(esm, eldofs, fixmask, u_fix, glv, plan=None):
     """Full elastic RHS ``f = P glv - (P K u_fix) + u_fix``.
 
     Matches the reference ``f = fixdof * glv + modf`` (``fcVM.py:1128``) up to
     the adjacent-element-count diagonal scaling noted in the module docstring.
     """
     ndof = fixmask.shape[0]
-    kv = make_matvec(esm, eldofs, ndof)
+    kv = make_matvec(esm, eldofs, ndof, plan)
     modf_free = -fixmask * kv(u_fix)
     return fixmask * glv + modf_free + u_fix
 

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from fcvm_tpu.ops import elements as el
 from fcvm_tpu.ops import material as mat
-from fcvm_tpu.ops.assembly import element_dof_ids, voigt_to_tensor
+from fcvm_tpu.ops.assembly import element_dof_ids, scatter_node_rows, voigt_to_tensor
 from fcvm_tpu.utils.linalg3 import det3
 
 
@@ -85,6 +85,7 @@ def update_stress_load(
     nu,
     et_e,
     large_disp: bool,
+    plan=None,
 ):
     """Full-mesh stress update + internal force.
 
@@ -120,9 +121,12 @@ def update_stress_load(
     )(coords_el, u_el, du_el, sig_old, sig_yield, dmat, h, g)
 
     # node-row scatter: 3x fewer indices than per-dof (see make_matvec)
-    qin3 = jax.ops.segment_sum(
-        elv.reshape(-1, 3), elnodes.reshape(-1), num_segments=ndof // 3
-    )
+    if plan is not None:
+        qin3 = scatter_node_rows(elv.reshape(-1, 3), plan)
+    else:
+        qin3 = jax.ops.segment_sum(
+            elv.reshape(-1, 3), elnodes.reshape(-1), num_segments=ndof // 3
+        )
     return sig_new, sig_test, pgp, qin3.reshape(-1)
 
 

@@ -63,6 +63,7 @@ def buckling_from_arrays(
     n_sub: int = 0,
     outer_tol: float = 1.0e-9,
     max_outer: int = 60,
+    plan=None,
 ):
     """Lowest ``k`` buckling factors + mode shapes.
 
@@ -89,7 +90,7 @@ def buckling_from_arrays(
     gmv_raw = _multi_matvec(nsm, eldofs, fixmask, identity_on_fixed=False)
     minus_g = lambda u: -gmv_raw(u)
 
-    kmv_single = asm.make_bc_matvec(esm, eldofs, fixmask)
+    kmv_single = asm.make_bc_matvec(esm, eldofs, fixmask, plan)
     from fcvm_tpu.ops.precond import apply_precond, build_two_level
 
     if cfg.precond == "two_level":
@@ -184,7 +185,10 @@ def linear_buckling(model, params, k: int = 2):
     else:
         pc = pinv
     maxiter = cfg.resolve_cg_maxiter(mesh.ndof)
-    ue = sysm.solve_displacement(esm, elnodes, fixmask, pc, rhs, cfg.cg_rtol, maxiter).x
+    plan = asm.build_scatter_plan(mesh.elnodes, ndof_pad // 3)
+    ue = sysm.solve_displacement(
+        esm, elnodes, fixmask, pc, rhs, cfg.cg_rtol, maxiter, plan=plan
+    ).x
 
     ne = mesh.n_elements
     zeros_gp6 = jnp.zeros((ne, 4, 6), dtype=dtype)
@@ -195,6 +199,6 @@ def linear_buckling(model, params, k: int = 2):
     )
     lam, vecs = buckling_from_arrays(
         coords, elnodes, dmat, sig_el, fixmask,
-        k=k, rtol=min(cfg.cg_rtol, 1.0e-10), maxiter=maxiter,
+        k=k, rtol=min(cfg.cg_rtol, 1.0e-10), maxiter=maxiter, plan=plan,
     )
     return lam, vecs[: mesh.ndof]

@@ -35,6 +35,7 @@ import numpy as np
 from fcvm_tpu.config import get_config
 from fcvm_tpu.models.inp import ControlParams
 from fcvm_tpu.models.spec import Model
+from fcvm_tpu.ops import assembly as asm_ops
 from fcvm_tpu.ops import material as mat
 from fcvm_tpu.ops.stress_update import internal_force_from_stress, update_stress_load
 from fcvm_tpu.runtime import system as sysm
@@ -198,6 +199,8 @@ def solve_collapse(
     movdof = jnp.asarray(pad_vector(movdof_np, ndof_pad), dtype=dtype)
     has_movdof = bool(movdof_np.max() > 0.5)
     loads = sysm.LoadTables.from_spec(model.loads, dtype)
+    # gather-only scatter plan for all node reductions (TPU fast path)
+    plan = asm_ops.build_scatter_plan(mesh.elnodes, ndof_pad // 3)
 
     rtol = cfg.cg_rtol
     maxiter = cfg.resolve_cg_maxiter(ndof)
@@ -206,7 +209,8 @@ def solve_collapse(
     def assemble(coords):
         with timers.phase("assemble"):
             return sysm.assemble_elastic(
-                jnp.asarray(coords, dtype=dtype), elnodes, dmat, loads, density, fixmask, u_fix
+                jnp.asarray(coords, dtype=dtype), elnodes, dmat, loads, density,
+                fixmask, u_fix, plan,
             )
 
     def solve(lin: _LinearState, b, x0=None):
@@ -217,7 +221,8 @@ def solve_collapse(
             cg_stats["time"] += time.perf_counter() - t0
             return x, 0.0
         res = sysm.solve_displacement(
-            lin.esm, elnodes, fixmask, lin.pc, b, lin.rtol, lin.maxiter, x0=x0
+            lin.esm, elnodes, fixmask, lin.pc, b, lin.rtol, lin.maxiter, x0=x0,
+            plan=plan,
         )
         x = res.x.block_until_ready()
         cg_stats["solves"] += 1
@@ -275,7 +280,7 @@ def solve_collapse(
     if has_movdof:
         sn, st, pg, qelastic = update_stress_load(
             coords, elnodes, dmat, sig_yield, zero_disp, jnp.asarray(ue),
-            zeros_gp6, e, nu, et_e, large_disp,
+            zeros_gp6, e, nu, et_e, large_disp, plan,
         )
         qnorm = float(jnp.linalg.norm(movdof * qelastic))
 
@@ -288,11 +293,11 @@ def solve_collapse(
             # (radial return disabled by a huge yield stress, fcVM.py:1195).
             sig_el_gp, _, _, _ = update_stress_load(
                 coords, elnodes, dmat, 1.0e6 * sig_yield, zero_disp,
-                jnp.asarray(ue), zeros_gp6, e, nu, et_e, False,
+                jnp.asarray(ue), zeros_gp6, e, nu, et_e, False, plan,
             )
             eigenvalues, eigenvectors = buckling_from_arrays(
                 coords, elnodes, dmat, sig_el_gp, fixmask,
-                k=2, rtol=min(rtol, 1.0e-10), maxiter=maxiter,
+                k=2, rtol=min(rtol, 1.0e-10), maxiter=maxiter, plan=plan,
             )
             log(f"buckling load factors: {eigenvalues}")
 
@@ -379,7 +384,7 @@ def solve_collapse(
         return sysm.residual(
             coords, elnodes, dmat, sig_yield, disp_new, du_, sig_old,
             e, nu, et_e, glv, fixmask, jnp.asarray(lbd1, dtype=dtype),
-            jnp.asarray(qnorm, dtype=dtype), large_disp,
+            jnp.asarray(qnorm, dtype=dtype), large_disp, plan,
         )
 
     def record_step(qin):
@@ -457,7 +462,7 @@ def solve_collapse(
                         esm_t, pc_t, glv, ue = sysm.tangent_refresh(
                             coords, elnodes, dmat, sig_old, pgp, disp_new, du,
                             loads, density, fixmask, u_fix, g, h, rtol, maxiter,
-                            pc=lin.pc,
+                            pc=lin.pc, plan=plan,
                         )
                         ue.block_until_ready()
                         cg_stats["tangent_time"] += time.perf_counter() - t0

@@ -77,7 +77,9 @@ def external_loads(coords, disp, elnodes, loads: LoadTables, density, follower: 
 
 
 @jax.jit
-def assemble_elastic(coords, elnodes, dmat, loads: LoadTables, density, fixmask, u_fix):
+def assemble_elastic(
+    coords, elnodes, dmat, loads: LoadTables, density, fixmask, u_fix, plan=None
+):
     """Elastic blocks + preconditioner + loads + elastic RHS.
 
     The TPU equivalent of ``calcGSM`` (``fcVM.py:620-816``): instead of COO
@@ -90,22 +92,23 @@ def assemble_elastic(coords, elnodes, dmat, loads: LoadTables, density, fixmask,
         coords, zero, elnodes, loads, density, follower=False
     )
     eldofs = asm.element_dof_ids(elnodes)
-    rhs = asm.dirichlet_rhs(esm, eldofs, fixmask, u_fix, glv)
+    rhs = asm.dirichlet_rhs(esm, eldofs, fixmask, u_fix, glv, plan)
     return esm, pinv, glv, rhs, gp_coords, volume, loadsums
 
 
 @partial(jax.jit, static_argnames=("maxiter",))
-def solve_displacement(esm, elnodes, fixmask, pc, b, rtol, maxiter: int, x0=None):
+def solve_displacement(esm, elnodes, fixmask, pc, b, rtol, maxiter: int, x0=None, plan=None):
     """PCG solve of ``K_hat x = b`` (replaces ``factor(f)``).
 
     ``pc`` is either (nn, 3, 3) block-Jacobi inverses or a
     :class:`fcvm_tpu.ops.precond.TwoLevelPrecond`.  Seeding ``x0`` with the
     prescribed-displacement vector makes the fixed dofs exact from iteration
     zero (the preconditioner is identity there, so search directions never
-    touch them).
+    touch them).  ``plan`` (a :class:`fcvm_tpu.ops.assembly.ScatterPlan`)
+    switches the operator's scatter-add to the gather-only fast path.
     """
     eldofs = asm.element_dof_ids(elnodes)
-    matvec = asm.make_bc_matvec(esm, eldofs, fixmask)
+    matvec = asm.make_bc_matvec(esm, eldofs, fixmask, plan)
     precond = lambda r: apply_precond(pc, r)
     return slv.pcg(matvec, b, precond=precond, x0=x0, rtol=rtol, maxiter=maxiter)
 
@@ -133,10 +136,12 @@ def residual(
     lbd1,
     qnorm,
     large_disp: bool,
+    plan=None,
 ):
     """Stress update + out-of-balance residual (``fcVM.py:1323-1342``)."""
     sig_new, sig_test, pgp, qin = update_stress_load(
-        coords, elnodes, dmat, sig_yield, disp_new, du, sig_old, e, nu, et_e, large_disp
+        coords, elnodes, dmat, sig_yield, disp_new, du, sig_old, e, nu, et_e,
+        large_disp, plan,
     )
     r = fixmask * (lbd1 * glv - qin)
     error = jnp.linalg.norm(r) / qnorm
@@ -161,6 +166,7 @@ def tangent_refresh(
     rtol,
     maxiter: int,
     pc=None,
+    plan=None,
 ):
     """GNL tangent reassembly + follower loads + tangent predictor solve.
 
@@ -178,8 +184,8 @@ def tangent_refresh(
         coords, disp_new, elnodes, loads, density, follower=True
     )
     eldofs = asm.element_dof_ids(elnodes)
-    rhs = asm.dirichlet_rhs(esm_t, eldofs, fixmask, u_fix, glv_t)
-    matvec = asm.make_bc_matvec(esm_t, eldofs, fixmask)
+    rhs = asm.dirichlet_rhs(esm_t, eldofs, fixmask, u_fix, glv_t, plan)
+    matvec = asm.make_bc_matvec(esm_t, eldofs, fixmask, plan)
     precond = lambda r: apply_precond(pc_t, r)
     ue = slv.pcg(matvec, rhs, precond=precond, rtol=rtol, maxiter=maxiter).x
     return esm_t, pc_t, glv_t, ue

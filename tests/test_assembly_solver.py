@@ -147,3 +147,46 @@ def test_pcg_standalone():
     amat = jnp.asarray(a)
     res = pcg(lambda v: amat @ v, jnp.asarray(b), rtol=1e-12, maxiter=200)
     np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(a, b), atol=1e-9)
+
+
+def test_scatter_plan_matvec_matches_segment_sum():
+    """The gather-only ScatterPlan path is exactly the segment_sum operator
+    (same contributions, different summation tree)."""
+    mesh, bcs, loads = _cantilever(n=3)
+    coords, eln, fixmask, u_fix, (esm, pinv, glv, rhs, *_r) = _assemble(mesh, bcs, loads)
+    plan = asm.build_scatter_plan(mesh.elnodes, mesh.ndof // 3)
+    eldofs = asm.element_dof_ids(eln)
+    kv_ref = asm.make_bc_matvec(esm, eldofs, jnp.asarray(fixmask))
+    kv_plan = asm.make_bc_matvec(esm, eldofs, jnp.asarray(fixmask), plan)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=mesh.ndof))
+    a, b = kv_ref(u), kv_plan(u)
+    assert float(jnp.max(jnp.abs(a - b))) < 1e-11 * float(jnp.max(jnp.abs(a)))
+
+    res_ref = sysm.solve_displacement(esm, eln, jnp.asarray(fixmask), pinv, rhs, 1e-12, 5000)
+    res_plan = sysm.solve_displacement(
+        esm, eln, jnp.asarray(fixmask), pinv, rhs, 1e-12, 5000, plan=plan
+    )
+    scale = float(jnp.max(jnp.abs(res_ref.x)))
+    assert float(jnp.max(jnp.abs(res_ref.x - res_plan.x))) < 1e-9 * scale
+
+
+def test_scatter_plan_stress_update_matches():
+    from fcvm_tpu.ops.stress_update import update_stress_load
+
+    mesh, bcs, loads = _cantilever(n=3)
+    coords, eln, fixmask, u_fix, (esm, pinv, glv, rhs, *_r) = _assemble(mesh, bcs, loads)
+    plan = asm.build_scatter_plan(mesh.elnodes, mesh.ndof // 3)
+    ne = mesh.n_elements
+    rng = np.random.default_rng(7)
+    du = jnp.asarray(0.01 * rng.normal(size=mesh.ndof))
+    args = (
+        coords, eln, mat.hooke_dmat(jnp.float64(E), jnp.float64(NU)),
+        jnp.full((ne, 4), 240.0), jnp.zeros(mesh.ndof), du,
+        jnp.zeros((ne, 4, 6)), jnp.float64(E), jnp.float64(NU),
+        jnp.float64(0.1), False,
+    )
+    s1, t1, p1, q1 = update_stress_load(*args)
+    s2, t2, p2, q2 = update_stress_load(*args, plan)
+    np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=0, atol=1e-10)
+    np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
