@@ -25,6 +25,7 @@ coarse solve, local error by the nodal blocks.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -116,20 +117,21 @@ def build_two_level(
     fixmask: jnp.ndarray,
     cluster_size: int = 64,
 ) -> TwoLevelPrecond:
-    """Assemble the two-level preconditioner from element blocks.
+    """Assemble the two-level preconditioner from element blocks, on device.
 
     The coarse operator uses the Dirichlet-masked blocks, so it approximates
     ``K_hat`` exactly on the coarse space; near-singular coarse dofs (fully
     constrained clusters) are regularized to identity.
 
-    The coarse Galerkin assembly runs on host in chunked numpy: its natural
-    intermediates have tiny trailing (6, 6) dims that tile catastrophically
-    in TPU HBM (a (ne, 10, 10, 6, 6) value pads ~28x).  It happens once per
-    analysis; the dense inverse goes back on device where the MXU makes it
-    cheap.
+    The Galerkin product is computed per element as ``S_e = Q~ B_e Q~^T``
+    with the block-diagonal per-element mode matrix ``Q~ (60, 30)`` — three
+    MXU-sized batched matmuls whose intermediates keep >=30-wide trailing
+    dims (a naive einsum's (..., 6, 6) tails tile ~21x in TPU HBM).  The
+    (6, 6) pair blocks then scatter-add into the (ncl^2, 36) coarse layout
+    inside a ``lax.scan`` over element chunks; everything stays on device
+    (pulling the 425 MB block array to the single-core host cost ~90 s per
+    analysis at 500k dofs, plus a 324 MB push back).
     """
-    import numpy as np
-
     nn_pad = fixmask.shape[0] // 3  # includes dof-alignment padding
     pinv = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
 
@@ -140,73 +142,74 @@ def build_two_level(
     m3 = jnp.pad(fixmask.reshape(nn_pad, 3), ((0, qmat.shape[0] - nn_pad), (0, 0)))
     qmat_bc = qmat * m3[:, :, None]
 
+    coarse_inv = _coarse_inverse(esm, elnodes, qmat_bc, cluster_size)
+    return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, fixmask)
+
+
+@partial(jax.jit, static_argnames=("cluster_size",))
+def _coarse_inverse(esm, elnodes, qmat_bc, cluster_size: int):
     ne = esm.shape[0]
-    esm_np = np.asarray(esm)
-    eln_np = np.asarray(elnodes)
-    q_np = np.asarray(qmat_bc)
-    cid_np = (np.arange(qmat.shape[0]) // cluster_size)[eln_np]  # (ne, 10)
+    dtype = esm.dtype
+    ncl = qmat_bc.shape[0] // cluster_size
+    cid = jnp.arange(qmat_bc.shape[0], dtype=jnp.int32) // cluster_size
 
-    kc_flat = np.zeros((ncl * ncl, 6, 6), dtype=np.float64)
-    chunk = max(1, 2_000_000 // 100)  # ~2M pair-blocks per chunk
-    for s in range(0, ne, chunk):
-        e = slice(s, min(s + chunk, ne))
-        c = min(s + chunk, ne) - s
-        blocks = esm_np[e].astype(np.float32)  # (c, 30, 30)
-        qe = q_np[eln_np[e]].astype(np.float32)  # (c, 10, 3, 6)
-        # pair[c,i,j] = Q_i^T B_ij Q_j via two batched BLAS matmuls
-        # (a 5-operand einsum here costs minutes at 500k dofs)
-        qe_t = np.ascontiguousarray(qe.transpose(0, 1, 3, 2)).reshape(c * 10, 6, 3)
-        b_rows = blocks.reshape(c, 10, 3, 30).reshape(c * 10, 3, 30)
-        s1 = (qe_t @ b_rows).reshape(c, 10, 6, 10, 3)  # (c,i,x,j,b)
-        s1 = np.ascontiguousarray(s1.transpose(0, 3, 1, 2, 4))  # (c,j,i,x,b)
-        qe_j = qe.reshape(c, 10, 3, 6)
-        pair = (s1.reshape(c * 10, 60, 3) @ qe_j.reshape(c * 10, 3, 6))
-        pair = pair.reshape(c, 10, 10, 6, 6).transpose(0, 2, 1, 3, 4)  # (c,i,j,x,y)
-        ci = cid_np[e][:, :, None].repeat(10, axis=2)
-        cj = cid_np[e][:, None, :].repeat(10, axis=1)
-        keys = (ci * ncl + cj).reshape(-1)
-        vals = pair.reshape(-1, 36)
-        # Sort-and-segment reduction: one argsort + reduceat streams the
-        # chunk once, vs 36 full-length bincount passes (~6x on this host).
-        order = np.argsort(keys, kind="stable")
-        k_sorted = keys[order]
-        v_sorted = vals[order]
-        starts = np.r_[0, np.flatnonzero(np.diff(k_sorted)) + 1]
-        seg = np.add.reduceat(v_sorted.astype(np.float64), starts, axis=0)
-        kc2d = kc_flat.reshape(ncl * ncl, 36)
-        np.add.at(kc2d, k_sorted[starts], seg)
-    kc = kc_flat.reshape(ncl, ncl, 6, 6)
+    chunk = min(8192, ne)
+    nchunks = -(-ne // chunk)
+    pad = nchunks * chunk - ne
+    # ghost elements: zero blocks on node 0 -> zero contributions to key 0
+    esm_p = jnp.concatenate([esm, jnp.zeros((pad, 30, 30), dtype)]) if pad else esm
+    eln_p = (
+        jnp.concatenate([elnodes, jnp.zeros((pad, 10), elnodes.dtype)])
+        if pad
+        else elnodes
+    )
+    eye10 = jnp.eye(10, dtype=dtype)
 
-    kc_dense = np.transpose(kc, (0, 2, 1, 3)).reshape(6 * ncl, 6 * ncl)
-    diag = np.diagonal(kc_dense).copy()
-    scale = diag.max()
-    diag[diag <= 1e-12 * scale] = scale
-    # Symmetric Jacobi scaling before the f64 host inversion keeps the
-    # explicit inverse balanced, bounding the f32 cancellation error of the
-    # per-iteration coarse matvec (a raw f32/TPU LU inversion is unusable:
-    # the coarse matrix inherits the stiffness conditioning).
-    dscale = 1.0 / np.sqrt(diag)
+    def body(kc, start):
+        esm_c = jax.lax.dynamic_slice_in_dim(esm_p, start, chunk, 0)
+        eln_c = jax.lax.dynamic_slice_in_dim(eln_p, start, chunk, 0)
+        qe = qmat_bc[eln_c]  # (c, 10, 3, 6)
+        # block-diagonal Q~ (c, 60, 30): rows (i, x), cols (i, a)
+        qt = jnp.einsum("ciax,ij->cixja", qe, eye10).reshape(chunk, 60, 30)
+        s_blk = qt @ esm_c @ jnp.swapaxes(qt, 1, 2)  # (c, 60, 60)
+        pair = (
+            s_blk.reshape(chunk, 10, 6, 10, 6)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(chunk * 100, 36)
+        )
+        ci = cid[eln_c]  # (c, 10)
+        keys = (ci[:, :, None] * ncl + ci[:, None, :]).reshape(-1)
+        return kc.at[keys].add(pair), None
+
+    kc0 = jnp.zeros((ncl * ncl, 36), dtype)
+    starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    kc, _ = jax.lax.scan(body, kc0, starts)
+
+    n6 = 6 * ncl
+    kc_dense = (
+        kc.reshape(ncl, ncl, 6, 6).transpose(0, 2, 1, 3).reshape(n6, n6)
+    )
+    diag = jnp.abs(jnp.diagonal(kc_dense))
+    scale = jnp.max(diag)
+    diag = jnp.where(diag <= 1e-12 * scale, scale, diag)
+    # Symmetric Jacobi scaling keeps the explicit inverse balanced, bounding
+    # the f32 cancellation error of the per-iteration coarse matvec.
+    dscale = 1.0 / jnp.sqrt(diag)
     kc_scaled = kc_dense * dscale[:, None] * dscale[None, :]
-    np.fill_diagonal(kc_scaled, np.maximum(np.diagonal(kc_scaled), 1.0))
+    ii = jnp.arange(n6)
+    kc_scaled = kc_scaled.at[ii, ii].set(jnp.maximum(kc_scaled[ii, ii], 1.0))
     # Ridge on the scaled matrix: index-contiguous clusters can be nearly
     # collinear (band-ordered meshes), leaving a near-null axis-rotation
     # mode whose exploding inverse entries an f32 apply cannot cancel.
     # The ridge bounds ||inv|| by 1/ridge while perturbing healthy modes
     # (diag ~ 1) by O(ridge).
     ridge = 1.0e-4
-    kc_scaled += ridge * np.eye(len(kc_scaled))
-    # f32 inversion is safe here: scaling + ridge bound the condition number
-    # by ~1/ridge, and the result is only a preconditioner.  The scaled
-    # matrix is SPD (diag >= 1 + ridge after the identity floor), so invert
-    # via Cholesky on the default device: the TPU MXU does the 9000^2 case
-    # in ~1s, and even jax-CPU LAPACK beats numpy's f32 getri ~4x here.
-    kcs_dev = jnp.asarray(kc_scaled, dtype=jnp.float32)
-    chol = jax.scipy.linalg.cho_factor(kcs_dev, lower=True)
-    inv_scaled = jax.scipy.linalg.cho_solve(
-        chol, jnp.eye(kcs_dev.shape[0], dtype=jnp.float32)
-    )
-    dscale_dev = jnp.asarray(dscale, dtype=jnp.float32)
-    coarse_inv = (inv_scaled * dscale_dev[:, None] * dscale_dev[None, :]).astype(
-        esm.dtype
-    )
-    return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, fixmask)
+    kc_scaled = kc_scaled + ridge * jnp.eye(n6, dtype=dtype)
+    # f32 Cholesky inversion is safe: scaling + ridge bound the condition
+    # number by ~1/ridge, and the result is only a preconditioner.  The MXU
+    # handles the 9000^2 case in ~1 s; TPU has no f64 LU anyway.
+    kcs32 = kc_scaled.astype(jnp.float32)
+    chol = jax.scipy.linalg.cho_factor(kcs32, lower=True)
+    inv_scaled = jax.scipy.linalg.cho_solve(chol, jnp.eye(n6, dtype=jnp.float32))
+    ds32 = dscale.astype(jnp.float32)
+    return (inv_scaled * ds32[:, None] * ds32[None, :]).astype(dtype)
