@@ -22,7 +22,19 @@ def main(argv=None):
     sub = ap.add_subparsers(dest="cmd", required=True)
     for name in ("run", "buckle", "info", "bench"):
         p = sub.add_parser(name)
-        p.add_argument("case", help="TOML case file")
+        p.add_argument("case", help="TOML case file or FreeCAD .FCStd document")
+        p.add_argument(
+            "--inp",
+            default=None,
+            help=".inp control file overriding the document's paired one "
+            "(FCStd input only)",
+        )
+        p.add_argument(
+            "--mesh",
+            default=None,
+            help="external mesh file (UNV/Gmsh/VTK) replacing the "
+            "document's embedded mesh (FCStd input only)",
+        )
         p.add_argument("--outdir", default="out")
         p.add_argument("--x64", action="store_true", help="enable float64")
         p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -40,7 +52,16 @@ def main(argv=None):
     import fcvm_tpu
     from fcvm_tpu.models.casefile import load_case
 
-    model, params = load_case(args.case)
+    if str(args.case).lower().endswith(".fcstd"):
+        # Golden-corpus replay: FreeCAD document + its paired .inp control
+        # file, the reference's own input pairing (fcVM.py:74-76).
+        from fcvm_tpu.models.fcstd import load_reference_case
+
+        model, params = load_reference_case(
+            args.case, inp_path=args.inp, mesh_path=args.mesh
+        )
+    else:
+        model, params = load_case(args.case)
     if args.steps:
         params.nstep = args.steps
 
@@ -77,7 +98,10 @@ def main(argv=None):
         print(f"wrote {args.outdir}/{model.name}.out .vtk .png")
         from fcvm_tpu.models.casefile import parse_sum_groups
 
-        edge_groups, face_groups = parse_sum_groups(args.case, model.mesh)
+        if str(args.case).lower().endswith(".fcstd"):
+            edge_groups, face_groups = {}, {}
+        else:
+            edge_groups, face_groups = parse_sum_groups(args.case, model.mesh)
         if edge_groups or face_groups:
             fcvm_tpu.run_sum(
                 model, res, params, edge_groups, face_groups, outdir=args.outdir

@@ -19,7 +19,7 @@ from fcvm_tpu import native
 # Gmsh tet10 midside order (0-1),(1-2),(0-2),(0-3),(2-3),(1-3) -> fcvm order
 GMSH_TO_FCVM = [0, 1, 2, 3, 4, 5, 6, 7, 9, 8]
 # UNV FE 118: c1, m12, c2, m23, c3, m31, m14, m24, m34, c4
-UNV_TO_FCVM = [0, 2, 4, 9, 1, 3, 5, 6, 7, 8]  # fcvm slot receiving unv slot i
+UNV_TO_FCVM = [0, 4, 1, 5, 2, 6, 7, 8, 9, 3]  # fcvm slot receiving unv slot i
 
 
 def read_mesh(path) -> Mesh:
@@ -28,7 +28,89 @@ def read_mesh(path) -> Mesh:
         return read_gmsh(path)
     if path.suffix == ".unv":
         return read_unv(path)
+    if path.suffix == ".vtk":
+        return read_vtk(path)
     raise ValueError(f"unsupported mesh format: {path.suffix}")
+
+
+def read_vtk(path) -> Mesh:
+    """Legacy VTK unstructured grid (ASCII or binary, 4.x and 5.1 layouts),
+    extracting the QUADRATIC_TETRA (type 24) cells.
+
+    The reference exports results this way (``fcVM.py:2903-2950``, via
+    pyvista/meshio); the committed ``output files/*.vtk`` therefore carry
+    the exact meshes of the committed runs, which makes them replayable even
+    when the ``.FCStd`` was saved with its Gmsh mesh purged.  VTK quadratic-
+    tetra node order equals the fcvm/CalculiX order, so connectivity is
+    taken verbatim.
+    """
+    data = Path(path).read_bytes()
+
+    def find_line(token, start=0):
+        i = data.find(token, start)
+        if i < 0:
+            raise ValueError(f"{path}: missing {token!r}")
+        j = data.index(b"\n", i)
+        return data[i:j].split(), j + 1
+
+    header = data[:256].split(b"\n")
+    binary = any(ln.strip() == b"BINARY" for ln in header[:4])
+
+    def read_array(offset, count, dtype):
+        if binary:
+            # legacy binary VTK is big-endian
+            item = np.dtype(dtype).newbyteorder(">")
+            arr = np.frombuffer(data, dtype=item, count=count, offset=offset)
+            return arr.astype(dtype), offset + count * item.itemsize
+        toks = []
+        pos = offset
+        while len(toks) < count:
+            j = data.index(b"\n", pos)
+            toks.extend(data[pos:j].split())
+            pos = j + 1
+        return np.array(toks[:count], dtype=dtype), pos
+
+    ln, pos = find_line(b"POINTS")
+    npts = int(ln[1])
+    pdtype = np.float64 if ln[2] == b"double" else np.float32
+    flat, pos = read_array(pos, 3 * npts, pdtype)
+    coords = flat.reshape(npts, 3).astype(np.float64)
+
+    ln, pos = find_line(b"CELLS", pos)
+    ncell_hdr, total = int(ln[1]), int(ln[2])
+    nxt = data.find(b"OFFSETS", pos)
+    if 0 <= nxt < pos + 80:  # VTK 5.1 layout: OFFSETS + CONNECTIVITY
+        ln, pos = find_line(b"OFFSETS", pos)
+        itype = np.int64 if b"64" in ln[1] else np.int32
+        offsets, pos = read_array(pos, ncell_hdr, itype)
+        ln, pos = find_line(b"CONNECTIVITY", pos)
+        conn, pos = read_array(pos, total, itype)
+        ncells = ncell_hdr - 1
+        starts, ends = offsets[:-1], offsets[1:]
+    else:  # classic layout: per-cell [n, id0, ..., idn-1]
+        flat, pos = read_array(pos, total, np.int64)
+        ncells = ncell_hdr
+        starts, ends, k = [], [], 0
+        for _ in range(ncells):
+            n = int(flat[k])
+            starts.append(k + 1)
+            ends.append(k + 1 + n)
+            k += 1 + n
+        conn = flat
+        starts, ends = np.array(starts), np.array(ends)
+
+    ln, pos = find_line(b"CELL_TYPES", pos)
+    ntypes = int(ln[1])
+    ctypes, pos = read_array(pos, ntypes, np.int32)
+
+    elems = [
+        conn[starts[c] : ends[c]]
+        for c in range(ncells)
+        if ctypes[c] == 24 and ends[c] - starts[c] == 10
+    ]
+    if not elems:
+        raise ValueError(f"{path}: no QUADRATIC_TETRA cells")
+    return Mesh(coords, np.asarray(elems, dtype=np.int64))
 
 
 def read_gmsh(path) -> Mesh:
@@ -136,8 +218,14 @@ def _read_unv_py(path) -> Mesh:
                 tag2idx = {t: k for k, t in enumerate(tags)}
                 while i < len(lines) and lines[i].strip() != "-1":
                     hdr = lines[i].split()
+                    if len(hdr) < 6:
+                        i += 1
+                        continue
                     fe, nnodes = int(hdr[1]), int(hdr[5])
                     i += 1
+                    # beam-family FE types carry an extra orientation record
+                    if fe in (11, 21, 22, 23, 24):
+                        i += 1
                     nd = []
                     while len(nd) < nnodes:
                         nd.extend(int(v) for v in lines[i].split())

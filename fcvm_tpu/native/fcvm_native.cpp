@@ -39,7 +39,7 @@ constexpr int kGmshToFcvm[10] = {0, 1, 2, 3, 4, 5, 6, 7, 9, 8};
 // corner1, mid(1-2), corner2, mid(2-3), corner3, mid(3-1),
 // mid(1-4), mid(2-4), mid(3-4), corner4.
 // fcvm order: c1 c2 c3 c4, (c1-c2),(c2-c3),(c1-c3),(c1-c4),(c2-c4),(c3-c4).
-constexpr int kUnvToFcvm[10] = {0, 2, 4, 9, 1, 3, 5, 6, 7, 8};
+constexpr int kUnvToFcvm[10] = {0, 4, 1, 5, 2, 6, 7, 8, 9, 3};
 // kUnvToFcvm[i] gives the fcvm slot receiving UNV slot i:
 //   unv0=c1->0, unv1=m12->4, unv2=c2->1, unv3=m23->5, unv4=c3->2,
 //   unv5=m31->6, unv6=m14->7, unv7=m24->8, unv8=m34->9, unv9=c4->3
@@ -251,8 +251,14 @@ FcvmMesh* fcvm_read_unv(const char* path) {
         s.erase(0, s.find_first_not_of(" \t\r"));
         if (s.rfind("-1", 0) == 0) break;
         std::istringstream ss(line);
-        int64_t tag, fe, a, b, c, nnodes;
-        ss >> tag >> fe >> a >> b >> c >> nnodes;
+        int64_t tag = 0, fe = 0, a = 0, b = 0, c = 0, nnodes = 0;
+        if (!(ss >> tag >> fe >> a >> b >> c >> nnodes)) continue;
+        // Beam-family elements (UNV FE 11/21/22/23/24) carry one extra
+        // orientation record between the header and the node list; SMESH /
+        // FreeCAD meshes include them for edge groups.
+        if (fe == 11 || fe == 21 || fe == 22 || fe == 23 || fe == 24) {
+          if (!std::getline(f, line)) break;
+        }
         std::vector<int64_t> nd;
         while ((int64_t)nd.size() < nnodes && std::getline(f, line)) {
           std::istringstream ns(line);

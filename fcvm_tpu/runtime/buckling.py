@@ -102,12 +102,27 @@ def buckling_from_arrays(
         pc = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
     precond = lambda r: apply_precond(pc, r)
 
-    @jax.jit
-    def k_inverse(w):
-        def solve_col(b):
-            return slv.pcg(kmv_single, b, precond=precond, rtol=rtol, maxiter=maxiter).x
+    if cfg.solver == "scipy":
+        # Host direct tier (the reference's Cholesky analogue,
+        # ``fcVM.py:1263-1278``): exact K^{-1} makes the subspace iteration
+        # robust on ill-conditioned (slender) structures where PCG would
+        # need a very deep iteration to reach eigensolve accuracy.
+        direct = slv.ScipyDirectSolver(esm, eldofs, fixmask, ndof)
 
-        return jax.vmap(solve_col, in_axes=1, out_axes=1)(w)
+        def k_inverse(w):
+            cols = [direct.solve(np.asarray(w[:, i])) for i in range(w.shape[1])]
+            return jnp.stack(cols, axis=1).astype(dtype)
+
+    else:
+
+        @jax.jit
+        def k_inverse(w):
+            def solve_col(b):
+                return slv.pcg(
+                    kmv_single, b, precond=precond, rtol=rtol, maxiter=maxiter
+                ).x
+
+            return jax.vmap(solve_col, in_axes=1, out_axes=1)(w)
 
     # Deterministic pseudo-random start block, Dirichlet-projected.
     key = jax.random.PRNGKey(0)
@@ -186,9 +201,17 @@ def linear_buckling(model, params, k: int = 2):
         pc = pinv
     maxiter = cfg.resolve_cg_maxiter(mesh.ndof)
     plan = asm.build_scatter_plan(mesh.elnodes, ndof_pad // 3)
-    ue = sysm.solve_displacement(
-        esm, elnodes, fixmask, pc, rhs, cfg.cg_rtol, maxiter, plan=plan
-    ).x
+    if cfg.solver == "scipy":
+        from fcvm_tpu.ops import solver as slv_mod
+
+        direct = slv_mod.ScipyDirectSolver(
+            esm, asm.element_dof_ids(elnodes), fixmask, ndof_pad
+        )
+        ue = jnp.asarray(direct.solve(rhs), dtype=dtype)
+    else:
+        ue = sysm.solve_displacement(
+            esm, elnodes, fixmask, pc, rhs, cfg.cg_rtol, maxiter, plan=plan
+        ).x
 
     ne = mesh.n_elements
     zeros_gp6 = jnp.zeros((ne, 4, 6), dtype=dtype)

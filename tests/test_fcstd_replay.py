@@ -1,0 +1,217 @@
+"""Golden-corpus replay: FreeCAD ``.FCStd`` documents + paired ``.inp``
+control files driven end-to-end, checked against the *committed* reference
+outputs (``output files/*.out``) — the regression strategy SURVEY.md section 4
+prescribes.
+
+Every expected number in this file is copied from a committed reference
+output, not from a prior run of this framework.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REF = Path("/root/reference")
+FCD = REF / "freeCAD files"
+
+pytestmark = pytest.mark.skipif(
+    not FCD.exists(), reason="reference corpus not mounted"
+)
+
+
+@pytest.fixture()
+def scipy_solver():
+    """Route linear solves through the host direct tier (the reference's
+    Cholesky analogue) — exact solves keep tiny-mesh replays fast and make
+    the buckling subspace iteration robust on slender bars."""
+    from fcvm_tpu.config import get_config
+
+    cfg = get_config()
+    old = cfg.solver
+    cfg.solver = "scipy"
+    yield
+    cfg.solver = old
+
+
+def _load(case, **kw):
+    from fcvm_tpu.models.fcstd import load_reference_case
+
+    return load_reference_case(FCD / f"{case}.FCStd", **kw)
+
+
+def _load_sums(model):
+    import jax.numpy as jnp
+
+    from fcvm_tpu.runtime import system as sysm
+
+    lt = sysm.LoadTables.from_spec(model.loads, jnp.float64)
+    glv, _, vol, sums = sysm.external_loads(
+        jnp.asarray(model.mesh.coords),
+        jnp.zeros(model.mesh.ndof),
+        jnp.asarray(model.mesh.elnodes),
+        lt,
+        model.material.density,
+        False,
+    )
+    return np.asarray(sums), float(vol)
+
+
+# ---------------------------------------------------------------------------
+# Ingest checksums (mesh sizes and load sums as committed in the .out files)
+# ---------------------------------------------------------------------------
+
+
+def test_tensile_ingest_checksums():
+    # output files/tensile.out:2-12
+    model, params = _load("tensile")
+    assert model.mesh.n_elements == 24
+    assert model.mesh.n_nodes == 63
+    sums, vol = _load_sums(model)
+    np.testing.assert_allclose(sums, [0.0, 0.0, 1.0e5], atol=1e-6)
+    assert abs(vol - 1000.0) < 1e-9  # 10 mm cube
+    assert params.sig_yield == 500.0
+
+
+def test_bar_buckling_ingest_checksums():
+    # output files/Bar buckling.out:2-11
+    model, _ = _load("Bar buckling")
+    assert model.mesh.n_elements == 145
+    assert model.mesh.n_nodes == 408
+    sums, vol = _load_sums(model)
+    np.testing.assert_allclose(sums, [-1000.0, 0.0, 0.0], atol=1e-9)
+    assert abs(vol - 1000.0 * 10 * 10) < 1e-6
+
+
+def test_cantilever_new_style_force_units():
+    # cantilever.FCStd stores Force as App::PropertyForce in FreeCAD
+    # internal units (mN); committed load sum is -1 N (cantilever.out:10).
+    model, _ = _load("cantilever")
+    sums, _ = _load_sums(model)
+    np.testing.assert_allclose(sums, [0.0, 0.0, -1.0], atol=1e-12)
+
+
+def test_embankment_ingest_checksums():
+    # output files/Embankment_with_Ditch_Example.out:2-12
+    model, params = _load("Embankment_with_Ditch_Example")
+    assert model.mesh.n_elements == 659
+    assert model.mesh.n_nodes == 1418
+    sums, _ = _load_sums(model)
+    np.testing.assert_allclose(sums, [0.0, 0.0, -1.06e6], rtol=1e-3)
+    assert params.gravity == (0.0, 0.0, -10.0)
+    # plane-strain rollers: both y-faces, y-dof only
+    fixmask, _, movdof = model.bcs.masks(model.mesh.ndof)
+    fixed = np.where(fixmask < 0.5)[0]
+    y_rollers = fixed[fixed % 3 == 1]
+    assert len(y_rollers) >= 746  # 373 nodes per face (committed mesh)
+
+
+def test_empty_embedded_mesh_raises():
+    # Plate_with_hole_Example.FCStd was saved after purging the Gmsh mesh.
+    from fcvm_tpu.models.fcstd import read_fcstd
+
+    with pytest.raises(ValueError, match="empty"):
+        read_fcstd(FCD / "Plate_with_hole_Example.FCStd")
+
+
+# ---------------------------------------------------------------------------
+# Physics replays against committed outputs
+# ---------------------------------------------------------------------------
+
+
+def test_bar_buckling_factors_match_committed(scipy_solver):
+    # committed: elastic buckling factors [0.43472 0.43473]
+    # ("Bar buckling.out:5"; Euler theory 432 N for the 1000 N load).
+    # Residual ~1e-4 difference: the reference penalizes fixed dofs by
+    # diagonal x100 (fcVM.py:1051-1062); we eliminate them exactly.
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    model, params = _load("Bar buckling")
+    res = solve_collapse(model, dataclasses.replace(params, nstep=1))
+    np.testing.assert_allclose(res.eigenvalues, [0.43472, 0.43473], rtol=3e-4)
+
+
+def test_buckling_case_factors_match_committed(scipy_solver):
+    # committed: [4.26305, 38.52437] (Buckling.out:5).  The committed run's
+    # exact mesh comes from the committed VTK export (the document itself
+    # was saved with a re-meshed, slightly different grid).
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    model, params = _load(
+        "Buckling", mesh_path=REF / "output files" / "Buckling.vtk"
+    )
+    assert model.mesh.n_elements == 214 and model.mesh.n_nodes == 553
+    res = solve_collapse(model, dataclasses.replace(params, nstep=1))
+    np.testing.assert_allclose(
+        res.eigenvalues, [4.26305, 38.52437], rtol=3e-4
+    )
+
+
+def test_lug_pressure_cylindrical_face_resolution():
+    # ConstraintPressure on the lug hole's 90-degree bearing arc (two CAD
+    # quarter-faces): committed load sums [2.12e5, ~0, ~0]
+    # (Lug_Pressure_Example.out:9-11); analytic resultant for p=100 MPa on
+    # a 90-degree arc of r=60, h=25: p*h*r*sqrt(2) = 212132 N.
+    model, _ = _load(
+        "Lug_Pressure_Example",
+        mesh_path=REF / "output files" / "Lug_Pressure_Example.vtk",
+    )
+    assert model.mesh.n_elements == 685 and model.mesh.n_nodes == 1491
+    sums, _ = _load_sums(model)
+    np.testing.assert_allclose(sums, [212132.0, 0.0, 0.0], atol=300.0)
+
+
+def test_tensile_elastic_steps_match_committed(scipy_solver):
+    # committed table rows 2-3 (tensile.out:16-17): LF 0.1/0.2,
+    # max disp 1.00e-2/2.00e-2, svm 100/200 at Gauss point 0
+    # (5.69, 5.69, 2.76).
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    model, params = _load("tensile")
+    res = solve_collapse(model, params)
+    h = res.history
+    np.testing.assert_allclose(h.lbd[1:3], [0.1, 0.2], atol=1e-9)
+    np.testing.assert_allclose(h.un[1:3], [0.01, 0.02], rtol=1e-6)
+    np.testing.assert_allclose(h.svm[1:3], [100.0, 200.0], rtol=1e-6)
+    assert h.crip[1] == 0
+    np.testing.assert_allclose(
+        res.gp_coords.reshape(-1, 3)[0], [5.69, 5.69, 2.76], atol=1e-2
+    )  # committed prints 3 significant digits (5.69e+00, 2.76e+00)
+
+
+def test_embankment_collapse_curve_matches_committed(scipy_solver):
+    # The committed load-displacement table (Embankment_with_Ditch_
+    # Example.out, tail) — final LF 0.503 at max displacement 5.62e2 mm;
+    # the slip-circle plateau rows [0.248, 0.330, 0.409, 0.459, 0.478, ...]
+    # appear in our curve at 4-digit agreement.
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    model, params = _load("Embankment_with_Ditch_Example")
+    res = solve_collapse(model, params)
+    lbd = np.asarray(res.history.lbd)
+    committed = [0.248, 0.330, 0.409, 0.459, 0.478, 0.484, 0.487, 0.489]
+    for c in committed:
+        assert np.min(np.abs(lbd - c)) < 1.5e-3, (c, lbd)
+    assert abs(lbd[-1] - 0.503) < 1.5e-3
+    assert abs(res.history.un[-1] - 562.0) < 5.0
+
+
+def test_cli_replay_fcstd(tmp_path, scipy_solver):
+    """The Start-button equivalent on a raw FreeCAD document."""
+    from fcvm_tpu.__main__ import main
+
+    main(
+        [
+            "run",
+            str(FCD / "tensile.FCStd"),
+            "--outdir",
+            str(tmp_path),
+            "--cpu",
+            "--x64",
+        ]
+    )
+    out = (tmp_path / "tensile.out").read_text()
+    assert "Sum of loads z-direction:        1.00e+05" in out
