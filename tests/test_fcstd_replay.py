@@ -199,6 +199,27 @@ def test_embankment_collapse_curve_matches_committed(scipy_solver):
     assert abs(res.history.un[-1] - 562.0) < 5.0
 
 
+def test_block_disp_control_replay(scipy_solver):
+    # Fully confined block, all six faces displacement-driven (three with
+    # nonzero values) — exercises the movdof/reaction path through the
+    # FCStd ingest.  Deviatoric stress caps at yield while the volumetric
+    # response stays elastic: at target LF 10 the prescribed strains are
+    # (0.01, 0.01, 0.1), so the top-face reaction is dominated by
+    # p*A = K*eps_v*A = (E/(3(1-2nu)))*0.12*100 = 2.0e6 N.
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    model, params = _load("Block_Disp_Control_Example")
+    _, _, movdof = model.bcs.masks(model.mesh.ndof)
+    assert int(movdof.sum()) == 39  # 13 nodes each on three driven faces
+    res = solve_collapse(model, params)
+    assert abs(res.history.lbd[-1] - 10.0) < 1e-9  # target-LF interception
+    assert float(res.svm_gp.max()) == pytest.approx(100.0, rel=1e-9)  # yield
+    assert float(res.peeq_gp.max()) > 0.05
+    e, nu = model.material.e, model.material.nu
+    bulk_reaction = e / (3 * (1 - 2 * nu)) * 0.12 * 100.0
+    assert res.history.load[-1] == pytest.approx(bulk_reaction, rel=0.01)
+
+
 def test_cli_replay_fcstd(tmp_path, scipy_solver):
     """The Start-button equivalent on a raw FreeCAD document."""
     from fcvm_tpu.__main__ import main
