@@ -142,12 +142,25 @@ def build_two_level(
     m3 = jnp.pad(fixmask.reshape(nn_pad, 3), ((0, qmat.shape[0] - nn_pad), (0, 0)))
     qmat_bc = qmat * m3[:, :, None]
 
-    coarse_inv = _coarse_inverse(esm, elnodes, qmat_bc, cluster_size)
+    # The f32 Galerkin accumulation cancels heavily (rigid modes nearly
+    # annihilate K rows), so the scaled coarse matrix can come out slightly
+    # indefinite and break the on-device Cholesky (observed min eig -6e-4 at
+    # 28k dofs on v5e).  Escalate the ridge until the inverse is finite —
+    # host-side retry, no jit recompile (ridge is a traced scalar).
+    coarse_inv = None
+    for ridge in (3.0e-4, 3.0e-3, 3.0e-2):
+        coarse_inv = _coarse_inverse(
+            esm, elnodes, qmat_bc, cluster_size, jnp.asarray(ridge, esm.dtype)
+        )
+        if not bool(jnp.isnan(coarse_inv[0, 0])) and not bool(
+            jnp.any(jnp.isnan(coarse_inv))
+        ):
+            break
     return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, fixmask)
 
 
 @partial(jax.jit, static_argnames=("cluster_size",))
-def _coarse_inverse(esm, elnodes, qmat_bc, cluster_size: int):
+def _coarse_inverse(esm, elnodes, qmat_bc, cluster_size: int, ridge=1.0e-4):
     ne = esm.shape[0]
     dtype = esm.dtype
     ncl = qmat_bc.shape[0] // cluster_size
@@ -202,8 +215,10 @@ def _coarse_inverse(esm, elnodes, qmat_bc, cluster_size: int):
     # collinear (band-ordered meshes), leaving a near-null axis-rotation
     # mode whose exploding inverse entries an f32 apply cannot cancel.
     # The ridge bounds ||inv|| by 1/ridge while perturbing healthy modes
-    # (diag ~ 1) by O(ridge).
-    ridge = 1.0e-4
+    # (diag ~ 1) by O(ridge).  Symmetrize first: the chunked f32 Galerkin
+    # accumulation leaves O(3e-4) relative skew that eats into the ridge
+    # margin.
+    kc_scaled = 0.5 * (kc_scaled + kc_scaled.T)
     kc_scaled = kc_scaled + ridge * jnp.eye(n6, dtype=dtype)
     # f32 Cholesky inversion is safe: scaling + ridge bound the condition
     # number by ~1/ridge, and the result is only a preconditioner.  The MXU
