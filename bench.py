@@ -90,6 +90,7 @@ def tpu_step_time(nx):
     u_fix = jnp.asarray(pad_vector(u_fix_np, nd_pad), dtype)
     lt = sysm.LoadTables.from_spec(model.loads, dtype)
     plan = asm_ops.build_scatter_plan(mesh.elnodes, nd_pad // 3)
+    space = sysm.build_solve_space(mesh.coords, mesh.elnodes, fixmask, nd_pad)
 
     t0 = time.perf_counter()
     esm, pinv, glv, rhs, gpc, vol, ls = jax.block_until_ready(
@@ -111,16 +112,17 @@ def tpu_step_time(nx):
     if cfg.precond == "two_level":
         t0 = time.perf_counter()
         pc = jax.block_until_ready(
-            build_two_level(esm, eln, coords, fixmask,
-                            cluster_size=cfg.resolve_cluster_size(mesh.n_nodes))
+            sysm.build_precond(esm, eln, coords, fixmask,
+                               cfg.resolve_cluster_size(mesh.n_nodes),
+                               space=space)
         )
         log(f"two-level precond build: {time.perf_counter() - t0:.2f}s")
     else:
-        pc = pinv
+        pc = pinv[space.nperm]
 
     maxiter = 5000
     solve = lambda b: sysm.solve_displacement(
-        esm, eln, fixmask, pc, b, CG_RTOL, maxiter, plan=plan
+        esm, eln, fixmask, pc, b, CG_RTOL, maxiter, plan=plan, space=space
     )
     res = jax.block_until_ready(solve(rhs))  # compile + elastic predictor
     ue = res.x

@@ -57,6 +57,14 @@ class FcvmConfig:
     cg_atol: float = 0.0
     cg_maxiter: int = 0
     precond: str = "two_level"
+    # Fine-level smoother of the two-level preconditioner: "jacobi3" = 3x3
+    # nodal block-Jacobi (default); "cluster" = non-overlapping
+    # block-Cholesky over index-contiguous node clusters — ~25% fewer CG
+    # iterations, but on v5e (2026-08) the batched apply compiles ~10x
+    # slower per iteration and the batched-Cholesky build is expensive, so
+    # it only pays on CPU/debug runs.
+    smoother: str = "jacobi3"
+    smoother_cluster_nodes: int = 64
     coarse_max_clusters: int = 1500
     coarse_cluster_nodes: int = 32
     n_eig_vectors: int = 8

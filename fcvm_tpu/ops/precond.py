@@ -6,27 +6,33 @@ Two levels:
   (:func:`fcvm_tpu.ops.assembly.block_jacobi_inverse_blocks`), rebuilt with
   every tangent refresh.
 * **Two-level aggregation coarse correction** — nodes are aggregated into
-  index-contiguous clusters (the mesh generators and RCM-ordered imports are
-  band-ordered, so contiguous index ranges are spatially compact); each
-  cluster carries the 6 rigid-body modes (translations + rotations about the
-  cluster centroid).  The coarse operator ``K_c = P^T K_hat P`` is assembled
-  directly from the element blocks and inverted densely on device once; the
-  per-iteration coarse correction is ``z += P K_c^{-1} P^T r``.
+  index-contiguous clusters; each cluster carries the 6 rigid-body modes
+  (translations + rotations about the cluster centroid).  The coarse
+  operator ``K_c = P^T K_hat P`` is assembled directly from the element
+  blocks and inverted densely on device once; the per-iteration coarse
+  correction is ``z += P K_c^{-1} P^T r``.
 
   Because clusters are index-contiguous, ``P`` / ``P^T`` are reshapes +
   einsums over a precomputed (nn, 3, 6) rigid-mode basis — no gather or
   scatter appears anywhere in the apply path, which is what makes the
   correction nearly free on TPU.
 
+Index-contiguous clusters are only effective when contiguous node ranges
+are *spatially compact*.  The solver therefore runs CG in a Morton-ordered
+"solve space" (:class:`fcvm_tpu.runtime.system.SolveSpace`) and builds this
+preconditioner on the Morton-permuted operator: measured on v5e, the
+compact clusters cut the 500k-dof elastic solve from 385 to 87 CG
+iterations, and a slender-bar solve from 16.4k to 1.4k.
+
 This is the TPU replacement for the spectral role of the reference's sparse
-Cholesky factorization: global (long-wavelength) error is killed by the
-coarse solve, local error by the nodal blocks.
+Cholesky factorization (``fcVM.py:66-71``): global (long-wavelength) error
+is killed by the coarse solve, local error by the nodal blocks.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -39,9 +45,19 @@ class TwoLevelPrecond(NamedTuple):
     qmat: jnp.ndarray  # (nn_pad, 3, 6) rigid-body modes per node
     coarse_inv: jnp.ndarray  # (6 ncl, 6 ncl) dense inverse of P^T K P
     fixmask: jnp.ndarray  # (ndof,)
+    # optional cluster block-Cholesky smoother (ncl_s, 3 cs, 3 cs); replaces
+    # the block-Jacobi fine-level apply when present
+    smooth_inv: Optional[jnp.ndarray] = None
 
     def apply(self, r):
-        z = asm.apply_block_precond(self.pinv, r)
+        if self.smooth_inv is not None:
+            m = self.smooth_inv.shape[1]
+            z = jnp.einsum(
+                "cij,cj->ci", self.smooth_inv,
+                (self.fixmask * r).reshape(-1, m),
+            ).reshape(-1) * self.fixmask
+        else:
+            z = asm.apply_block_precond(self.pinv, r)
         nn_pad = self.qmat.shape[0]
         ncl = self.coarse_inv.shape[0] // 6
         cs = nn_pad // ncl
@@ -67,9 +83,12 @@ def apply_precond(pc, r):
 
 def refresh_blocks(pc, esm, elnodes, fixmask):
     """Rebuild the block-Jacobi part after a tangent refresh, keeping the
-    coarse correction from the elastic operator (it only needs to stay SPD
-    and spectrally close, cf. modified-NR reuse of the elastic factor in the
+    coarse correction — and the cluster block-Cholesky smoother when present
+    — from the elastic operator (a preconditioner only needs to stay SPD and
+    spectrally close; cf. modified-NR reuse of the elastic factor in the
     reference, ``fcVM.py:1400-1406``)."""
+    if isinstance(pc, TwoLevelPrecond) and pc.smooth_inv is not None:
+        return pc  # elastic cluster inverses stay; no per-refresh rebuild
     pinv = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
     if isinstance(pc, TwoLevelPrecond):
         return pc._replace(pinv=pinv)
@@ -119,6 +138,9 @@ def build_two_level(
 ) -> TwoLevelPrecond:
     """Assemble the two-level preconditioner from element blocks, on device.
 
+    All inputs must share one node/element numbering — the driver passes the
+    Morton solve-space views so clusters are spatially compact.
+
     The coarse operator uses the Dirichlet-masked blocks, so it approximates
     ``K_hat`` exactly on the coarse space; near-singular coarse dofs (fully
     constrained clusters) are regularized to identity.
@@ -152,15 +174,24 @@ def build_two_level(
         coarse_inv = _coarse_inverse(
             esm, elnodes, qmat_bc, cluster_size, jnp.asarray(ridge, esm.dtype)
         )
-        if not bool(jnp.isnan(coarse_inv[0, 0])) and not bool(
-            jnp.any(jnp.isnan(coarse_inv))
-        ):
+        if not bool(jnp.any(jnp.isnan(coarse_inv))):
             break
-    return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, fixmask)
+
+    smooth_inv = None
+    from fcvm_tpu.config import get_config
+
+    cfg = get_config()
+    if cfg.smoother == "cluster":
+        cs = cfg.smoother_cluster_nodes
+        if nn_pad % cs == 0:
+            smooth_inv = _cluster_diag_inverse(esm, elnodes, fixmask, cs)
+            if bool(jnp.any(jnp.isnan(smooth_inv))):
+                smooth_inv = None  # fall back to block-Jacobi
+    return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, fixmask, smooth_inv)
 
 
 @partial(jax.jit, static_argnames=("cluster_size",))
-def _coarse_inverse(esm, elnodes, qmat_bc, cluster_size: int, ridge=1.0e-4):
+def _coarse_inverse(esm, elnodes, qmat_bc, cluster_size: int, ridge=3.0e-4):
     ne = esm.shape[0]
     dtype = esm.dtype
     ncl = qmat_bc.shape[0] // cluster_size
@@ -211,13 +242,11 @@ def _coarse_inverse(esm, elnodes, qmat_bc, cluster_size: int, ridge=1.0e-4):
     kc_scaled = kc_dense * dscale[:, None] * dscale[None, :]
     ii = jnp.arange(n6)
     kc_scaled = kc_scaled.at[ii, ii].set(jnp.maximum(kc_scaled[ii, ii], 1.0))
-    # Ridge on the scaled matrix: index-contiguous clusters can be nearly
-    # collinear (band-ordered meshes), leaving a near-null axis-rotation
-    # mode whose exploding inverse entries an f32 apply cannot cancel.
-    # The ridge bounds ||inv|| by 1/ridge while perturbing healthy modes
-    # (diag ~ 1) by O(ridge).  Symmetrize first: the chunked f32 Galerkin
-    # accumulation leaves O(3e-4) relative skew that eats into the ridge
-    # margin.
+    # Symmetrize (the chunked f32 accumulation leaves O(3e-4) relative skew)
+    # and ridge: index-contiguous clusters can be nearly collinear, leaving
+    # a near-null axis-rotation mode whose exploding inverse entries an f32
+    # apply cannot cancel.  The ridge bounds ||inv|| by 1/ridge while
+    # perturbing healthy modes (diag ~ 1) by O(ridge).
     kc_scaled = 0.5 * (kc_scaled + kc_scaled.T)
     kc_scaled = kc_scaled + ridge * jnp.eye(n6, dtype=dtype)
     # f32 Cholesky inversion is safe: scaling + ridge bound the condition
@@ -228,3 +257,66 @@ def _coarse_inverse(esm, elnodes, qmat_bc, cluster_size: int, ridge=1.0e-4):
     inv_scaled = jax.scipy.linalg.cho_solve(chol, jnp.eye(n6, dtype=jnp.float32))
     ds32 = dscale.astype(jnp.float32)
     return (inv_scaled * ds32[:, None] * ds32[None, :]).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("cs",))
+def _cluster_diag_inverse(esm, elnodes, fixmask, cs: int):
+    """Inverse cluster-diagonal blocks of ``K_hat``: (ncl, 3 cs, 3 cs).
+
+    Clusters are index-contiguous node ranges (compact in the Morton solve
+    space), so the apply is a reshape plus one batched matmul.  The blocks
+    are principal submatrices of the SPD ``K_hat`` (identity on fixed
+    dofs), so the batched Cholesky inversion is safe.  Note: on v5e
+    (2026-08) the batched Cholesky build pads ~40x in HBM and the batched
+    apply compiles ~10x slower per iteration than block-Jacobi, so this
+    path is default-off (``config.smoother``) and useful mainly on CPU.
+    """
+    ne = esm.shape[0]
+    dtype = esm.dtype
+    nn_pad = fixmask.shape[0] // 3
+    assert nn_pad % cs == 0, "dof padding must be a multiple of 3*cs"
+    ncl = nn_pad // cs
+    m = 3 * cs
+
+    chunk = min(4096, ne)
+    nchunks = -(-ne // chunk)
+    pad = nchunks * chunk - ne
+    esm_p = jnp.concatenate([esm, jnp.zeros((pad, 30, 30), dtype)]) if pad else esm
+    eln_p = (
+        jnp.concatenate([elnodes, jnp.zeros((pad, 10), elnodes.dtype)])
+        if pad
+        else elnodes
+    )
+    nrow = ncl * m * (m // 3)  # flat (cluster, row, col-node) 3-wide segments
+    a3 = jnp.arange(3, dtype=jnp.int32)
+
+    def body(acc, start):
+        esm_c = jax.lax.dynamic_slice_in_dim(esm_p, start, chunk, 0)
+        eln_c = jax.lax.dynamic_slice_in_dim(eln_p, start, chunk, 0)
+        cid = eln_c // cs  # (c, 10)
+        loc = eln_c % cs
+        # (c, 10, 10, 3, 3): [e, i, j, a, b] = esm[e, 3i+a, 3j+b]
+        pair = esm_c.reshape(chunk, 10, 3, 10, 3).transpose(0, 1, 3, 2, 4)
+        same = cid[:, :, None] == cid[:, None, :]
+        row = 3 * loc[:, :, None, None] + a3[None, None, None, :]  # (c,10,1,3)
+        key = (cid[:, :, None, None] * m + row) * (m // 3) + loc[:, None, :, None]
+        key = jnp.where(same[:, :, :, None], key, nrow)
+        acc = acc.at[key.reshape(-1)].add(pair.reshape(-1, 3))
+        return acc, None
+
+    acc0 = jnp.zeros((nrow + 1, 3), dtype)
+    starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+    acc, _ = jax.lax.scan(body, acc0, starts)
+    blocks = acc[:-1].reshape(ncl, m, m // 3, 3).reshape(ncl, m, m)
+
+    mask = fixmask.reshape(ncl, m)
+    mij = mask[:, :, None] * mask[:, None, :]
+    eye = jnp.eye(m, dtype=dtype)
+    blocks = blocks * mij + eye[None] * (1.0 - mask)[:, :, None]
+    chol = jax.vmap(lambda b: jax.scipy.linalg.cho_factor(b, lower=True)[0])(
+        blocks
+    )
+    inv = jax.vmap(
+        lambda c: jax.scipy.linalg.cho_solve((c, True), jnp.eye(m, dtype=dtype))
+    )(chol)
+    return inv

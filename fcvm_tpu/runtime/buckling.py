@@ -64,12 +64,16 @@ def buckling_from_arrays(
     outer_tol: float = 1.0e-9,
     max_outer: int = 60,
     plan=None,
+    space=None,
 ):
     """Lowest ``k`` buckling factors + mode shapes.
 
     Args:
       sig_gp: (ne, 4, 6) the pre-stress field (elastic stresses under the
         full reference load, cf. ``fcVM.py:1195-1207``).
+      space: optional :class:`fcvm_tpu.runtime.system.SolveSpace`; the whole
+        eigensolve then runs in the Morton node numbering (compact
+        preconditioner clusters), with mode shapes mapped back on return.
 
     Returns:
       (eigenvalues (k,), eigenvectors (ndof, k)) as numpy arrays, sorted by
@@ -84,6 +88,14 @@ def buckling_from_arrays(
 
     esm = asm.elastic_stiffness_blocks(coords, elnodes, dmat)
     nsm = asm.geometric_stiffness_blocks(coords, elnodes, sig_gp)
+    coords_work = coords
+    if space is not None:
+        esm = esm[space.eperm]
+        nsm = nsm[space.eperm]
+        elnodes = space.elnodes_m
+        fixmask = space.fixmask_m
+        plan = space.plan_m
+        coords_work = space.coords_m.astype(dtype)
     eldofs = asm.element_dof_ids(elnodes)
 
     kmv = _multi_matvec(esm, eldofs, fixmask, identity_on_fixed=True)
@@ -95,7 +107,7 @@ def buckling_from_arrays(
 
     if cfg.precond == "two_level":
         pc = build_two_level(
-            esm, elnodes, coords, fixmask,
+            esm, elnodes, coords_work, fixmask,
             cluster_size=cfg.resolve_cluster_size(coords.shape[0]),
         )
     else:
@@ -162,6 +174,8 @@ def buckling_from_arrays(
         imax = int(np.argmax(np.abs(vecs[:, i])))
         if vecs[imax, i] < 0:
             vecs[:, i] = -vecs[:, i]
+    if space is not None:
+        vecs = vecs.reshape(-1, 3, k)[np.asarray(space.npos)].reshape(-1, k)
     return np.asarray(lam), vecs
 
 
@@ -193,14 +207,16 @@ def linear_buckling(model, params, k: int = 2):
     esm, pinv, glv, rhs, _, _, _ = sysm.assemble_elastic(
         coords, elnodes, dmat, loads, density, fixmask, u_fix
     )
+    plan = asm.build_scatter_plan(mesh.elnodes, ndof_pad // 3)
+    space = sysm.build_solve_space(mesh.coords, mesh.elnodes, fixmask, ndof_pad)
     if cfg.precond == "two_level":
         pc = sysm.build_precond(
-            esm, elnodes, coords, fixmask, cfg.resolve_cluster_size(mesh.n_nodes)
+            esm, elnodes, coords, fixmask,
+            cfg.resolve_cluster_size(mesh.n_nodes), space=space,
         )
     else:
-        pc = pinv
+        pc = pinv[space.nperm]
     maxiter = cfg.resolve_cg_maxiter(mesh.ndof)
-    plan = asm.build_scatter_plan(mesh.elnodes, ndof_pad // 3)
     if cfg.solver == "scipy":
         from fcvm_tpu.ops import solver as slv_mod
 
@@ -210,7 +226,8 @@ def linear_buckling(model, params, k: int = 2):
         ue = jnp.asarray(direct.solve(rhs), dtype=dtype)
     else:
         ue = sysm.solve_displacement(
-            esm, elnodes, fixmask, pc, rhs, cfg.cg_rtol, maxiter, plan=plan
+            esm, elnodes, fixmask, pc, rhs, cfg.cg_rtol, maxiter, plan=plan,
+            space=space,
         ).x
 
     ne = mesh.n_elements
@@ -223,5 +240,6 @@ def linear_buckling(model, params, k: int = 2):
     lam, vecs = buckling_from_arrays(
         coords, elnodes, dmat, sig_el, fixmask,
         k=k, rtol=min(cfg.cg_rtol, 1.0e-10), maxiter=maxiter, plan=plan,
+        space=space,
     )
     return lam, vecs[: mesh.ndof]

@@ -201,6 +201,10 @@ def solve_collapse(
     loads = sysm.LoadTables.from_spec(model.loads, dtype)
     # gather-only scatter plan for all node reductions (TPU fast path)
     plan = asm_ops.build_scatter_plan(mesh.elnodes, ndof_pad // 3)
+    # Morton solve space: CG runs in a Z-ordered node numbering so the
+    # two-level clusters are spatially compact (user-facing node/element
+    # order — and hence result/Gauss-point parity — is untouched).
+    space = sysm.build_solve_space(coords_np, mesh.elnodes, fixmask, ndof_pad)
 
     rtol = cfg.cg_rtol
     maxiter = cfg.resolve_cg_maxiter(ndof)
@@ -222,7 +226,7 @@ def solve_collapse(
             return x, 0.0
         res = sysm.solve_displacement(
             lin.esm, elnodes, fixmask, lin.pc, b, lin.rtol, lin.maxiter, x0=x0,
-            plan=plan,
+            plan=plan, space=space,
         )
         x = res.x.block_until_ready()
         cg_stats["solves"] += 1
@@ -236,8 +240,10 @@ def solve_collapse(
                 return sysm.build_precond(
                     esm, elnodes, coords_dev, fixmask,
                     cfg.resolve_cluster_size(mesh.n_nodes),
+                    space=space,
                 )
-        return pinv
+        # block-Jacobi tier: permute the nodal blocks into the solve space
+        return pinv[space.nperm]
 
     coords = jnp.asarray(coords_np, dtype=dtype)
     esm, pinv, glv, rhs, gp_coords, volume, loadsums = assemble(coords_np)
@@ -298,6 +304,7 @@ def solve_collapse(
             eigenvalues, eigenvectors = buckling_from_arrays(
                 coords, elnodes, dmat, sig_el_gp, fixmask,
                 k=2, rtol=min(rtol, 1.0e-10), maxiter=maxiter, plan=plan,
+                space=space,
             )
             log(f"buckling load factors: {eigenvalues}")
 
@@ -462,7 +469,7 @@ def solve_collapse(
                         esm_t, pc_t, glv, ue = sysm.tangent_refresh(
                             coords, elnodes, dmat, sig_old, pgp, disp_new, du,
                             loads, density, fixmask, u_fix, g, h, rtol, maxiter,
-                            pc=lin.pc, plan=plan,
+                            pc=lin.pc, plan=plan, space=space,
                         )
                         ue.block_until_ready()
                         cg_stats["tangent_time"] += time.perf_counter() - t0
