@@ -477,7 +477,32 @@ class CloudResolver:
 
     # -- faces ---------------------------------------------------------------
 
-    def faces_for(self, pts: np.ndarray, nrm: np.ndarray) -> np.ndarray:
+    def resolve_faces(
+        self, pts: np.ndarray, nrm: np.ndarray, what: str = "constraint"
+    ) -> np.ndarray:
+        """``faces_for`` with a relaxed-tolerance retry ladder.
+
+        Meshes do not always sit exactly on the CAD surfaces (e.g. the
+        committed reference VTK exports carry imperfection-seeded
+        coordinates, and real meshers leave projection slack); when the
+        strict pass resolves nothing, retry with the surface-membership
+        tolerance widened 30x / 1000x and warn.
+        """
+        for tf in (1.0, 30.0, 1000.0):
+            faces = self.faces_for(pts, nrm, tol_factor=tf)
+            if len(faces):
+                if tf > 1.0:
+                    warnings.warn(
+                        f"fcstd: {what} resolved only with a {tf:g}x relaxed "
+                        "surface tolerance — mesh nodes sit off the CAD "
+                        "geometry (imperfect/deformed mesh?)"
+                    )
+                return faces
+        return faces
+
+    def faces_for(
+        self, pts: np.ndarray, nrm: np.ndarray, tol_factor: float = 1.0
+    ) -> np.ndarray:
         """Boundary tri6 faces lying on the sampled CAD surface.
 
         Three-stage resolution, mirroring what FreeCAD's
@@ -498,12 +523,15 @@ class CloudResolver:
             return np.zeros((0, 6), dtype=np.int32)
         nn = np.linalg.norm(nrm, axis=1) if len(nrm) == len(pts) else None
         have_normals = nn is not None and bool(np.all(nn > 0.5))
+        signed = have_normals
         if have_normals:
             nrm = nrm / nn[:, None]
         elif len(pts) >= 4:
             # Force constraints store no Normals blob; estimate them from
             # local plane fits so samples landing exactly on a crease still
-            # vote for the referenced face, not a neighbour.
+            # vote for the referenced face, not a neighbour.  SVD normals
+            # have arbitrary per-point sign, so clustering must be unsigned
+            # (members are sign-canonicalized to their cluster).
             nrm = self._estimate_normals(pts)
             have_normals = True
 
@@ -513,36 +541,48 @@ class CloudResolver:
             return self.bfaces[mask]
 
         remaining = []
-        for cluster in self._cluster_by_normal(pts, nrm):
-            if len(cluster) >= 3 and self._select_plane(pts, nrm, cluster, mask):
+        for cluster in self._cluster_by_normal(pts, nrm, signed=signed):
+            if len(cluster) >= 3 and self._select_plane(
+                pts, nrm, cluster, mask, tol_factor
+            ):
                 continue
             remaining.extend(cluster)
         if remaining:
             remaining = np.array(remaining)
-            if not self._select_cylinder(pts, nrm, remaining, mask):
+            if not self._select_cylinder(pts, nrm, remaining, mask, tol_factor):
                 self._select_patches(pts, nrm, remaining, mask)
         return self.bfaces[mask]
 
-    def _cluster_by_normal(self, pts, nrm, cos_same=0.9962):  # 5 degrees
+    def _cluster_by_normal(self, pts, nrm, cos_same=0.9962, signed=True):
+        """Group samples by normal direction (5-degree cone).
+
+        ``signed=False`` clusters by |cos| and flips members in place to the
+        cluster representative's orientation (for sign-ambiguous estimated
+        normals).
+        """
         reps, clusters = [], []
         for i in range(len(pts)):
             for r, cl in zip(reps, clusters):
-                if nrm[i] @ r > cos_same:
+                d = float(nrm[i] @ r)
+                if (d if signed else abs(d)) > cos_same:
+                    if not signed and d < 0:
+                        nrm[i] = -nrm[i]
                     cl.append(i)
                     break
             else:
-                reps.append(nrm[i])
+                reps.append(nrm[i].copy())
                 clusters.append([i])
         return clusters
 
-    def _select_plane(self, pts, nrm, cluster, mask) -> bool:
+    def _select_plane(self, pts, nrm, cluster, mask, tol_factor=1.0) -> bool:
         """Exact planar-face membership for one coplanar sample cluster."""
         cl = np.asarray(cluster)
         n = nrm[cl].mean(axis=0)
         n = n / np.linalg.norm(n)
         p0 = pts[cl].mean(axis=0)
-        tol = max(1e-6 * self.diag, 1e-9)
-        if np.max(np.abs((pts[cl] - p0) @ n)) > tol:
+        cloud_tol = max(1e-6 * self.diag, 1e-9)
+        tol = cloud_tol * tol_factor
+        if np.max(np.abs((pts[cl] - p0) @ n)) > cloud_tol:
             return False  # normals agree but points not coplanar
         s = np.linalg.svd(pts[cl] - p0, compute_uv=False)
         if s[1] < 1e-3 * max(s[0], 1e-12):
@@ -572,7 +612,7 @@ class CloudResolver:
         mask[cand[_hull_contains(s2d, q2d, margin)]] = True
         return True
 
-    def _select_cylinder(self, pts, nrm, idx, mask) -> bool:
+    def _select_cylinder(self, pts, nrm, idx, mask, tol_factor=1.0) -> bool:
         """Cylindrical-face membership for samples with rotating normals."""
         if len(idx) < 6:
             return False
@@ -606,7 +646,7 @@ class CloudResolver:
             rad = np.hypot(uu - cu, vvv - cv)
             return np.arctan2(vvv - cv, uu - cu), zz, rad
 
-        tol_r = max(0.05 * r, 1e-6 * self.diag)
+        tol_r = max(0.05 * r, 1e-6 * self.diag * tol_factor)
         nd_th, nd_z, nd_rad = unroll(self.coords)
         node_on = np.abs(nd_rad - r) <= tol_r
         cand = np.where(node_on[self.bfaces].all(axis=1))[0]
@@ -821,7 +861,7 @@ def build_model(
                 )
             nodes = []
             if "Face" in kinds or not kinds:
-                faces = res.faces_for(con.points, con.normals)
+                faces = res.resolve_faces(con.points, con.normals, con.name)
                 nodes.append(np.unique(faces))
             if "Edge" in kinds:
                 edges = res.edges_for(con.points)
@@ -836,7 +876,7 @@ def build_model(
             bc_entries.append((nodes, comps))
 
         elif con.kind == "Pressure":
-            faces = res.faces_for(con.points, con.normals)
+            faces = res.resolve_faces(con.points, con.normals, con.name)
             if len(faces) == 0:
                 warnings.warn(f"fcstd: pressure {con.name} resolved no faces")
                 continue
@@ -847,7 +887,9 @@ def build_model(
         elif con.kind == "Force":
             f_total = con.props["force"] * np.asarray(con.props["direction"])
             faces = (
-                res.faces_for(con.points, con.normals) if "Face" in kinds else None
+                res.resolve_faces(con.points, con.normals, con.name)
+                if "Face" in kinds
+                else None
             )
             edges = res.edges_for(con.points) if "Edge" in kinds else None
             verts = (
@@ -860,6 +902,13 @@ def build_model(
                     f"fcstd: force {con.name} references mixed kinds {kinds}; "
                     "sample-cloud resolution is best-effort — check load sums"
                 )
+            if (
+                (faces is None or len(faces) == 0)
+                and (edges is None or len(edges) == 0)
+                and (verts is None or len(verts) == 0)
+            ):
+                warnings.warn(f"fcstd: force {con.name} resolved no entities")
+                continue
             kw = distribute_total_force(
                 mesh, f_total, faces=faces, edges=edges, vertices=verts
             )

@@ -199,6 +199,30 @@ def test_embankment_collapse_curve_matches_committed(scipy_solver):
     assert abs(res.history.un[-1] - 562.0) < 5.0
 
 
+def test_u100_buckling_replay(scipy_solver):
+    # buckling_U100_3D.out: factors [3.89514, 8.39446], load sums
+    # [2e3, 0, -5.01e4].  The committed VTK mesh carries the run's
+    # imperfection-seeded coordinates (GNLY, maxImp=1), so constraint
+    # resolution needs the relaxed-tolerance ladder and the replayed
+    # geometry is ~1 mm perturbed: first factor matches to ~1e-4, the
+    # second (torsional) to ~0.5%.
+    import warnings
+
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        model, params = _load(
+            "buckling_U100_3D",
+            mesh_path=REF / "output files" / "buckling_U100_3D.vtk",
+        )
+    sums, _ = _load_sums(model)
+    np.testing.assert_allclose(sums, [2000.0, 0.0, -5.01e4], rtol=2e-3)
+    res = solve_collapse(model, dataclasses.replace(params, nstep=1))
+    assert abs(res.eigenvalues[0] - 3.89514) < 2e-3
+    assert abs(res.eigenvalues[1] - 8.39446) < 0.05
+
+
 def test_block_disp_control_replay(scipy_solver):
     # Fully confined block, all six faces displacement-driven (three with
     # nonzero values) — exercises the movdof/reaction path through the
