@@ -94,3 +94,38 @@ def test_native_builds():
     """The C++ library must compile in this environment."""
     assert native.build(), "native toolchain present but build failed"
     assert native.available()
+
+
+def test_vtk_reader_on_own_export(tmp_path, mesh):
+    """The legacy-VTK reader ingests our own ASCII export (and hence the
+    reference's committed ``output files/*.vtk`` meshes, which use the same
+    QUADRATIC_TETRA layout)."""
+    from fcvm_tpu.runtime import vtk as vtk_mod
+
+    import fcvm_tpu
+    from fcvm_tpu.models.inp import ControlParams
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    path = tmp_path / "m.vtk"
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [(mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, 0.0, 0.0))]
+    )
+    model = fcvm_tpu.Model(
+        mesh, fcvm_tpu.Material(210000.0, 0.3), bcs, fcvm_tpu.Loads(),
+        name="m",
+    )
+    params = ControlParams(nstep=1, gnl="GNLN")
+    res = solve_collapse(model, params)
+    vtk_mod.export_results(path, res, mesh.elnodes, params, 240.0)
+    got = meshio_io.read_vtk(path)
+    assert got.n_elements == mesh.n_elements
+    np.testing.assert_allclose(
+        np.sort(got.coords, axis=0), np.sort(mesh.coords, axis=0), atol=1e-9
+    )
+    # connectivity equivalent up to node numbering: compare element volumes
+    def vol(m):
+        c = m.coords[m.elnodes]
+        return np.sort(np.abs(np.einsum(
+            "ij,ij->i", np.cross(c[:, 1] - c[:, 0], c[:, 2] - c[:, 0]),
+            c[:, 3] - c[:, 0])) / 6.0)
+    np.testing.assert_allclose(vol(got), vol(mesh), rtol=1e-9)
