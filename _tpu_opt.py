@@ -52,18 +52,19 @@ elif mode == "bf16":
     elnodes_m10 = space.elnodes_m
     nn = nd_pad//3
     @jax.jit
-    def solve_bf(esm_a, b):
+    def solve_bf(esm_a, pc_a, fm_a, plan_a, eln_a, b):
         esm4 = esm_a.reshape(ne, 10, 3, 30)
         def kv(u):
-            up = space.fixmask_m * u
-            u3 = up.reshape(nn,3)[elnodes_m10]
+            up = fm_a * u
+            u3 = up.reshape(nn,3)[eln_a]
             fe = jnp.einsum("eabj,ej->eab", esm4, u3.reshape(ne,30).astype(jnp.bfloat16),
                             preferred_element_type=jnp.float32)
-            y = asm_ops.scatter_node_rows(fe.reshape(-1,3), space.plan_m).reshape(-1)
-            return space.fixmask_m * y + (1.0-space.fixmask_m)*u
-        return slv.pcg(kv, b, precond=lambda rr: apply_precond(pc, rr), rtol=1e-5, maxiter=20000)
-    r = jax.block_until_ready(solve_bf(esm_bf, space.to_m(rhs)))
+            y = asm_ops.scatter_node_rows(fe.reshape(-1,3), plan_a).reshape(-1)
+            return fm_a * y + (1.0-fm_a)*u
+        return slv.pcg(kv, b, precond=lambda rr: apply_precond(pc_a, rr), rtol=1e-5, maxiter=20000)
+    args = (esm_bf, pc, space.fixmask_m, space.plan_m, elnodes_m10)
+    r = jax.block_until_ready(solve_bf(*args, space.to_m(rhs)))
     t0=time.perf_counter()
-    r = jax.block_until_ready(solve_bf(esm_bf, space.to_m(rhs*1.0001)))
+    r = jax.block_until_ready(solve_bf(*args, space.to_m(rhs*1.0001)))
     ts=time.perf_counter()-t0
     print(f"bf16: solve {ts*1e3:.0f}ms iters {int(r.iters)} ms/iter {ts*1e3/max(int(r.iters),1):.2f} relres {float(r.relres):.1e}", flush=True)

@@ -244,6 +244,41 @@ def test_block_disp_control_replay(scipy_solver):
     assert res.history.load[-1] == pytest.approx(bulk_reaction, rel=0.01)
 
 
+def test_vm_uniaxial_tension_verification_replay(scipy_solver):
+    # The reference's own von Mises verification model: self-equilibrated
+    # biaxial tension (+/-10 MPa pressure pairs on the x- and z-faces, net
+    # load sums zero) with the textbook 3-2-1 vertex constraint set.
+    # Elastic biaxial-equal-tension von Mises: svm = 10 * LF.
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    model, params = _load("VM_Uniaxial_Tension_Example")
+    sums, _ = _load_sums(model)
+    np.testing.assert_allclose(sums, [0.0, 0.0, 0.0], atol=1e-9)
+    assert len(model.bcs.fixed_dofs) == 6  # 3-2-1 rigid-body suppression
+    res = solve_collapse(model, params)
+    assert abs(res.history.lbd[-1] - params.target_lf) < 1e-9
+    np.testing.assert_allclose(
+        float(res.svm_gp.max()), 10.0 * params.target_lf, rtol=1e-9
+    )
+    assert float(res.peeq_gp.max()) == 0.0  # below yield (LF 10)
+
+
+def test_simple_shear_verification_replay(scipy_solver):
+    # Pure shear via two force couples (tau = 100 MPa at LF 1): the von
+    # Mises collapse load factor is sig_y / (sqrt(3) tau) = 1/sqrt(3).
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    model, params = _load("Simple Shear")
+    res = solve_collapse(model, params)
+    plateau = np.asarray(res.history.lbd)[-5:]
+    # the Riks path oscillates +/-1.6% around the limit load on this
+    # 24-element mesh; the mean tracks 1/sqrt(3) to ~0.3%
+    np.testing.assert_allclose(plateau.mean(), 1.0 / np.sqrt(3.0), rtol=0.005)
+    np.testing.assert_allclose(plateau, 1.0 / np.sqrt(3.0), rtol=0.02)
+    assert float(res.svm_gp.max()) == pytest.approx(100.0, rel=1e-9)
+    assert float(res.peeq_gp.max()) > 1e-3
+
+
 def test_cli_replay_fcstd(tmp_path, scipy_solver):
     """The Start-button equivalent on a raw FreeCAD document."""
     from fcvm_tpu.__main__ import main
