@@ -64,11 +64,15 @@ class TwoLevelPrecond(NamedTuple):
         r3 = (self.fixmask * r).reshape(-1, 3)
         pad = nn_pad - r3.shape[0]
         r3p = jnp.pad(r3, ((0, pad), (0, 0)))
-        # P^T r: project onto rigid modes and sum within clusters
+        # P^T r: project onto rigid modes and sum within clusters.  The
+        # coarse inverse lives in mode-major dof order (k * ncl + i) — that
+        # layout lets the Galerkin build avoid a (ncl, ncl, 6, 6)
+        # intermediate whose (8, 128) tiling costs ~21x HBM.
         rc = jnp.einsum("nak,na->nk", self.qmat, r3p)  # (nn_pad, 6)
-        rc = rc.reshape(ncl, cs, 6).sum(axis=1).reshape(-1)  # (6 ncl,)
-        zc = self.coarse_inv @ rc
-        zc_n = jnp.repeat(zc.reshape(ncl, 1, 6), cs, axis=1).reshape(nn_pad, 6)
+        rc = rc.reshape(ncl, cs, 6).sum(axis=1)  # (ncl, 6)
+        zc = self.coarse_inv @ rc.T.reshape(-1)  # mode-major (6 ncl,)
+        zc_cl = zc.reshape(6, ncl).T  # (ncl, 6)
+        zc_n = jnp.repeat(zc_cl[:, None, :], cs, axis=1).reshape(nn_pad, 6)
         z2 = jnp.einsum("nak,nk->na", self.qmat, zc_n)  # (nn_pad, 3)
         z2 = z2[: r3.shape[0]].reshape(-1) * self.fixmask
         return z + z2
@@ -230,9 +234,12 @@ def _coarse_inverse(esm, elnodes, qmat_bc, cluster_size: int, ridge=3.0e-4):
     kc, _ = jax.lax.scan(body, kc0, starts)
 
     n6 = 6 * ncl
-    kc_dense = (
-        kc.reshape(ncl, ncl, 6, 6).transpose(0, 2, 1, 3).reshape(n6, n6)
-    )
+    # Mode-major dense layout D[(a ncl + i), (b ncl + j)] = kc[i ncl + j, 6a+b]:
+    # the only transposes move (ncl, ncl) planes, whose (8, 128) tiling is
+    # tight — the naive cluster-major interleave materializes a
+    # (ncl, ncl, 6, 6) intermediate that tiles ~21x (9+ GB at ncl = 1500).
+    planes = kc.T.reshape(6, 6, ncl, ncl)  # [a, b, i, j]
+    kc_dense = planes.transpose(0, 2, 1, 3).reshape(n6, n6)
     diag = jnp.abs(jnp.diagonal(kc_dense))
     scale = jnp.max(diag)
     diag = jnp.where(diag <= 1e-12 * scale, scale, diag)
