@@ -279,6 +279,48 @@ def test_simple_shear_verification_replay(scipy_solver):
     assert float(res.peeq_gp.max()) > 1e-3
 
 
+def test_elastica_large_deflection_matches_ode(scipy_solver):
+    # The bundled Elastica model: 1000x10x10 cantilever, dead end load 175 N
+    # per unit LF, GNLY.  Adaptive Riks stepping runs deep into the
+    # geometric-nonlinear regime (PL^2/EI ~ 20); the solid-element tip
+    # position matches the inextensible-elastica ODE (EI theta'' =
+    # -P cos(theta), theta(0)=0, theta'(L)=0) to ~2.5% — the residual is
+    # genuine solid-section physics (shear deformation, Poisson effects)
+    # plus the 78-element mesh.
+    from scipy.integrate import solve_bvp
+
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    model, params = _load("Elastica")
+    res = solve_collapse(
+        model, dataclasses.replace(params, nstep=40, target_lf=99.0)
+    )
+    lf = res.history.lbd[-1]
+    assert lf > 10.0  # deep elastica regime reached without divergence
+    tip = model.mesh.select_nodes(lambda x, y, z: x > 1000 - 1e-6)
+    u = res.disp_total.reshape(-1, 3)[tip]
+    ux, uz = float(u[:, 0].mean()), float(u[:, 2].mean())
+
+    length, ei = 1000.0, 210000.0 * 10.0 * 10.0**3 / 12.0
+    s = np.linspace(0.0, length, 400)
+    y = np.zeros((2, s.size))
+    for p_k in np.linspace(50.0, 175.0 * lf, 30):  # load continuation
+
+        def ode(ss, yy, p_k=p_k):
+            return np.vstack([yy[1], -p_k / ei * np.cos(yy[0])])
+
+        def bc(ya, yb):
+            return np.array([ya[0], yb[1]])
+
+        sol = solve_bvp(ode, bc, s, y, max_nodes=40000, tol=1e-10)
+        y = sol.sol(s)
+    th = sol.sol(s)[0]
+    ux_ode = float(np.trapezoid(np.cos(th), s)) - length
+    uz_ode = -float(np.trapezoid(np.sin(th), s))  # load acts in -z
+    assert abs(ux - ux_ode) / abs(ux_ode) < 0.03
+    assert abs(uz - uz_ode) / abs(uz_ode) < 0.03
+
+
 def test_cli_replay_fcstd(tmp_path, scipy_solver):
     """The Start-button equivalent on a raw FreeCAD document."""
     from fcvm_tpu.__main__ import main
