@@ -746,7 +746,11 @@ class CloudResolver:
             np.fill_diagonal(d, np.inf)
             nbr = np.argpartition(d, 1, axis=1)[:, :2]
             a, b = pts[nbr[:, 0]], pts[nbr[:, 1]]
-            sag = float(np.max(_point_segment_dist(pts, a, b)))
+            # distance to the *infinite line* through the two neighbours:
+            # endpoint samples sit outside their neighbour segment, and the
+            # clamped segment distance would report the full sample spacing
+            # as curvature (tolerance blow-up on straight edges)
+            sag = float(np.max(_point_line_dist(pts, a, b)))
         tol = max(2.5 * sag, 1e-6 * self.diag + 1e-9)
 
         emid = self.coords[self.bedges].mean(axis=1)
@@ -808,6 +812,14 @@ def _hull_contains(samples2d, queries2d, margin):
         return ((queries2d >= lo) & (queries2d <= hi)).all(axis=1)
     eq = hull.equations
     return (queries2d @ eq[:, :2].T + eq[:, 2][None, :] <= margin).all(axis=1)
+
+
+def _point_line_dist(x, a, b):
+    ab = b - a
+    denom = np.maximum((ab * ab).sum(axis=1), 1e-300)
+    t = ((x - a) * ab).sum(axis=1) / denom
+    proj = a + t[:, None] * ab
+    return np.linalg.norm(x - proj, axis=1)
 
 
 def _point_segment_dist(x, a, b):

@@ -337,3 +337,30 @@ def test_cli_replay_fcstd(tmp_path, scipy_solver):
     )
     out = (tmp_path / "tensile.out").read_text()
     assert "Sum of loads z-direction:        1.00e+05" in out
+
+
+def test_cloud_resolver_edges_and_vertices():
+    """Unit coverage for edge/vertex resolution (no bundled document with an
+    intact mesh references edges, so exercise the path synthetically)."""
+    from fcvm_tpu.models.fcstd import CloudResolver
+    from fcvm_tpu.models import meshgen
+
+    mesh = meshgen.box_tet10(3, 3, 3, 10.0, 10.0, 10.0)
+    res = CloudResolver(mesh)
+    # the x-axis edge y=z=0, sampled like a FreeCAD marker grid
+    pts = np.column_stack(
+        [np.linspace(0.0, 10.0, 5), np.zeros(5), np.zeros(5)]
+    )
+    edges = res.edges_for(pts)
+    assert len(edges)
+    nodes = np.unique(edges)
+    xyz = mesh.coords[nodes]
+    np.testing.assert_allclose(xyz[:, 1:], 0.0, atol=1e-9)
+    expected = mesh.select_nodes(
+        lambda x, y, z: (np.abs(y) < 1e-9) & (np.abs(z) < 1e-9)
+    )
+    assert set(nodes.tolist()) == set(expected.tolist())
+
+    verts = res.vertices_for(np.array([[10.0, 10.0, 10.0], [0.0, 0.0, 0.0]]))
+    got = set(mesh.coords[verts].round(6).sum(axis=1).tolist())
+    assert got == {30.0, 0.0}
