@@ -364,3 +364,24 @@ def test_cloud_resolver_edges_and_vertices():
     verts = res.vertices_for(np.array([[10.0, 10.0, 10.0], [0.0, 0.0, 0.0]]))
     got = set(mesh.coords[verts].round(6).sum(axis=1).tolist())
     assert got == {30.0, 0.0}
+
+
+def test_whole_corpus_ingest_never_crashes():
+    """Every bundled .FCStd either builds a model or raises a clean,
+    diagnosable error (documents saved with purged Gmsh meshes raise
+    ValueError) — no ingest crash across the 70+ document corpus."""
+    import warnings
+
+    from fcvm_tpu.models.fcstd import build_model, read_fcstd
+
+    ok = clean = 0
+    for f in sorted(FCD.glob("*.FCStd")):
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                build_model(read_fcstd(f))
+            ok += 1
+        except (ValueError, FileNotFoundError):
+            clean += 1
+    assert ok >= 10
+    assert ok + clean == len(list(FCD.glob("*.FCStd")))
