@@ -255,7 +255,13 @@ def _read_materials_constraints(obj_data, obj_types, zf):
             val = _float_prop(props, "Force", 0.0)
             # App::PropertyForce stores FreeCAD internal mm-kg-s units (mN).
             scalar["force"] = val / 1e3 if ptype == "App::PropertyForce" else val
-            scalar["direction"] = _vector_prop(props, "DirectionVector")
+            direction = _vector_prop(props, "DirectionVector")
+            if direction is None:
+                raise ValueError(
+                    f"constraint {name}: ConstraintForce without a stored "
+                    "DirectionVector cannot be resolved"
+                )
+            scalar["direction"] = direction
         elif kind == "Pressure":
             p = props.get("Pressure")
             ptype = p.get("type") if p is not None else ""
@@ -451,29 +457,16 @@ class CloudResolver:
     def _pairwise(a, b):
         return np.linalg.norm(a[:, None, :] - b[None, :, :], axis=2)
 
-    def _cloud_stats(self, pts, nrm):
-        """Per-point sample spacing and curvature (sagitta) tolerance."""
+    def _cloud_stats(self, pts, nrm=None):
+        """Per-point nearest-neighbour sample spacing."""
         npts = len(pts)
         if npts == 1:
             spacing = np.array([0.05 * self.diag])
         else:
             d = self._pairwise(pts, pts)
             np.fill_diagonal(d, np.inf)
-            spacing = d.min(axis=1)
-            spacing = np.maximum(spacing, 1e-12 * self.diag)
-        base_tol = 1e-6 * self.diag + 1e-9
-        if nrm is None or len(nrm) != npts or not np.any(nrm):
-            return spacing, np.full(npts, base_tol)
-        # sagitta: how far neighbouring samples sit off each tangent plane
-        sag = np.zeros(npts)
-        if npts > 1:
-            d = self._pairwise(pts, pts)
-            np.fill_diagonal(d, np.inf)
-            k = min(4, npts - 1)
-            nbr = np.argpartition(d, k - 1, axis=1)[:, :k]
-            rel = pts[nbr] - pts[:, None, :]
-            sag = np.abs(np.einsum("ijk,ik->ij", rel, nrm)).max(axis=1)
-        return spacing, np.maximum(2.5 * sag, base_tol)
+            spacing = np.maximum(d.min(axis=1), 1e-12 * self.diag)
+        return spacing, None
 
     # -- faces ---------------------------------------------------------------
 
@@ -757,9 +750,9 @@ class CloudResolver:
         keep = []
         for idx in range(len(self.bedges)):
             nodes = self.coords[self.bedges[idx]]
-            dmin = np.linalg.norm(emid[idx] - pts, axis=1).min()
-            jref = np.linalg.norm(emid[idx] - pts, axis=1).argmin()
-            if dmin > 1.1 * spacing[jref]:
+            dm = np.linalg.norm(emid[idx] - pts, axis=1)
+            jref = int(dm.argmin())
+            if dm[jref] > 1.1 * spacing[jref]:
                 continue
             ok = True
             for x in nodes:

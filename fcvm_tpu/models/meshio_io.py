@@ -88,7 +88,8 @@ def read_vtk(path) -> Mesh:
         ncells = ncell_hdr - 1
         starts, ends = offsets[:-1], offsets[1:]
     else:  # classic layout: per-cell [n, id0, ..., idn-1]
-        flat, pos = read_array(pos, total, np.int64)
+        # legacy (pre-5.1) binary VTK stores cell data as 32-bit ints
+        flat, pos = read_array(pos, total, np.int32 if binary else np.int64)
         ncells = ncell_hdr
         starts, ends, k = [], [], 0
         for _ in range(ncells):

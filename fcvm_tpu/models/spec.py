@@ -56,21 +56,6 @@ class Mesh:
     def ndof(self) -> int:
         return 3 * self.n_nodes
 
-    def morton_ordered(self) -> "Mesh":
-        """Renumber nodes in Morton (Z-) order.
-
-        Contiguous node-index ranges then form spatially compact clusters,
-        which the two-level preconditioner's aggregation relies on — see
-        :mod:`fcvm_tpu.utils.ordering` for measured CG-iteration impact.
-        Apply before building boundary conditions or load tables (node ids
-        change).
-        """
-        from fcvm_tpu.utils.ordering import apply_node_permutation, morton_perm
-
-        perm = morton_perm(self.coords)
-        coords, eln = apply_node_permutation(self.coords, self.elnodes, perm)
-        return Mesh(coords, eln)
-
     def elements_per_node(self) -> np.ndarray:
         """The reference's ``noce`` (``fcVM.py:183-185``): number of volume
         elements adjacent to each node."""

@@ -178,8 +178,16 @@ def build_two_level(
         coarse_inv = _coarse_inverse(
             esm, elnodes, qmat_bc, cluster_size, jnp.asarray(ridge, esm.dtype)
         )
-        if not bool(jnp.any(jnp.isnan(coarse_inv))):
+        if bool(jnp.all(jnp.isfinite(coarse_inv))):
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            "two-level coarse inverse non-finite at every ridge; "
+            "continuing with the fine-level smoother only"
+        )
+        coarse_inv = jnp.zeros_like(coarse_inv)
 
     smooth_inv = None
     from fcvm_tpu.config import get_config
@@ -320,10 +328,15 @@ def _cluster_diag_inverse(esm, elnodes, fixmask, cs: int):
     mij = mask[:, :, None] * mask[:, None, :]
     eye = jnp.eye(m, dtype=dtype)
     blocks = blocks * mij + eye[None] * (1.0 - mask)[:, :, None]
+    # f32 factorization like the coarse path: TPU has no f64 Cholesky and
+    # the result is only a preconditioner
+    blocks32 = blocks.astype(jnp.float32)
     chol = jax.vmap(lambda b: jax.scipy.linalg.cho_factor(b, lower=True)[0])(
-        blocks
+        blocks32
     )
     inv = jax.vmap(
-        lambda c: jax.scipy.linalg.cho_solve((c, True), jnp.eye(m, dtype=dtype))
+        lambda c: jax.scipy.linalg.cho_solve(
+            (c, True), jnp.eye(m, dtype=jnp.float32)
+        )
     )(chol)
-    return inv
+    return inv.astype(dtype)

@@ -105,13 +105,15 @@ def buckling_from_arrays(
     kmv_single = asm.make_bc_matvec(esm, eldofs, fixmask, plan)
     from fcvm_tpu.ops.precond import apply_precond, build_two_level
 
-    if cfg.precond == "two_level":
+    if cfg.solver != "scipy" and cfg.precond == "two_level":
         pc = build_two_level(
             esm, elnodes, coords_work, fixmask,
             cluster_size=cfg.resolve_cluster_size(coords.shape[0]),
         )
-    else:
+    elif cfg.solver != "scipy":
         pc = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
+    else:
+        pc = None  # direct tier: no iterative preconditioner needed
     precond = lambda r: apply_precond(pc, r)
 
     if cfg.solver == "scipy":
@@ -209,7 +211,9 @@ def linear_buckling(model, params, k: int = 2):
     )
     plan = asm.build_scatter_plan(mesh.elnodes, ndof_pad // 3)
     space = sysm.build_solve_space(mesh.coords, mesh.elnodes, fixmask, ndof_pad)
-    if cfg.precond == "two_level":
+    if cfg.solver == "scipy":
+        pc = None  # direct tier below; no iterative preconditioner needed
+    elif cfg.precond == "two_level":
         pc = sysm.build_precond(
             esm, elnodes, coords, fixmask,
             cfg.resolve_cluster_size(mesh.n_nodes), space=space,

@@ -35,10 +35,3 @@ def morton_perm(coords: np.ndarray, bits: int = 16) -> np.ndarray:
         code |= ((q[:, 1] >> b) & 1) << (3 * b + 1)
         code |= ((q[:, 2] >> b) & 1) << (3 * b)
     return np.argsort(code, kind="stable")
-
-
-def apply_node_permutation(coords, elnodes, perm):
-    """Renumber nodes: returns (coords[perm], remapped elnodes)."""
-    inv = np.empty(len(perm), dtype=np.int64)
-    inv[perm] = np.arange(len(perm))
-    return np.asarray(coords)[perm], inv[np.asarray(elnodes)].astype(elnodes.dtype)
