@@ -106,7 +106,6 @@ def tpu_step_time(nx):
         f"({mesh.ndof / t_asm / 1e6:.1f} MDOF/s)")
 
     from fcvm_tpu.config import get_config
-    from fcvm_tpu.ops.precond import build_two_level
 
     cfg = get_config()
     if cfg.precond == "two_level":

@@ -292,7 +292,11 @@ def read_fcstd(path, mesh_path=None) -> FcstdDoc:
     were saved with their Gmsh mesh purged.
     """
     path = Path(path)
-    zf = zipfile.ZipFile(path)
+    with zipfile.ZipFile(path) as zf:
+        return _read_fcstd_open(path, mesh_path, zf)
+
+
+def _read_fcstd_open(path, mesh_path, zf) -> FcstdDoc:
     xml = zf.read("Document.xml")
     root = ET.fromstring(xml)
 
@@ -482,8 +486,9 @@ class CloudResolver:
         tolerance widened 30x / 1000x and warn.
         """
         for tf in (1.0, 30.0, 1000.0):
-            faces = self.faces_for(pts, nrm, tol_factor=tf)
-            if len(faces):
+            unresolved: list = []
+            faces = self.faces_for(pts, nrm, tol_factor=tf, unresolved=unresolved)
+            if len(faces) and not unresolved:
                 if tf > 1.0:
                     warnings.warn(
                         f"fcstd: {what} resolved only with a {tf:g}x relaxed "
@@ -491,10 +496,37 @@ class CloudResolver:
                         "geometry (imperfect/deformed mesh?)"
                     )
                 return faces
+        if unresolved:
+            # Even the widest rung left some sample clusters with zero
+            # selected faces (plane test passed but no on-plane mesh nodes).
+            # Those samples must not be silently dropped — the constraint
+            # would then act on a subset of its faces; fall through to
+            # nearest-patch selection for them and union the results.
+            warnings.warn(
+                f"fcstd: {what}: {len(unresolved)} samples matched no exact "
+                "surface at any tolerance; using nearest-patch selection"
+            )
+            mask = np.zeros(len(self.bfaces), dtype=bool)
+            nrm_u = None
+            if len(nrm) == len(pts):
+                nlen = np.linalg.norm(nrm, axis=1, keepdims=True)
+                nrm_u = nrm / np.maximum(nlen, 1e-12)
+            self._select_patches(pts, nrm_u, np.asarray(unresolved), mask)
+            patch_faces = self.bfaces[mask]
+            if len(faces):
+                faces = np.unique(
+                    np.concatenate([faces, patch_faces], axis=0), axis=0
+                )
+            else:
+                faces = patch_faces
         return faces
 
     def faces_for(
-        self, pts: np.ndarray, nrm: np.ndarray, tol_factor: float = 1.0
+        self,
+        pts: np.ndarray,
+        nrm: np.ndarray,
+        tol_factor: float = 1.0,
+        unresolved: list | None = None,
     ) -> np.ndarray:
         """Boundary tri6 faces lying on the sampled CAD surface.
 
@@ -535,10 +567,18 @@ class CloudResolver:
 
         remaining = []
         for cluster in self._cluster_by_normal(pts, nrm, signed=signed):
-            if len(cluster) >= 3 and self._select_plane(
-                pts, nrm, cluster, mask, tol_factor
-            ):
-                continue
+            if len(cluster) >= 3:
+                handled, n_sel = self._select_plane(
+                    pts, nrm, cluster, mask, tol_factor
+                )
+                if handled:
+                    if unresolved is not None and n_sel == 0:
+                        # plane test accepted the cluster but found no
+                        # on-plane mesh faces — report it so the caller can
+                        # retry wider or patch-select rather than silently
+                        # dropping it
+                        unresolved.extend(int(i) for i in cluster)
+                    continue
             remaining.extend(cluster)
         if remaining:
             remaining = np.array(remaining)
@@ -567,8 +607,14 @@ class CloudResolver:
                 clusters.append([i])
         return clusters
 
-    def _select_plane(self, pts, nrm, cluster, mask, tol_factor=1.0) -> bool:
-        """Exact planar-face membership for one coplanar sample cluster."""
+    def _select_plane(self, pts, nrm, cluster, mask, tol_factor=1.0):
+        """Exact planar-face membership for one coplanar sample cluster.
+
+        Returns ``(handled, n_selected)``: ``handled`` means the cluster is
+        a planar face grid (do not pass it to the curved-face fallbacks);
+        ``n_selected`` is how many boundary faces this cluster selected —
+        zero with ``handled`` means the plane matched no mesh faces at this
+        tolerance."""
         cl = np.asarray(cluster)
         n = nrm[cl].mean(axis=0)
         n = n / np.linalg.norm(n)
@@ -576,19 +622,19 @@ class CloudResolver:
         cloud_tol = max(1e-6 * self.diag, 1e-9)
         tol = cloud_tol * tol_factor
         if np.max(np.abs((pts[cl] - p0) @ n)) > cloud_tol:
-            return False  # normals agree but points not coplanar
+            return False, 0  # normals agree but points not coplanar
         s = np.linalg.svd(pts[cl] - p0, compute_uv=False)
         if s[1] < 1e-3 * max(s[0], 1e-12):
             # collinear samples: a generatrix of a curved face (e.g. one
             # angular station of a cylinder grid), not a 2D face grid
-            return False
+            return False, 0
         on_plane_node = np.abs((self.coords - p0) @ n) <= tol
         cand = np.where(
             on_plane_node[self.bfaces].all(axis=1)
             & (np.abs(self.fnormal @ n) >= 0.9)
         )[0]
         if len(cand) == 0:
-            return True
+            return True, 0
         # coverage: the marker grid spans the face (corners included), so
         # the face's extent is the convex hull of the samples in-plane
         e1 = np.linalg.qr(
@@ -602,8 +648,9 @@ class CloudResolver:
         margin = 0.02 * float(
             np.linalg.norm(s2d.max(0) - s2d.min(0))
         )  # covers curved rims the sample polygon inscribes
-        mask[cand[_hull_contains(s2d, q2d, margin)]] = True
-        return True
+        sel = cand[_hull_contains(s2d, q2d, margin)]
+        mask[sel] = True
+        return True, len(sel)
 
     def _select_cylinder(self, pts, nrm, idx, mask, tol_factor=1.0) -> bool:
         """Cylindrical-face membership for samples with rotating normals."""
@@ -778,15 +825,28 @@ class CloudResolver:
 
     # -- vertices --------------------------------------------------------------
 
-    def vertices_for(self, pts: np.ndarray) -> np.ndarray:
-        """Mesh node nearest to each sample point (one per CAD vertex)."""
-        out = []
+    def vertices_for(self, pts: np.ndarray, count: int | None = None) -> np.ndarray:
+        """Mesh node nearest to each sample point (one per CAD vertex).
+
+        ``count`` handles constraints mixing Vertex with Face/Edge
+        references: their sample cloud holds face/edge samples too, but CAD
+        vertices coincide exactly with mesh nodes (meshers pin nodes to
+        geometry vertices) while triangulation samples generally do not, so
+        the ``count`` samples with the smallest node distance are the vertex
+        references.
+        """
+        hits = []
         for p in pts:
             d = np.linalg.norm(self.coords - p, axis=1)
             j = int(d.argmin())
-            if d[j] > 1e-3 * self.diag:
+            hits.append((float(d[j]), j))
+        if count is not None:
+            hits = sorted(hits)[: int(count)]
+        out = []
+        for dist, j in hits:
+            if dist > 1e-3 * self.diag:
                 warnings.warn(
-                    f"fcstd: vertex sample {p} is {d[j]:.3g} away from the "
+                    f"fcstd: vertex sample is {dist:.3g} away from the "
                     "nearest mesh node"
                 )
             out.append(j)
@@ -897,15 +957,26 @@ def build_model(
                 else None
             )
             edges = res.edges_for(con.points) if "Edge" in kinds else None
+            # Each referenced kind applies the FULL force independently
+            # (vertices get F/N each even when mixed with faces/edges,
+            # fcVM.py:298-313), so vertices are included whenever present.
+            # With mixed kinds only the vertex-reference samples (one per
+            # "Vertex" sub) are node candidates.
+            n_vsubs = sum(
+                1 for _, sub in con.subs if re.match(r"Vertex\d*$", sub or "")
+            ) or None
             verts = (
-                res.vertices_for(con.points)
-                if ("Vertex" in kinds and "Face" not in kinds and "Edge" not in kinds)
+                res.vertices_for(
+                    con.points, count=None if kinds == {"Vertex"} else n_vsubs
+                )
+                if "Vertex" in kinds
                 else None
             )
             if len(kinds) > 1:
                 warnings.warn(
                     f"fcstd: force {con.name} references mixed kinds {kinds}; "
-                    "sample-cloud resolution is best-effort — check load sums"
+                    "each kind carries the full force (reference semantics) — "
+                    "sample-cloud resolution is best-effort, check load sums"
                 )
             if (
                 (faces is None or len(faces) == 0)

@@ -163,104 +163,125 @@ def integrate_faces(face_groups, coords, *fields):
     return areas, avgs
 
 
+def _where_div(num, den):
+    """num/den where den != 0, else 0 — the published forms leave a
+    candidate component at zero when its divisor vanishes."""
+    ok = den != 0.0
+    return np.where(ok, num / np.where(ok, den, 1.0), 0.0)
+
+
 def reinforcement_rho(stress: np.ndarray, fy: float) -> np.ndarray:
     """Orthogonal reinforcement ratios per node (HERON 53-4 closed forms).
 
-    Evaluates the reference's 15 candidate solutions, keeps those with
-    non-negative ratios and an admissible (compressive) concrete stress
-    state, and returns the minimum-sum candidate (``fcVM.py:2997-3150``).
+    Batched over all nodes and all 15 candidate solutions at once: build an
+    (n, 15, 3) tensor of candidate reinforcement stresses (rho*fy), mask the
+    candidates whose ratios are negative or whose residual concrete stress
+    state is not admissible (all-compressive invariants), and pick the
+    minimum-total-reinforcement candidate per node with a masked argmin.
+    Functional equivalent of the reference's per-node numba scan
+    (``fcVM.py:2997-3150``); same published closed forms, array-shaped.
     """
-    out = np.zeros((len(stress), 3))
-    for index, s in enumerate(stress):
-        sxx, syy, szz, sxy, sxz, syz = s[0], s[1], s[2], s[3], s[4], s[5]
-        rhox = np.zeros(15)
-        rhoy = np.zeros(15)
-        rhoz = np.zeros(15)
-        i3 = (
-            sxx * syy * szz
-            + 2 * sxy * sxz * syz
-            - sxx * syz**2
-            - syy * sxz**2
-            - szz * sxy**2
-        )
-        d = sxx * syy - sxy**2
-        if d != 0.0:
-            rhoz[0] = i3 / d / fy
-        d = sxx * szz - sxz**2
-        if d != 0.0:
-            rhoy[1] = i3 / d / fy
-        d = syy * szz - syz**2
-        if d != 0.0:
-            rhox[2] = i3 / d / fy
-        if sxx != 0.0:
-            fc = sxz * sxy / sxx - syz
-            fxy = sxy**2 / sxx
-            fxz = sxz**2 / sxx
-            rhoy[3] = (syy - fxy + fc) / fy
-            rhoz[3] = (szz - fxz + fc) / fy
-            rhoy[4] = (syy - fxy - fc) / fy
-            rhoz[4] = (szz - fxz - fc) / fy
-        if syy != 0.0:
-            fc = syz * sxy / syy - sxz
-            fxy = sxy**2 / syy
-            fyz = syz**2 / syy
-            rhox[5] = (sxx - fxy + fc) / fy
-            rhoz[5] = (szz - fyz + fc) / fy
-            rhox[6] = (sxx - fxy - fc) / fy
-            rhoz[6] = (szz - fyz - fc) / fy
-        if szz != 0.0:
-            fc = sxz * syz / szz - sxy
-            fxz = sxz**2 / szz
-            fyz = syz**2 / szz
-            rhox[7] = (sxx - fxz + fc) / fy
-            rhoy[7] = (syy - fyz + fc) / fy
-            rhox[8] = (sxx - fxz - fc) / fy
-            rhoy[8] = (syy - fyz - fc) / fy
-        rhox[9] = (sxx + sxy + sxz) / fy
-        rhoy[9] = (syy + sxy + syz) / fy
-        rhoz[9] = (szz + sxz + syz) / fy
-        rhox[10] = (sxx + sxy - sxz) / fy
-        rhoy[10] = (syy + sxy - syz) / fy
-        rhoz[10] = (szz - sxz - syz) / fy
-        rhox[11] = (sxx - sxy - sxz) / fy
-        rhoy[11] = (syy - sxy + syz) / fy
-        rhoz[11] = (szz - sxz + syz) / fy
-        rhox[12] = (sxx - sxy + sxz) / fy
-        rhoy[12] = (syy - sxy - syz) / fy
-        rhoz[12] = (szz + sxz - syz) / fy
-        if syz != 0.0:
-            rhox[13] = (sxx - sxy * sxz / syz) / fy
-        if sxz != 0.0:
-            rhoy[13] = (syy - sxy * syz / sxz) / fy
-        if sxy != 0.0:
-            rhoz[13] = (szz - sxz * syz / sxy) / fy
+    s = np.asarray(stress, dtype=np.float64).reshape(-1, 6)
+    n = len(s)
+    sxx, syy, szz, sxy, sxz, syz = (s[:, i] for i in range(6))
+    i3 = (
+        sxx * syy * szz + 2 * sxy * sxz * syz
+        - sxx * syz**2 - syy * sxz**2 - szz * sxy**2
+    )
 
-        rmin = 1.0e9
-        eqmin = 14
-        for ir in range(rhox.size):
-            if rhox[ir] >= -1e-10 and rhoy[ir] >= -1e-10 and rhoz[ir] > -1e-10:
-                scxx = sxx - rhox[ir] * fy
-                scyy = syy - rhoy[ir] * fy
-                sczz = szz - rhoz[ir] * fy
-                ic1 = scxx + scyy + sczz
-                ic2 = (
-                    scxx * scyy + scyy * sczz + sczz * scxx
-                    - sxy**2 - sxz**2 - syz**2
-                )
-                ic3 = (
-                    scxx * scyy * sczz
-                    + 2 * sxy * sxz * syz
-                    - scxx * syz**2
-                    - scyy * sxz**2
-                    - sczz * sxy**2
-                )
-                if ic1 <= 1e-6 and ic2 >= -1e-6 and ic3 <= 1e-6:
-                    rsum = rhox[ir] + rhoy[ir] + rhoz[ir]
-                    if 0.0 < rsum < rmin:
-                        rmin = rsum
-                        eqmin = ir
-        out[index] = [rhox[eqmin], rhoy[eqmin], rhoz[eqmin]]
-    return out
+    # Candidate reinforcement stresses (rho * fy), one (n, 3) slab each.
+    z = np.zeros(n)
+    fc_x = _where_div(sxz * sxy, sxx) - np.where(sxx != 0.0, syz, 0.0)
+    fc_y = _where_div(syz * sxy, syy) - np.where(syy != 0.0, sxz, 0.0)
+    fc_z = _where_div(sxz * syz, szz) - np.where(szz != 0.0, sxy, 0.0)
+    gx, gy, gz = sxx != 0.0, syy != 0.0, szz != 0.0
+    cands = np.stack(
+        [
+            np.stack([z, z, _where_div(i3, sxx * syy - sxy**2)], axis=1),
+            np.stack([z, _where_div(i3, sxx * szz - sxz**2), z], axis=1),
+            np.stack([_where_div(i3, syy * szz - syz**2), z, z], axis=1),
+            np.stack(
+                [z,
+                 np.where(gx, syy - _where_div(sxy**2, sxx) + fc_x, 0.0),
+                 np.where(gx, szz - _where_div(sxz**2, sxx) + fc_x, 0.0)],
+                axis=1,
+            ),
+            np.stack(
+                [z,
+                 np.where(gx, syy - _where_div(sxy**2, sxx) - fc_x, 0.0),
+                 np.where(gx, szz - _where_div(sxz**2, sxx) - fc_x, 0.0)],
+                axis=1,
+            ),
+            np.stack(
+                [np.where(gy, sxx - _where_div(sxy**2, syy) + fc_y, 0.0),
+                 z,
+                 np.where(gy, szz - _where_div(syz**2, syy) + fc_y, 0.0)],
+                axis=1,
+            ),
+            np.stack(
+                [np.where(gy, sxx - _where_div(sxy**2, syy) - fc_y, 0.0),
+                 z,
+                 np.where(gy, szz - _where_div(syz**2, syy) - fc_y, 0.0)],
+                axis=1,
+            ),
+            np.stack(
+                [np.where(gz, sxx - _where_div(sxz**2, szz) + fc_z, 0.0),
+                 np.where(gz, syy - _where_div(syz**2, szz) + fc_z, 0.0),
+                 z],
+                axis=1,
+            ),
+            np.stack(
+                [np.where(gz, sxx - _where_div(sxz**2, szz) - fc_z, 0.0),
+                 np.where(gz, syy - _where_div(syz**2, szz) - fc_z, 0.0),
+                 z],
+                axis=1,
+            ),
+            np.stack([sxx + sxy + sxz, syy + sxy + syz, szz + sxz + syz], axis=1),
+            np.stack([sxx + sxy - sxz, syy + sxy - syz, szz - sxz - syz], axis=1),
+            np.stack([sxx - sxy - sxz, syy - sxy + syz, szz - sxz + syz], axis=1),
+            np.stack([sxx - sxy + sxz, syy - sxy - syz, szz + sxz - syz], axis=1),
+            np.stack(
+                [sxx - _where_div(sxy * sxz, syz),
+                 syy - _where_div(sxy * syz, sxz),
+                 szz - _where_div(sxz * syz, sxy)],
+                axis=1,
+            ),
+            np.stack([z, z, z], axis=1),  # fallback: no reinforcement
+        ],
+        axis=1,
+    )  # (n, 15, 3) in stress units
+
+    # Feasibility: non-negative ratios (tolerance in rho units) ...
+    tol = 1.0e-10 * fy
+    feas = (
+        (cands[:, :, 0] >= -tol)
+        & (cands[:, :, 1] >= -tol)
+        & (cands[:, :, 2] > -tol)
+    )
+    # ... and an admissible residual concrete state: subtracting the
+    # reinforcement stresses must leave all-compressive principal stresses
+    # (invariant sign tests, tolerances in stress units as in the reference).
+    scx = sxx[:, None] - cands[:, :, 0]
+    scy = syy[:, None] - cands[:, :, 1]
+    scz = szz[:, None] - cands[:, :, 2]
+    shear2 = (sxy**2 + sxz**2 + syz**2)[:, None]
+    ic1 = scx + scy + scz
+    ic2 = scx * scy + scy * scz + scz * scx - shear2
+    ic3 = (
+        scx * scy * scz + (2 * sxy * sxz * syz)[:, None]
+        - scx * (syz**2)[:, None] - scy * (sxz**2)[:, None]
+        - scz * (sxy**2)[:, None]
+    )
+    feas &= (ic1 <= 1e-6) & (ic2 >= -1e-6) & (ic3 <= 1e-6)
+    rsum = cands.sum(axis=2)
+    feas &= rsum > 0.0
+
+    # Minimum-total-reinforcement admissible candidate; rows with none fall
+    # back to candidate 14 (zero reinforcement).
+    rsum_m = np.where(feas, rsum, np.inf)
+    eq = np.argmin(rsum_m, axis=1)
+    eq = np.where(np.isfinite(rsum_m[np.arange(n), eq]), eq, 14)
+    return cands[np.arange(n), eq] / fy
 
 
 def mohr_coulomb(prin1, prin3, phi: float, fck: float):

@@ -31,6 +31,7 @@ is killed by the coarse solve, local error by the nodal blocks.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -173,11 +174,10 @@ def build_two_level(
     # indefinite and break the on-device Cholesky (observed min eig -6e-4 at
     # 28k dofs on v5e).  Escalate the ridge until the inverse is finite —
     # host-side retry, no jit recompile (ridge is a traced scalar).
+    kc = _coarse_accumulate_jit(esm, elnodes, qmat_bc, cluster_size)
     coarse_inv = None
     for ridge in (3.0e-4, 3.0e-3, 3.0e-2):
-        coarse_inv = _coarse_inverse(
-            esm, elnodes, qmat_bc, cluster_size, jnp.asarray(ridge, esm.dtype)
-        )
+        coarse_inv = _coarse_densify_invert(kc, jnp.asarray(ridge, esm.dtype))
         if bool(jnp.all(jnp.isfinite(coarse_inv))):
             break
     else:
@@ -202,8 +202,12 @@ def build_two_level(
     return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, fixmask, smooth_inv)
 
 
-@partial(jax.jit, static_argnames=("cluster_size",))
-def _coarse_inverse(esm, elnodes, qmat_bc, cluster_size: int, ridge=3.0e-4):
+def _coarse_accumulate(esm, elnodes, qmat_bc, cluster_size: int):
+    """Galerkin pair-block accumulation: (ncl*ncl, 36) coarse layout.
+
+    Pure element-wise + scatter-add — safe to run per shard inside
+    ``shard_map`` (each shard accumulates its local elements; a ``psum``
+    over the element axis completes the sum)."""
     ne = esm.shape[0]
     dtype = esm.dtype
     ncl = qmat_bc.shape[0] // cluster_size
@@ -240,7 +244,20 @@ def _coarse_inverse(esm, elnodes, qmat_bc, cluster_size: int, ridge=3.0e-4):
     kc0 = jnp.zeros((ncl * ncl, 36), dtype)
     starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
     kc, _ = jax.lax.scan(body, kc0, starts)
+    return kc
 
+
+_coarse_accumulate_jit = jax.jit(
+    _coarse_accumulate, static_argnames=("cluster_size",)
+)
+
+
+@partial(jax.jit, static_argnames=())
+def _coarse_densify_invert(kc, ridge):
+    """Scale + symmetrize + ridge + f32 Cholesky inversion of the coarse
+    pair-block accumulator ``kc`` ((ncl*ncl, 36), mode-major output)."""
+    dtype = kc.dtype
+    ncl = math.isqrt(kc.shape[0])
     n6 = 6 * ncl
     # Mode-major dense layout D[(a ncl + i), (b ncl + j)] = kc[i ncl + j, 6a+b]:
     # the only transposes move (ncl, ncl) planes, whose (8, 128) tiling is

@@ -310,12 +310,17 @@ def riks_update(a, ue, due, du, lbd0, lbd1):
 
     Returns (du, lbd1, dl).
     """
-    dl = -jnp.vdot(a, due) / jnp.vdot(a, ue)
+    aue = jnp.vdot(a, ue)
+    dl = -jnp.vdot(a, due) / jnp.where(aue == 0.0, 1.0, aue)
     lbd1 = lbd1 + dl
     aa = jnp.linalg.norm(a)
     du = du + due + dl * ue
     uu = jnp.linalg.norm(du)
-    sf = jnp.minimum(aa / uu, 1.0)
+    # ``uu = 0`` (zero increment, e.g. a fully-converged restart state)
+    # must not poison the while_loop with NaN: no scale-back then.  The
+    # reference divides unguarded (fcVM.py:1431-1434) — a crash hazard, not
+    # a result-affecting quirk, so it is fixed here.
+    sf = jnp.where(uu > 0.0, jnp.minimum(aa / jnp.where(uu == 0.0, 1.0, uu), 1.0), 1.0)
     lbd1 = lbd0 + sf * (lbd1 - lbd0)
     du = du * sf
     return du, lbd1, dl

@@ -204,3 +204,82 @@ def test_reads_reference_corpus():
             full += 1
             assert p.ev1 >= 0.0
     assert full > 55  # the current-format majority of the corpus
+
+
+def _rho_scalar_reference(s, fy):
+    """Scalar per-node transcription of the HERON 53-4 candidate scan
+    (fcVM.py:2997-3150) used as the oracle for the batched implementation."""
+    sxx, syy, szz, sxy, sxz, syz = s
+    rhox, rhoy, rhoz = np.zeros(15), np.zeros(15), np.zeros(15)
+    i3 = (sxx * syy * szz + 2 * sxy * sxz * syz
+          - sxx * syz**2 - syy * sxz**2 - szz * sxy**2)
+    d = sxx * syy - sxy**2
+    if d != 0.0:
+        rhoz[0] = i3 / d / fy
+    d = sxx * szz - sxz**2
+    if d != 0.0:
+        rhoy[1] = i3 / d / fy
+    d = syy * szz - syz**2
+    if d != 0.0:
+        rhox[2] = i3 / d / fy
+    if sxx != 0.0:
+        fc = sxz * sxy / sxx - syz
+        rhoy[3] = (syy - sxy**2 / sxx + fc) / fy
+        rhoz[3] = (szz - sxz**2 / sxx + fc) / fy
+        rhoy[4] = (syy - sxy**2 / sxx - fc) / fy
+        rhoz[4] = (szz - sxz**2 / sxx - fc) / fy
+    if syy != 0.0:
+        fc = syz * sxy / syy - sxz
+        rhox[5] = (sxx - sxy**2 / syy + fc) / fy
+        rhoz[5] = (szz - syz**2 / syy + fc) / fy
+        rhox[6] = (sxx - sxy**2 / syy - fc) / fy
+        rhoz[6] = (szz - syz**2 / syy - fc) / fy
+    if szz != 0.0:
+        fc = sxz * syz / szz - sxy
+        rhox[7] = (sxx - sxz**2 / szz + fc) / fy
+        rhoy[7] = (syy - syz**2 / szz + fc) / fy
+        rhox[8] = (sxx - sxz**2 / szz - fc) / fy
+        rhoy[8] = (syy - syz**2 / szz - fc) / fy
+    rhox[9], rhoy[9], rhoz[9] = (sxx + sxy + sxz) / fy, (syy + sxy + syz) / fy, (szz + sxz + syz) / fy
+    rhox[10], rhoy[10], rhoz[10] = (sxx + sxy - sxz) / fy, (syy + sxy - syz) / fy, (szz - sxz - syz) / fy
+    rhox[11], rhoy[11], rhoz[11] = (sxx - sxy - sxz) / fy, (syy - sxy + syz) / fy, (szz - sxz + syz) / fy
+    rhox[12], rhoy[12], rhoz[12] = (sxx - sxy + sxz) / fy, (syy - sxy - syz) / fy, (szz + sxz - syz) / fy
+    if syz != 0.0:
+        rhox[13] = (sxx - sxy * sxz / syz) / fy
+    if sxz != 0.0:
+        rhoy[13] = (syy - sxy * syz / sxz) / fy
+    if sxy != 0.0:
+        rhoz[13] = (szz - sxz * syz / sxy) / fy
+    rmin, eqmin = 1.0e9, 14
+    for ir in range(15):
+        if rhox[ir] >= -1e-10 and rhoy[ir] >= -1e-10 and rhoz[ir] > -1e-10:
+            scxx, scyy, sczz = sxx - rhox[ir] * fy, syy - rhoy[ir] * fy, szz - rhoz[ir] * fy
+            ic1 = scxx + scyy + sczz
+            ic2 = scxx * scyy + scyy * sczz + sczz * scxx - sxy**2 - sxz**2 - syz**2
+            ic3 = (scxx * scyy * sczz + 2 * sxy * sxz * syz
+                   - scxx * syz**2 - scyy * sxz**2 - sczz * sxy**2)
+            if ic1 <= 1e-6 and ic2 >= -1e-6 and ic3 <= 1e-6:
+                rsum = rhox[ir] + rhoy[ir] + rhoz[ir]
+                if 0.0 < rsum < rmin:
+                    rmin, eqmin = rsum, ir
+    return np.array([rhox[eqmin], rhoy[eqmin], rhoz[eqmin]])
+
+
+def test_reinforcement_rho_matches_scalar_scan():
+    rng = np.random.default_rng(42)
+    fy = 435.0
+    # general random states, pure-shear, axis-aligned, sparse-component and
+    # zero-row corner cases
+    states = [rng.normal(scale=50.0, size=6) for _ in range(200)]
+    states += [np.array([0.0, 0.0, 0.0, 30.0, 0.0, 0.0]),
+               np.array([0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+               np.array([50.0, -20.0, 0.0, 0.0, 0.0, 0.0]),
+               np.array([0.0, 0.0, 10.0, 0.0, 5.0, 0.0])]
+    for i in range(30):  # random sparsity patterns
+        v = rng.normal(scale=50.0, size=6)
+        v[rng.random(6) < 0.5] = 0.0
+        states.append(v)
+    stress = np.stack(states)
+    got = postproc.reinforcement_rho(stress, fy)
+    want = np.stack([_rho_scalar_reference(s, fy) for s in stress])
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-14)
