@@ -69,6 +69,10 @@ class FcvmConfig:
     coarse_cluster_nodes: int = 32
     n_eig_vectors: int = 8
     seed_elastic_factorization: bool = True
+    # Multi-chip: run the full collapse driver SPMD over an n-device
+    # jax.sharding.Mesh element partition (fcvm_tpu.parallel.system).
+    # 0/1 = single device.  Env: FCVM_NDEVICES.
+    n_devices: int = 0
 
     def resolve_cluster_size(self, nn: int) -> int:
         """Nodes per cluster for the two-level coarse space."""
@@ -98,6 +102,8 @@ _config = FcvmConfig()
 
 if os.environ.get("FCVM_SOLVER"):
     _config.solver = os.environ["FCVM_SOLVER"]
+if os.environ.get("FCVM_NDEVICES"):
+    _config.n_devices = int(os.environ["FCVM_NDEVICES"])
 if os.environ.get("FCVM_CG_RTOL"):
     _config.cg_rtol = float(os.environ["FCVM_CG_RTOL"])
 

@@ -202,12 +202,13 @@ def build_two_level(
     return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, fixmask, smooth_inv)
 
 
-def _coarse_accumulate(esm, elnodes, qmat_bc, cluster_size: int):
+def _coarse_accumulate(esm, elnodes, qmat_bc, cluster_size: int, kc0=None):
     """Galerkin pair-block accumulation: (ncl*ncl, 36) coarse layout.
 
     Pure element-wise + scatter-add — safe to run per shard inside
     ``shard_map`` (each shard accumulates its local elements; a ``psum``
-    over the element axis completes the sum)."""
+    over the element axis completes the sum; pass a ``pcast``-varying
+    ``kc0`` there so the scan carry's manual axes match)."""
     ne = esm.shape[0]
     dtype = esm.dtype
     ncl = qmat_bc.shape[0] // cluster_size
@@ -241,7 +242,8 @@ def _coarse_accumulate(esm, elnodes, qmat_bc, cluster_size: int):
         keys = (ci[:, :, None] * ncl + ci[:, None, :]).reshape(-1)
         return kc.at[keys].add(pair), None
 
-    kc0 = jnp.zeros((ncl * ncl, 36), dtype)
+    if kc0 is None:
+        kc0 = jnp.zeros((ncl * ncl, 36), dtype)
     starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
     kc, _ = jax.lax.scan(body, kc0, starts)
     return kc

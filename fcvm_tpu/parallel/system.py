@@ -1,0 +1,530 @@
+"""ShardedSystem: the full collapse-solver backend over a device mesh.
+
+This is the multi-chip *production* path: `solve_collapse` runs its entire
+Riks loop — elastic/tangent assembly, two-level-preconditioned CG, GNL
+stress updates, restarts, displacement control — over an element partition
+on a ``jax.sharding.Mesh``, not just a demo step (the round-1 gap).
+
+Design (see also :mod:`fcvm_tpu.parallel.sharding`, whose building blocks
+this generalizes):
+
+* **Elements are the sharded axis**, in Morton (solve-space) order so each
+  shard owns a spatially compact subdomain and the preconditioner clusters
+  stay local.  All per-element state — stiffness blocks, connectivity,
+  Gauss stress/damage — is partitioned ``P('e')`` and padded to the shard
+  multiple with zero-weight ghost elements.
+* **Node vectors are replicated.**  Every operator application is: local
+  row gather from the replicated vector -> per-element block matmul ->
+  local ``segment_sum`` -> one ``psum`` over the element axis.  That one
+  (ndof,)-sized collective per matvec/internal-force is the entire
+  communication volume of a Newton iteration; it rides ICI on real
+  hardware.
+* The CG loop runs in the **Morton node numbering** exactly like the
+  single-device solver (``runtime/system.SolveSpace``): the two-level
+  coarse correction applies replicated (its cost is O(ndof), tiny), while
+  its Galerkin build accumulates per shard and ``psum``s the (ncl^2, 36)
+  pair-block table.
+* Small-table load integration (pressure/traction faces, edges, vertices)
+  and the dense coarse factorization replicate on every device — identical
+  results, no communication, negligible cost next to the element work.
+
+Correctness contract: a sharded run reproduces the single-device driver's
+load-displacement history to roundoff in f64 (``tests/test_sharded_driver``),
+which is the multi-chip criterion SURVEY.md sets for the rebuild.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fcvm_tpu.ops import assembly as asm
+from fcvm_tpu.ops import elements as el
+from fcvm_tpu.ops import material as mat
+from fcvm_tpu.ops import solver as slv
+from fcvm_tpu.ops.precond import (
+    TwoLevelPrecond,
+    _coarse_accumulate,
+    _coarse_densify_invert,
+    _rigid_modes,
+    apply_precond,
+)
+from fcvm_tpu.ops.stress_update import _element_stress_update
+from fcvm_tpu.runtime import system as sysm
+from fcvm_tpu.runtime.backend import LocalSystem
+from fcvm_tpu.utils.linalg3 import inv3_spd
+
+
+def _nodal_diag_blocks(esm, elnodes, nn):
+    """(nn, 3, 3) nodal diagonal blocks of the local element stiffnesses."""
+    ne = esm.shape[0]
+    blocks5 = esm.reshape(ne, 10, 3, 10, 3)
+    idx = jnp.arange(10)
+    diag = blocks5[:, idx, :, idx, :]  # (10, ne, 3, 3)
+    node_ids = elnodes.T.reshape(-1)
+    return jax.ops.segment_sum(diag.reshape(-1, 3, 3), node_ids, num_segments=nn)
+
+
+class ShardedSystem(LocalSystem):
+    """Element-partition SPMD backend with the LocalSystem interface."""
+
+    supports_scipy = False
+
+    def __init__(self, model, cfg, dtype):
+        super().__init__(model, cfg, dtype)
+        n = int(cfg.n_devices)
+        devs = jax.devices()
+        if len(devs) < n:
+            raise RuntimeError(
+                f"requested {n} devices, found {len(devs)} "
+                f"({jax.default_backend()} backend)"
+            )
+        self.dmesh = Mesh(np.array(devs[:n]), ("e",))
+        self.n_shards = n
+        self._sh_e = NamedSharding(self.dmesh, P("e"))
+        self._sh_r = NamedSharding(self.dmesh, P())
+
+        # Morton-ordered, shard-padded element tables.  eperm: user element
+        # at each Morton slot; epos: Morton slot of each user element.
+        eperm = np.asarray(self.space.eperm)
+        ne = self.ne
+        ne_pad = ((ne + n - 1) // n) * n
+        self.ne_pad = ne_pad
+        self._eperm = eperm
+        epos = np.empty(ne, dtype=np.int64)
+        epos[eperm] = np.arange(ne)
+        self._epos = epos
+
+        def pad_el(a, fill_row):
+            if ne_pad == ne:
+                return a
+            pad = np.tile(fill_row, (ne_pad - ne,) + (1,) * (a.ndim - 1))
+            return np.concatenate([a, pad], axis=0)
+
+        eln_user = np.asarray(model.mesh.elnodes)[eperm]
+        eln_m = np.asarray(self.space.elnodes_m)
+        weights = np.zeros(ne_pad, dtype=np.float64)
+        weights[:ne] = 1.0
+        self.eln_s = jax.device_put(
+            jnp.asarray(pad_el(eln_user, eln_user[:1]), dtype=jnp.int32), self._sh_e
+        )
+        self.eln_m_s = jax.device_put(
+            jnp.asarray(pad_el(eln_m, eln_m[:1]), dtype=jnp.int32), self._sh_e
+        )
+        self.weights = jax.device_put(
+            jnp.asarray(weights, dtype=dtype), self._sh_e
+        )
+
+        # per-element material tables follow the element partition
+        def shard_mat(a):
+            if a.ndim == 0:
+                return a
+            a_np = np.asarray(a)[eperm]
+            return jax.device_put(
+                jnp.asarray(pad_el(a_np, a_np[:1]), dtype=dtype), self._sh_e
+            )
+
+        self.dmat_s = shard_mat(self.dmat) if self.dmat.ndim == 3 else self.dmat
+        self.e_s = shard_mat(self.e)
+        self.nu_s = shard_mat(self.nu)
+        self.g_s = shard_mat(self.g)
+        self.density_s = shard_mat(self.density)
+        self.e_gp = self.e_s[:, None] if self.e_s.ndim == 1 else self.e_s
+        self.nu_gp = self.nu_s[:, None] if self.nu_s.ndim == 1 else self.nu_s
+
+        self.nn_pad = self.ndof_pad // 3
+        self.fixmask_m = self.space.fixmask_m
+        self._build_jits()
+
+    # -- Gauss-state helpers (backend order = Morton + shard padding) --------
+
+    def gauss_zeros(self, trailing=()):
+        return jax.device_put(
+            jnp.zeros((self.ne_pad, 4) + tuple(trailing), dtype=self.dtype),
+            self._sh_e,
+        )
+
+    def gauss_full(self, value):
+        return jax.device_put(
+            jnp.full((self.ne_pad, 4), value, dtype=self.dtype), self._sh_e
+        )
+
+    def gauss_false(self):
+        return jax.device_put(
+            jnp.zeros((self.ne_pad, 4), dtype=bool), self._sh_e
+        )
+
+    def gauss_to_user(self, a):
+        return np.asarray(a)[self._epos]
+
+    def user_to_gauss(self, a):
+        a_np = np.asarray(a)[self._eperm]
+        if self.ne_pad > self.ne:
+            pad = np.repeat(a_np[:1], self.ne_pad - self.ne, axis=0)
+            a_np = np.concatenate([a_np, pad], axis=0)
+        return jax.device_put(jnp.asarray(a_np), self._sh_e)
+
+    # -- shard_map building blocks -------------------------------------------
+
+    def _smap(self, f, in_specs, out_specs):
+        return jax.shard_map(
+            f, mesh=self.dmesh, in_specs=in_specs, out_specs=out_specs
+        )
+
+    def _kv_m(self, esm, u_m):
+        """Raw ``K @ v`` in the Morton node numbering (one psum)."""
+        nn = self.nn_pad
+
+        def local(esm_l, eln_l, u_r):
+            ne_l = eln_l.shape[0]
+            u3 = u_r.reshape(nn, 3)[eln_l]
+            fe = jnp.einsum("eij,ej->ei", esm_l, u3.reshape(ne_l, 30))
+            y = jax.ops.segment_sum(
+                fe.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn
+            )
+            return jax.lax.psum(y, "e")
+
+        y3 = self._smap(local, (P("e"), P("e"), P()), P())(esm, self.eln_m_s, u_m)
+        return y3.reshape(-1)
+
+    def _khat_m(self, esm, u_m):
+        fm = self.fixmask_m
+        return fm * self._kv_m(esm, fm * u_m) + (1.0 - fm) * u_m
+
+    def _pinv_m(self, esm):
+        """Replicated (nn, 3, 3) block-Jacobi inverses in Morton node order."""
+        nn = self.nn_pad
+
+        def local(esm_l, eln_l):
+            return jax.lax.psum(_nodal_diag_blocks(esm_l, eln_l, nn), "e")
+
+        nodal = self._smap(local, (P("e"), P("e")), P())(esm, self.eln_m_s)
+        m3 = self.fixmask_m.reshape(nn, 3)
+        mask_ij = m3[:, :, None] * m3[:, None, :]
+        eye = jnp.eye(3, dtype=esm.dtype)
+        nodal = nodal * mask_ij + (1.0 - m3)[:, :, None] * eye[None]
+        return inv3_spd(nodal)
+
+    # -- jitted composites ----------------------------------------------------
+
+    def _build_jits(self):
+        space = self.space
+        nn_pad = self.nn_pad
+        dtype = self.dtype
+        loads = self.loads
+        ndof_pad = self.ndof_pad
+
+        def gp_gravity_local(coords_eff, eln_l, weights_l, density_l, grav):
+            """Per-shard gravity load + gp coords + volume (user node ids)."""
+            coords_el = coords_eff[eln_l]
+            dshp = jnp.asarray(el.DSHP10_AT_GP, dtype=dtype)
+            shp = jnp.asarray(el.SHP10_AT_GP, dtype=dtype)
+            w = jnp.asarray(el.W10, dtype=dtype)
+            from fcvm_tpu.utils.linalg3 import det3
+
+            xs = jnp.einsum("eki,gjk->egij", coords_el, dshp)
+            det = det3(xs) * weights_l[:, None]
+            scale = w[None, :] * jnp.abs(det)
+            rho = (
+                density_l[:, None, None]
+                if jnp.ndim(density_l) == 1
+                else density_l
+            )
+            gamma = jnp.einsum("eg,gj,c->ejc", scale, shp, grav) * rho
+            glv3 = jax.ops.segment_sum(
+                gamma.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn_pad
+            )
+            gp_coords = jnp.einsum("gj,eji->egi", shp, coords_el)
+            volume = jnp.sum(det * w[None, :])
+            return (
+                jax.lax.psum(glv3, "e").reshape(-1),
+                gp_coords,
+                jax.lax.psum(volume, "e"),
+            )
+
+        def assemble_fn(coords, dmat_s, density_s, fixmask, u_fix):
+            def local(coords_r, eln_l, w_l, dmat_l):
+                dm = dmat_l if dmat_l.ndim == 3 else dmat_l
+                esm = asm.elastic_stiffness_blocks(coords_r, eln_l, dm)
+                return esm * w_l[:, None, None]
+
+            dspec = P("e") if self.dmat.ndim == 3 else P()
+            esm = self._smap(
+                local, (P(), P("e"), P("e"), dspec), P("e")
+            )(coords, self.eln_s, self.weights, dmat_s)
+            pinv = self._pinv_m(esm)
+
+            dsp = P("e") if self.density.ndim == 1 else P()
+            glv_g, gp_coords, volume = self._smap(
+                partial(gp_gravity_local, grav=loads.gravity),
+                (P(), P("e"), P("e"), dsp),
+                (P(), P("e"), P()),
+            )(coords, self.eln_s, self.weights, density_s)
+
+            # small-table loads: replicated (identical on every device)
+            glv = glv_g
+            glv = glv + asm.pressure_face_loads(
+                coords, loads.pressure_faces, loads.pressures, ndof_pad
+            )
+            glv = glv + asm.uniform_face_loads(
+                coords, loads.traction_faces, loads.tractions, ndof_pad
+            )
+            glv = glv + asm.edge_loads(
+                coords, loads.edges, loads.edge_tractions, ndof_pad
+            )
+            glv = glv + asm.vertex_loads(
+                loads.vertices, loads.vertex_forces, ndof_pad, dtype
+            )
+            loadsums = jnp.sum(glv.reshape(-1, 3), axis=0)
+
+            # Dirichlet RHS in Morton space, mapped back to user order
+            u_fix_m = space.to_m(u_fix)
+            modf_m = -self.fixmask_m * self._kv_m(esm, u_fix_m)
+            rhs_m = self.fixmask_m * space.to_m(glv) + modf_m + u_fix_m
+            rhs = space.from_m(rhs_m)
+            return esm, pinv, glv, rhs, gp_coords, volume, loadsums
+
+        self._assemble_jit = jax.jit(assemble_fn)
+
+        def solve_fn(esm, pc, b, x0):
+            matvec = lambda u: self._khat_m(esm, u)
+            precond = lambda r: apply_precond(pc, r)
+            res = slv.pcg(
+                matvec, space.to_m(b), precond=precond,
+                x0=None if x0 is None else space.to_m(x0),
+                rtol=self.rtol, maxiter=self.maxiter,
+            )
+            return res._replace(x=space.from_m(res.x))
+
+        self._solve_jit = jax.jit(solve_fn, static_argnames=())
+        self._solve_jit_nox0 = jax.jit(lambda esm, pc, b: solve_fn(esm, pc, b, None))
+
+        def stress_update_fn(coords, sig_yield, disp, du, sig_old,
+                             dmat_s, g_s, h_s, et_e, large_disp):
+            def local(coords_r, eln_l, w_l, sy_l, disp_r, du_r, sig_old_l,
+                      dmat_l, g_l, h_l):
+                coords_el = coords_r[eln_l]
+                u_el = disp_r.reshape(-1, 3)[eln_l]
+                du_el = du_r.reshape(-1, 3)[eln_l]
+                mat_axes = (0, 0, 0) if dmat_l.ndim == 3 else (None, None, None)
+                sig_new, sig_test, pgp, elv = jax.vmap(
+                    lambda c, u, d, s, sy, dm, hh, gg: _element_stress_update(
+                        c, u, d, s, sy, dm, hh, gg, large_disp
+                    ),
+                    in_axes=(0, 0, 0, 0, 0) + mat_axes,
+                )(coords_el, u_el, du_el, sig_old_l, sy_l, dmat_l, h_l, g_l)
+                elv = elv * w_l[:, None]
+                qin3 = jax.ops.segment_sum(
+                    elv.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn_pad
+                )
+                return sig_new, sig_test, pgp, jax.lax.psum(qin3, "e")
+
+            mspec = P("e") if self.dmat.ndim == 3 else P()
+            sig_new, sig_test, pgp, qin3 = self._smap(
+                local,
+                (P(), P("e"), P("e"), P("e"), P(), P(), P("e"),
+                 mspec, mspec, mspec),
+                (P("e"), P("e"), P("e"), P()),
+            )(coords, self.eln_s, self.weights, sig_yield, disp, du, sig_old,
+              dmat_s, g_s, h_s)
+            return sig_new, sig_test, pgp, qin3.reshape(-1)
+
+        self._stress_update_jit = jax.jit(
+            stress_update_fn, static_argnames=("large_disp",)
+        )
+
+        def residual_fn(coords, sig_yield, disp_new, du, sig_old, glv,
+                        lbd1, qnorm, dmat_s, g_s, h_s, et_e, large_disp):
+            sig_new, sig_test, pgp, qin = stress_update_fn(
+                coords, sig_yield, disp_new, du, sig_old, dmat_s, g_s, h_s,
+                et_e, large_disp,
+            )
+            r = self.fixmask * (lbd1 * glv - qin)
+            error = jnp.linalg.norm(r) / qnorm
+            return sig_new, sig_test, pgp, qin, r, error
+
+        self._residual_jit = jax.jit(residual_fn, static_argnames=("large_disp",))
+
+        def tangent_fn(coords, sig_old, pgp, disp_new, du, pc,
+                       dmat_s, g_s, h_s, density_s, u_fix):
+            coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
+
+            def local(coords_r, eln_l, w_l, sig_l, pgp_l, dmat_l, g_l, h_l):
+                esm_t = asm.tangent_stiffness_blocks(
+                    coords_r, eln_l, dmat_l, sig_l, pgp_l, g_l, h_l
+                )
+                return esm_t * w_l[:, None, None]
+
+            mspec = P("e") if self.dmat.ndim == 3 else P()
+            esm_t = self._smap(
+                local,
+                (P(), P("e"), P("e"), P("e"), P("e"), mspec, mspec, mspec),
+                P("e"),
+            )(coords_def, self.eln_s, self.weights, sig_old, pgp, dmat_s, g_s,
+              h_s)
+
+            # follower loads: gravity on deformed coordinates (element
+            # partition), pressure on the stretched surface + original-
+            # geometry uniform/edge/vertex loads replicated
+            # (fcVM.py:858-938, 962-1009)
+            dsp = P("e") if self.density.ndim == 1 else P()
+            glv3, _, _ = self._smap(
+                partial(gp_gravity_local, grav=loads.gravity),
+                (P(), P("e"), P("e"), dsp),
+                (P(), P("e"), P()),
+            )(coords_def, self.eln_s, self.weights, density_s)
+            glv_t = glv3
+            glv_t = glv_t + asm.pressure_face_loads(
+                coords_def, loads.pressure_faces, loads.pressures, ndof_pad
+            )
+            glv_t = glv_t + asm.uniform_face_loads(
+                coords, loads.traction_faces, loads.tractions, ndof_pad
+            )
+            glv_t = glv_t + asm.edge_loads(
+                coords, loads.edges, loads.edge_tractions, ndof_pad
+            )
+            glv_t = glv_t + asm.vertex_loads(
+                loads.vertices, loads.vertex_forces, ndof_pad, dtype
+            )
+
+            pinv_t = self._pinv_m(esm_t)
+            if isinstance(pc, TwoLevelPrecond):
+                if pc.smooth_inv is not None:
+                    pc_t = pc
+                else:
+                    pc_t = pc._replace(pinv=pinv_t)
+            else:
+                pc_t = pinv_t
+
+            u_fix_m = space.to_m(u_fix)
+            modf_m = -self.fixmask_m * self._kv_m(esm_t, u_fix_m)
+            rhs_m = self.fixmask_m * space.to_m(glv_t) + modf_m + u_fix_m
+            matvec = lambda u: self._khat_m(esm_t, u)
+            precond = lambda r: apply_precond(pc_t, r)
+            ue_m = slv.pcg(
+                matvec, rhs_m, precond=precond, rtol=self.rtol,
+                maxiter=self.maxiter,
+            ).x
+            return esm_t, pc_t, glv_t, space.from_m(ue_m)
+
+        self._tangent_jit = jax.jit(tangent_fn)
+
+        def internal_force_fn(coords, sig_gp, disp, large_disp):
+            def local(coords_r, eln_l, w_l, sig_l, disp_r):
+                coords_el = coords_r[eln_l]
+                if large_disp:
+                    coords_el = coords_el + disp_r.reshape(-1, 3)[eln_l]
+                det, _, bmat = jax.vmap(el.tet10_element_geometry)(coords_el)
+                w = jnp.asarray(el.W10, dtype=dtype)
+                scale = w[None, :] * jnp.abs(det) * w_l[:, None]
+                elv = jnp.einsum("egkn,egk,eg->en", bmat, sig_l, scale)
+                qin3 = jax.ops.segment_sum(
+                    elv.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn_pad
+                )
+                return jax.lax.psum(qin3, "e")
+
+            qin3 = self._smap(
+                local, (P(), P("e"), P("e"), P("e"), P()), P()
+            )(coords, self.eln_s, self.weights, sig_gp, disp)
+            return qin3.reshape(-1)
+
+        self._internal_force_jit = jax.jit(
+            internal_force_fn, static_argnames=("large_disp",)
+        )
+
+    # -- LocalSystem interface -------------------------------------------------
+
+    def assemble(self, coords):
+        coords_dev = jax.device_put(
+            jnp.asarray(np.asarray(coords), dtype=self.dtype), self._sh_r
+        )
+        return self._assemble_jit(
+            coords_dev, self.dmat_s, self.density_s, self.fixmask, self.u_fix
+        )
+
+    def make_pc(self, esm, pinv, coords_dev):
+        if self.cfg.precond != "two_level":
+            return pinv  # already Morton node order
+        cluster_size = self.cfg.resolve_cluster_size(self.mesh.n_nodes)
+        space = self.space
+        nn_pad = self.nn_pad
+        coords_m = space.coords_m.astype(self.dtype)
+        nn = coords_m.shape[0]
+        coords_p = jnp.pad(coords_m, ((0, nn_pad - nn), (0, 0)))
+        qmat = _rigid_modes(coords_p, cluster_size)
+        m3 = jnp.pad(
+            self.fixmask_m.reshape(nn_pad, 3),
+            ((0, qmat.shape[0] - nn_pad), (0, 0)),
+        )
+        qmat_bc = qmat * m3[:, :, None]
+
+        @partial(jax.jit, static_argnames=("cs",))
+        def acc(esm_s, qbc, cs):
+            def local(esm_l, eln_l, qbc_r):
+                ncl = qbc_r.shape[0] // cs
+                kc0 = jax.lax.pcast(
+                    jnp.zeros((ncl * ncl, 36), esm_l.dtype), ("e",),
+                    to="varying",
+                )
+                return jax.lax.psum(
+                    _coarse_accumulate(esm_l, eln_l, qbc_r, cs, kc0), "e"
+                )
+
+            return self._smap(local, (P("e"), P("e"), P()), P())(
+                esm_s, self.eln_m_s, qbc
+            )
+
+        kc = acc(esm, qmat_bc, cluster_size)
+        coarse_inv = None
+        for ridge in (3.0e-4, 3.0e-3, 3.0e-2):
+            coarse_inv = _coarse_densify_invert(
+                kc, jnp.asarray(ridge, esm.dtype)
+            )
+            if bool(jnp.all(jnp.isfinite(coarse_inv))):
+                break
+        else:
+            import warnings
+
+            warnings.warn(
+                "sharded two-level coarse inverse non-finite at every ridge; "
+                "continuing with the fine-level smoother only"
+            )
+            coarse_inv = jnp.zeros_like(coarse_inv)
+        return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, self.fixmask_m, None)
+
+    def solve(self, esm, pc, b, x0=None):
+        if x0 is None:
+            return self._solve_jit_nox0(esm, pc, b)
+        return self._solve_jit(esm, pc, b, x0)
+
+    def residual(self, coords, sig_yield, disp_new, du, sig_old, glv,
+                 lbd1, qnorm, et_e, large_disp):
+        h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
+        return self._residual_jit(
+            coords, sig_yield, disp_new, du, sig_old, glv,
+            jnp.asarray(lbd1, self.dtype), jnp.asarray(qnorm, self.dtype),
+            self.dmat_s, self.g_s, h, jnp.asarray(et_e, self.dtype),
+            large_disp,
+        )
+
+    def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e):
+        h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
+        return self._tangent_jit(
+            coords, sig_old, pgp, disp_new, du, pc,
+            self.dmat_s, self.g_s, h, self.density_s, self.u_fix,
+        )
+
+    def stress_update(self, coords, sig_yield, disp, du, sig_old, et_e,
+                      large_disp):
+        h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
+        return self._stress_update_jit(
+            coords, sig_yield, disp, du, sig_old, self.dmat_s, self.g_s, h,
+            jnp.asarray(et_e, self.dtype), large_disp,
+        )
+
+    def internal_force(self, coords, sig_gp, disp, large_disp):
+        return self._internal_force_jit(coords, sig_gp, disp, large_disp)

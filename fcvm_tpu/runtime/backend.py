@@ -1,0 +1,180 @@
+"""System backends: the compute engine behind the collapse driver.
+
+The driver (:mod:`fcvm_tpu.runtime.driver`) owns only host control flow —
+load stepping, restarts, adaptive scaling, history.  Every array operation
+goes through a *backend* object with one of two implementations:
+
+* :class:`LocalSystem` — single-device, wrapping the jitted composites of
+  :mod:`fcvm_tpu.runtime.system` (Morton solve space, ScatterPlan).
+* :class:`fcvm_tpu.parallel.system.ShardedSystem` — the same operations
+  SPMD over a ``jax.sharding.Mesh`` element partition (``shard_map`` +
+  one ``psum`` per operator application).
+
+The split is what makes multi-chip a production path rather than a demo:
+`solve_collapse` runs the *identical* Riks/restart logic over either
+backend (cf. the reference's single solver loop, ``fcVM.py:1304-1557``).
+
+Backend data contract:
+
+* Node-space vectors (disp, du, loads, residuals) are in **user dof order**
+  (padded to the 384 alignment), whichever backend.
+* Gauss-state arrays (stress, PEEQ, CSR, yield) are in **backend order**:
+  user element order for :class:`LocalSystem`, Morton element order (padded
+  to the shard multiple) for the sharded backend.  ``gauss_to_user`` /
+  ``user_to_gauss`` convert; the driver converts exactly at history
+  recording, checkpointing and results boundaries.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from fcvm_tpu.ops import assembly as asm
+from fcvm_tpu.ops import material as mat
+from fcvm_tpu.ops.stress_update import internal_force_from_stress, update_stress_load
+from fcvm_tpu.runtime import system as sysm
+from fcvm_tpu.utils.indexing import pad_ndof, pad_vector
+
+
+class LocalSystem:
+    """Single-device backend over the jitted composites of ``runtime.system``."""
+
+    supports_scipy = True
+
+    def __init__(self, model, cfg, dtype):
+        self.cfg = cfg
+        self.dtype = dtype
+        mesh = model.mesh
+        self.mesh = mesh
+        self.ne = mesh.n_elements
+        self.ndof = mesh.ndof
+        self.ndof_pad = pad_ndof(mesh.ndof)
+
+        if model.materials_by_element is not None:
+            mbe = model.materials_by_element
+            self.e = jnp.asarray(mbe[:, 0], dtype=dtype)
+            self.nu = jnp.asarray(mbe[:, 1], dtype=dtype)
+            self.density = jnp.asarray(mbe[:, 2], dtype=dtype)
+        else:
+            self.e = jnp.asarray(model.material.e, dtype=dtype)
+            self.nu = jnp.asarray(model.material.nu, dtype=dtype)
+            self.density = jnp.asarray(model.material.density, dtype=dtype)
+        self.dmat = mat.hooke_dmat(self.e, self.nu)
+        self.g = mat.shear_modulus(self.e, self.nu)
+        # per-gauss-point broadcast shapes for the damage update
+        self.e_gp = self.e[:, None] if self.e.ndim == 1 else self.e
+        self.nu_gp = self.nu[:, None] if self.nu.ndim == 1 else self.nu
+
+        self.elnodes = jnp.asarray(mesh.elnodes, dtype=jnp.int32)
+        fixmask_np, u_fix_np, movdof_np = model.bcs.masks(mesh.ndof)
+        self.fixmask = jnp.asarray(pad_vector(fixmask_np, self.ndof_pad), dtype=dtype)
+        self.u_fix = jnp.asarray(pad_vector(u_fix_np, self.ndof_pad), dtype=dtype)
+        self.movdof = jnp.asarray(pad_vector(movdof_np, self.ndof_pad), dtype=dtype)
+        self.has_movdof = bool(movdof_np.max() > 0.5)
+        self.loads = sysm.LoadTables.from_spec(model.loads, dtype)
+        self.plan = asm.build_scatter_plan(mesh.elnodes, self.ndof_pad // 3)
+        self.space = sysm.build_solve_space(
+            mesh.coords, mesh.elnodes, self.fixmask, self.ndof_pad
+        )
+        self.rtol = cfg.cg_rtol
+        self.maxiter = cfg.resolve_cg_maxiter(mesh.ndof)
+
+    # -- Gauss-state helpers -------------------------------------------------
+
+    def gauss_zeros(self, trailing=()):
+        return jnp.zeros((self.ne, 4) + tuple(trailing), dtype=self.dtype)
+
+    def gauss_full(self, value):
+        return jnp.full((self.ne, 4), value, dtype=self.dtype)
+
+    def gauss_false(self):
+        return jnp.zeros((self.ne, 4), dtype=bool)
+
+    def gauss_to_user(self, a):
+        return a
+
+    def user_to_gauss(self, a):
+        return jnp.asarray(a, dtype=a.dtype if hasattr(a, "dtype") else None)
+
+    # -- composites ----------------------------------------------------------
+
+    def assemble(self, coords):
+        return sysm.assemble_elastic(
+            jnp.asarray(coords, dtype=self.dtype), self.elnodes, self.dmat,
+            self.loads, self.density, self.fixmask, self.u_fix, self.plan,
+        )
+
+    def make_pc(self, esm, pinv, coords_dev):
+        if self.cfg.precond == "two_level":
+            return sysm.build_precond(
+                esm, self.elnodes, coords_dev, self.fixmask,
+                self.cfg.resolve_cluster_size(self.mesh.n_nodes),
+                space=self.space,
+            )
+        # block-Jacobi tier: permute the nodal blocks into the solve space
+        return pinv[self.space.nperm]
+
+    def solve(self, esm, pc, b, x0=None):
+        return sysm.solve_displacement(
+            esm, self.elnodes, self.fixmask, pc, b, self.rtol, self.maxiter,
+            x0=x0, plan=self.plan, space=self.space,
+        )
+
+    def residual(self, coords, sig_yield, disp_new, du, sig_old, glv,
+                 lbd1, qnorm, et_e, large_disp):
+        return sysm.residual(
+            coords, self.elnodes, self.dmat, sig_yield, disp_new, du, sig_old,
+            self.e, self.nu, et_e, glv, self.fixmask,
+            jnp.asarray(lbd1, dtype=self.dtype),
+            jnp.asarray(qnorm, dtype=self.dtype), large_disp, self.plan,
+        )
+
+    def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e):
+        h = mat.hardening_modulus(self.e, jnp.asarray(et_e, self.dtype))
+        return sysm.tangent_refresh(
+            coords, self.elnodes, self.dmat, sig_old, pgp, disp_new, du,
+            self.loads, self.density, self.fixmask, self.u_fix, self.g, h,
+            self.rtol, self.maxiter, pc=pc, plan=self.plan, space=self.space,
+        )
+
+    def stress_update(self, coords, sig_yield, disp, du, sig_old, et_e,
+                      large_disp):
+        return update_stress_load(
+            coords, self.elnodes, self.dmat, sig_yield, disp, du, sig_old,
+            self.e, self.nu, et_e, large_disp, self.plan,
+        )
+
+    def internal_force(self, coords, sig_gp, disp, large_disp):
+        return internal_force_from_stress(
+            coords, self.elnodes, sig_gp, disp, large_disp
+        )
+
+    def update_peeq_csr(self, sig_test, sig_new, sig_yield, peeq, csr, et_e,
+                        ultimate_strain):
+        return mat.update_peeq_csr(
+            sig_test, sig_new, sig_yield, peeq, csr, self.e_gp, self.nu_gp,
+            et_e, ultimate_strain,
+        )
+
+    # scipy direct tier (LocalSystem only)
+    def scipy_direct(self, esm):
+        from fcvm_tpu.ops.solver import ScipyDirectSolver
+
+        return ScipyDirectSolver(
+            esm, asm.element_dof_ids(self.elnodes), self.fixmask, self.ndof_pad
+        )
+
+    def scipy_rhs(self, esm, glv):
+        return asm.dirichlet_rhs(
+            esm, asm.element_dof_ids(self.elnodes), self.fixmask, self.u_fix, glv
+        )
+
+
+def make_backend(model, cfg, dtype):
+    """Backend factory: sharded when ``cfg.n_devices > 1``, local otherwise."""
+    if getattr(cfg, "n_devices", 0) and cfg.n_devices > 1:
+        from fcvm_tpu.parallel.system import ShardedSystem
+
+        return ShardedSystem(model, cfg, dtype)
+    return LocalSystem(model, cfg, dtype)

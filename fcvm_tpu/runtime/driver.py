@@ -35,13 +35,10 @@ import numpy as np
 from fcvm_tpu.config import get_config
 from fcvm_tpu.models.inp import ControlParams
 from fcvm_tpu.models.spec import Model
-from fcvm_tpu.ops import assembly as asm_ops
-from fcvm_tpu.ops import material as mat
-from fcvm_tpu.ops.stress_update import internal_force_from_stress, update_stress_load
 from fcvm_tpu.runtime import system as sysm
 from fcvm_tpu.runtime.buckling import buckling_from_arrays
 from fcvm_tpu.runtime.profiling import PhaseTimers
-from fcvm_tpu.utils.indexing import pad_ndof, pad_vector
+from fcvm_tpu.utils.indexing import pad_vector
 
 
 @dataclasses.dataclass
@@ -120,14 +117,9 @@ class _LinearState:
         self.maxiter = maxiter
         self._direct = None
 
-    def direct(self, elnodes, fixmask):
+    def direct(self, backend):
         if self._direct is None:
-            from fcvm_tpu.ops.assembly import element_dof_ids
-            from fcvm_tpu.ops.solver import ScipyDirectSolver
-
-            self._direct = ScipyDirectSolver(
-                self.esm, element_dof_ids(elnodes), fixmask, fixmask.shape[0]
-            )
+            self._direct = backend.scipy_direct(self.esm)
         return self._direct
 
 
@@ -168,66 +160,37 @@ def solve_collapse(
 
     mesh = model.mesh
     ndof = mesh.ndof
-    ne = mesh.n_elements
     coords_np = mesh.coords.copy()
     coords_old = mesh.coords.copy()
 
-    if model.materials_by_element is not None:
-        mbe = model.materials_by_element
-        e = jnp.asarray(mbe[:, 0], dtype=dtype)
-        nu = jnp.asarray(mbe[:, 1], dtype=dtype)
-        density = jnp.asarray(mbe[:, 2], dtype=dtype)
-    else:
-        e = jnp.asarray(model.material.e, dtype=dtype)
-        nu = jnp.asarray(model.material.nu, dtype=dtype)
-        density = jnp.asarray(model.material.density, dtype=dtype)
+    from fcvm_tpu.runtime.backend import make_backend
+
+    backend = make_backend(model, cfg, dtype)
+    if cfg.solver == "scipy" and not backend.supports_scipy:
+        raise ValueError("the scipy direct tier is single-device only")
     et_e = jnp.asarray(params.et_e, dtype=dtype)
-    dmat = mat.hooke_dmat(e, nu)
-    g = mat.shear_modulus(e, nu)
-    h = mat.hardening_modulus(e, et_e)
-    # gauss-point broadcast shapes for the damage update (ne, 4) states
-    e_gp = e[:, None] if e.ndim == 1 else e
-    nu_gp = nu[:, None] if nu.ndim == 1 else nu
+    ndof_pad = backend.ndof_pad
+    fixmask = backend.fixmask
+    u_fix = backend.u_fix
+    movdof = backend.movdof
+    has_movdof = backend.has_movdof
 
-    elnodes = jnp.asarray(mesh.elnodes, dtype=jnp.int32)
-    fixmask_np, u_fix_np, movdof_np = model.bcs.masks(ndof)
-    # All dof vectors are padded for TPU gather/scatter alignment
-    # (fcvm_tpu.utils.indexing); padding dofs are decoupled identity rows.
-    ndof_pad = pad_ndof(ndof)
-    fixmask = jnp.asarray(pad_vector(fixmask_np, ndof_pad), dtype=dtype)
-    u_fix = jnp.asarray(pad_vector(u_fix_np, ndof_pad), dtype=dtype)
-    movdof = jnp.asarray(pad_vector(movdof_np, ndof_pad), dtype=dtype)
-    has_movdof = bool(movdof_np.max() > 0.5)
-    loads = sysm.LoadTables.from_spec(model.loads, dtype)
-    # gather-only scatter plan for all node reductions (TPU fast path)
-    plan = asm_ops.build_scatter_plan(mesh.elnodes, ndof_pad // 3)
-    # Morton solve space: CG runs in a Z-ordered node numbering so the
-    # two-level clusters are spatially compact (user-facing node/element
-    # order — and hence result/Gauss-point parity — is untouched).
-    space = sysm.build_solve_space(coords_np, mesh.elnodes, fixmask, ndof_pad)
-
-    rtol = cfg.cg_rtol
-    maxiter = cfg.resolve_cg_maxiter(ndof)
     cg_stats = {"solves": 0, "iters": 0, "time": 0.0, "tangent_time": 0.0}
 
     def assemble(coords):
         with timers.phase("assemble"):
-            return sysm.assemble_elastic(
-                jnp.asarray(coords, dtype=dtype), elnodes, dmat, loads, density,
-                fixmask, u_fix, plan,
-            )
+            return backend.assemble(coords)
 
     def solve(lin: _LinearState, b, x0=None):
         t0 = time.perf_counter()
         if cfg.solver == "scipy":
-            x = jnp.asarray(np.asarray(lin.direct(elnodes, fixmask).solve(b)), dtype=dtype)
+            x = jnp.asarray(
+                np.asarray(lin.direct(backend).solve(b)), dtype=dtype
+            )
             cg_stats["solves"] += 1
             cg_stats["time"] += time.perf_counter() - t0
             return x, 0.0
-        res = sysm.solve_displacement(
-            lin.esm, elnodes, fixmask, lin.pc, b, lin.rtol, lin.maxiter, x0=x0,
-            plan=plan, space=space,
-        )
+        res = backend.solve(lin.esm, lin.pc, b, x0=x0)
         x = res.x.block_until_ready()
         cg_stats["solves"] += 1
         cg_stats["iters"] += int(res.iters)
@@ -237,17 +200,12 @@ def solve_collapse(
     def make_pc(esm, pinv, coords_dev):
         if cfg.precond == "two_level":
             with timers.phase("precond_build"):
-                return sysm.build_precond(
-                    esm, elnodes, coords_dev, fixmask,
-                    cfg.resolve_cluster_size(mesh.n_nodes),
-                    space=space,
-                )
-        # block-Jacobi tier: permute the nodal blocks into the solve space
-        return pinv[space.nperm]
+                return backend.make_pc(esm, pinv, coords_dev)
+        return backend.make_pc(esm, pinv, coords_dev)
 
     coords = jnp.asarray(coords_np, dtype=dtype)
     esm, pinv, glv, rhs, gp_coords, volume, loadsums = assemble(coords_np)
-    lin = _LinearState(esm, make_pc(esm, pinv, coords), rtol, maxiter)
+    lin = _LinearState(esm, make_pc(esm, pinv, coords), backend.rtol, backend.maxiter)
 
     qnorm = float(jnp.linalg.norm(glv))
     if qnorm < 1.0:
@@ -261,18 +219,18 @@ def solve_collapse(
     dl = dl0
     du = dl * ue
 
-    zeros_gp6 = jnp.zeros((ne, 4, 6), dtype=dtype)
+    zeros_gp6 = backend.gauss_zeros((6,))
     sig_new = zeros_gp6
     sig_old = zeros_gp6
     sig_test = zeros_gp6
-    sig_yield = jnp.full((ne, 4), params.sig_yield, dtype=dtype)
-    peeq = jnp.zeros((ne, 4), dtype=dtype)
-    csr = jnp.zeros((ne, 4), dtype=dtype)
-    triax = jnp.zeros((ne, 4), dtype=dtype)
-    pressure_gp = jnp.zeros((ne, 4), dtype=dtype)
-    sigmises = jnp.zeros((ne, 4), dtype=dtype)
-    ecr = jnp.zeros((ne, 4), dtype=dtype)
-    pgp = jnp.zeros((ne, 4), dtype=bool)
+    sig_yield = backend.gauss_full(params.sig_yield)
+    peeq = backend.gauss_zeros()
+    csr = backend.gauss_zeros()
+    triax = backend.gauss_zeros()
+    pressure_gp = backend.gauss_zeros()
+    sigmises = backend.gauss_zeros()
+    ecr = backend.gauss_zeros()
+    pgp = backend.gauss_false()
     disp_new = jnp.zeros(ndof_pad, dtype=dtype)
     disp_old = jnp.zeros(ndof_pad, dtype=dtype)
 
@@ -284,9 +242,9 @@ def solve_collapse(
     # Displacement control: replace the load norm with the elastic reaction
     # on the driven boundary (fcVM.py:1169-1177).
     if has_movdof:
-        sn, st, pg, qelastic = update_stress_load(
-            coords, elnodes, dmat, sig_yield, zero_disp, jnp.asarray(ue),
-            zeros_gp6, e, nu, et_e, large_disp, plan,
+        sn, st, pg, qelastic = backend.stress_update(
+            coords, sig_yield, zero_disp, jnp.asarray(ue), zeros_gp6, et_e,
+            large_disp,
         )
         qnorm = float(jnp.linalg.norm(movdof * qelastic))
 
@@ -297,14 +255,19 @@ def solve_collapse(
         with timers.phase("buckling"):
             # initial stress field: elastic stresses of the full load
             # (radial return disabled by a huge yield stress, fcVM.py:1195).
-            sig_el_gp, _, _, _ = update_stress_load(
-                coords, elnodes, dmat, 1.0e6 * sig_yield, zero_disp,
-                jnp.asarray(ue), zeros_gp6, e, nu, et_e, False, plan,
+            sig_el_gp, _, _, _ = backend.stress_update(
+                coords, 1.0e6 * sig_yield, zero_disp, jnp.asarray(ue),
+                zeros_gp6, et_e, False,
             )
+            # The eigensolve itself replicates (its arrays are the elastic
+            # blocks it assembles internally); Gauss prestress converts to
+            # user element order for it.
             eigenvalues, eigenvectors = buckling_from_arrays(
-                coords, elnodes, dmat, sig_el_gp, fixmask,
-                k=2, rtol=min(rtol, 1.0e-10), maxiter=maxiter, plan=plan,
-                space=space,
+                coords, backend.elnodes, backend.dmat,
+                jnp.asarray(backend.gauss_to_user(sig_el_gp), dtype=dtype),
+                fixmask, k=2, rtol=min(backend.rtol, 1.0e-10),
+                maxiter=backend.maxiter, plan=backend.plan,
+                space=backend.space,
             )
             log(f"buckling load factors: {eigenvalues}")
 
@@ -318,9 +281,10 @@ def solve_collapse(
                     history.triax, history.ecr, history.csr, history.peeqmax):
             lst.append(lst[0])
         return _results(
-            disp_output, disp_new, disp_old, disp_el, eigenvalues, eigenvectors,
-            sig_new, peeq, csr, sigmises, triax, sig_yield, history, gp_coords,
-            volume, loadsums, False, coords_old, coords_np, timers, cg_stats,
+            backend, disp_output, disp_new, disp_old, disp_el, eigenvalues,
+            eigenvectors, sig_new, peeq, csr, sigmises, triax, sig_yield,
+            history, gp_coords, volume, loadsums, False, coords_old,
+            coords_np, timers, cg_stats,
         )
 
     if run_buckling and params.max_imp != 0.0:
@@ -338,7 +302,7 @@ def solve_collapse(
         coords_np = coords_np + np.asarray(imper)[:ndof].reshape(-1, 3)
         coords = jnp.asarray(coords_np, dtype=dtype)
         esm, pinv, glv, rhs, gp_coords, volume, loadsums = assemble(coords_np)
-        lin = _LinearState(esm, make_pc(esm, pinv, coords), rtol, maxiter)
+        lin = _LinearState(esm, make_pc(esm, pinv, coords), backend.rtol, backend.maxiter)
         qnorm = max(float(jnp.linalg.norm(glv)), 1.0)
         with timers.phase("elastic_solve"):
             ue, _ = solve(lin, rhs, x0=u_fix)
@@ -349,7 +313,7 @@ def solve_collapse(
     ue = jnp.asarray(ue)
     du = jnp.asarray(du)
     sig_new = zeros_gp6
-    pgp = jnp.zeros((ne, 4), dtype=bool)
+    pgp = backend.gauss_false()
 
     lbd = [0.0]
     step = -1
@@ -371,12 +335,13 @@ def solve_collapse(
             disp_new = jnp.asarray(pad_vector(st["disp_new"], ndof_pad), dtype=dtype)
             disp_old = jnp.asarray(pad_vector(st["disp_old"], ndof_pad), dtype=dtype)
             du = jnp.asarray(pad_vector(st["du"], ndof_pad), dtype=dtype)
-            sig_new = jnp.asarray(st["sig_new"], dtype=dtype)
-            sig_test = jnp.asarray(st["sig_test"], dtype=dtype)
-            sig_yield = jnp.asarray(st["sig_yield"], dtype=dtype)
-            peeq = jnp.asarray(st["peeq"], dtype=dtype)
-            csr = jnp.asarray(st["csr"], dtype=dtype)
-            pgp = jnp.asarray(st["pgp"])
+            # checkpoints store user element order; backends re-shard
+            sig_new = backend.user_to_gauss(np.asarray(st["sig_new"], dtype=dtype))
+            sig_test = backend.user_to_gauss(np.asarray(st["sig_test"], dtype=dtype))
+            sig_yield = backend.user_to_gauss(np.asarray(st["sig_yield"], dtype=dtype))
+            peeq = backend.user_to_gauss(np.asarray(st["peeq"], dtype=dtype))
+            csr = backend.user_to_gauss(np.asarray(st["csr"], dtype=dtype))
+            pgp = backend.user_to_gauss(np.asarray(st["pgp"]))
             lbd = list(st["lbd"])
             step = len(lbd) - 2
             dl = float(st["dl"]) if "dl" in st else (lbd[-1] - lbd[-2])
@@ -388,30 +353,32 @@ def solve_collapse(
             history.crip = [int(v) for v in history.crip]
 
     def do_residual(du_, lbd1):
-        return sysm.residual(
-            coords, elnodes, dmat, sig_yield, disp_new, du_, sig_old,
-            e, nu, et_e, glv, fixmask, jnp.asarray(lbd1, dtype=dtype),
-            jnp.asarray(qnorm, dtype=dtype), large_disp, plan,
+        return backend.residual(
+            coords, sig_yield, disp_new, du_, sig_old, glv, lbd1, qnorm,
+            et_e, large_disp,
         )
 
     def record_step(qin):
         nonlocal sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr
         disp_nodes = np.asarray(disp_new).reshape(-1, 3)
         history.un.append(float(np.sqrt((disp_nodes**2).sum(axis=1).max())))
-        sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr = mat.update_peeq_csr(
-            sig_test, sig_new, sig_yield, peeq, csr, e_gp, nu_gp, et_e,
+        sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr = backend.update_peeq_csr(
+            sig_test, sig_new, sig_yield, peeq, csr, et_e,
             params.ultimate_strain,
         )
-        csr_np = np.asarray(csr).reshape(-1)
+        # history records the critical Gauss point in USER (ne, 4) order
+        # (fcVM.py:1539-1557 parity), whichever backend element order
+        csr_np = np.asarray(backend.gauss_to_user(csr)).reshape(-1)
+        peeq_np = np.asarray(backend.gauss_to_user(peeq)).reshape(-1)
         maxloc = int(np.argmax(csr_np))
         history.crip.append(maxloc)
         history.csr.append(float(csr_np[maxloc]))
-        history.pressure.append(float(np.asarray(pressure_gp).reshape(-1)[maxloc]))
-        history.svm.append(float(np.asarray(sigmises).reshape(-1)[maxloc]))
-        history.triax.append(float(np.asarray(triax).reshape(-1)[maxloc]))
-        history.ecr.append(float(np.asarray(ecr).reshape(-1)[maxloc]))
-        history.peeq.append(float(np.asarray(peeq).reshape(-1)[maxloc]))
-        history.peeqmax.append(float(np.asarray(peeq).max()))
+        history.pressure.append(float(np.asarray(backend.gauss_to_user(pressure_gp)).reshape(-1)[maxloc]))
+        history.svm.append(float(np.asarray(backend.gauss_to_user(sigmises)).reshape(-1)[maxloc]))
+        history.triax.append(float(np.asarray(backend.gauss_to_user(triax)).reshape(-1)[maxloc]))
+        history.ecr.append(float(np.asarray(backend.gauss_to_user(ecr)).reshape(-1)[maxloc]))
+        history.peeq.append(float(peeq_np[maxloc]))
+        history.peeqmax.append(float(peeq_np.max()))
         if has_movdof:
             history.load.append(float(jnp.sum(movdof * qin)))
         else:
@@ -424,12 +391,12 @@ def solve_collapse(
                 disp_new=np.asarray(disp_new)[:ndof],
                 disp_old=np.asarray(disp_old)[:ndof],
                 du=np.asarray(du)[:ndof],
-                sig_new=np.asarray(sig_new),
-                sig_test=np.asarray(sig_test),
-                sig_yield=np.asarray(sig_yield),
-                peeq=np.asarray(peeq),
-                csr=np.asarray(csr),
-                pgp=np.asarray(pgp),
+                sig_new=backend.gauss_to_user(sig_new),
+                sig_test=backend.gauss_to_user(sig_test),
+                sig_yield=backend.gauss_to_user(sig_yield),
+                peeq=backend.gauss_to_user(peeq),
+                csr=backend.gauss_to_user(csr),
+                pgp=backend.gauss_to_user(pgp),
                 lbd=np.asarray(lbd),
                 dl=np.asarray(dl),
             )
@@ -466,23 +433,14 @@ def solve_collapse(
 
                     if large_disp and (iterat == 1 or bool(jnp.any(pgp))):
                         t0 = time.perf_counter()
-                        esm_t, pc_t, glv, ue = sysm.tangent_refresh(
-                            coords, elnodes, dmat, sig_old, pgp, disp_new, du,
-                            loads, density, fixmask, u_fix, g, h, rtol, maxiter,
-                            pc=lin.pc, plan=plan, space=space,
+                        esm_t, pc_t, glv, ue = backend.tangent_refresh(
+                            coords, sig_old, pgp, disp_new, du, lin.pc, et_e,
                         )
                         ue.block_until_ready()
                         cg_stats["tangent_time"] += time.perf_counter() - t0
-                        lin = _LinearState(esm_t, pc_t, rtol, maxiter)
+                        lin = _LinearState(esm_t, pc_t, backend.rtol, backend.maxiter)
                         if cfg.solver == "scipy":
-                            from fcvm_tpu.ops.assembly import (
-                                dirichlet_rhs,
-                                element_dof_ids,
-                            )
-
-                            rhs_t = dirichlet_rhs(
-                                esm_t, element_dof_ids(elnodes), fixmask, u_fix, glv
-                            )
+                            rhs_t = backend.scipy_rhs(esm_t, glv)
                             ue, _ = solve(lin, rhs_t, x0=u_fix)
                         a = ue * (jnp.linalg.norm(du) / jnp.linalg.norm(ue))
 
@@ -537,8 +495,8 @@ def solve_collapse(
                         # consistent reaction for the interpolated state
                         # (divergence: the reference skips the rfl record
                         # here entirely, fcVM.py:1486-1523)
-                        qin = internal_force_from_stress(
-                            coords, elnodes, sig_new, disp_new, large_disp
+                        qin = backend.internal_force(
+                            coords, sig_new, disp_new, large_disp
                         )
                     disp_new = disp_new + du
                     record_step(qin)
@@ -577,16 +535,18 @@ def solve_collapse(
 
     history.load = history.load[: step + 2]
     return _results(
-        disp_output, disp_new, disp_old, disp_el, eigenvalues, eigenvectors,
-        sig_new, peeq, csr, sigmises, triax, sig_yield, history, gp_coords,
-        volume, loadsums, fail, coords_old, coords_np, timers, cg_stats,
+        backend, disp_output, disp_new, disp_old, disp_el, eigenvalues,
+        eigenvectors, sig_new, peeq, csr, sigmises, triax, sig_yield,
+        history, gp_coords, volume, loadsums, fail, coords_old, coords_np,
+        timers, cg_stats,
     )
 
 
 def _results(
-    disp_output, disp_new, disp_old, disp_el, eigenvalues, eigenvectors,
-    sig_new, peeq, csr, sigmises, triax, sig_yield, history, gp_coords,
-    volume, loadsums, fail, coords_old, coords_np, timers, cg_stats,
+    backend, disp_output, disp_new, disp_old, disp_el, eigenvalues,
+    eigenvectors, sig_new, peeq, csr, sigmises, triax, sig_yield, history,
+    gp_coords, volume, loadsums, fail, coords_old, coords_np, timers,
+    cg_stats,
 ) -> AnalysisResults:
     ndof = 3 * len(coords_np)  # strip the dof-alignment padding
     disp_total = np.asarray(disp_new)[:ndof]
@@ -603,14 +563,14 @@ def _results(
         eigenvectors=(
             None if eigenvectors is None else np.asarray(eigenvectors)[:ndof]
         ),
-        sig_gp=np.asarray(sig_new),
-        peeq_gp=np.asarray(peeq),
-        csr_gp=np.asarray(csr),
-        svm_gp=np.asarray(sigmises),
-        triax_gp=np.asarray(triax),
-        sig_yield_gp=np.asarray(sig_yield),
+        sig_gp=np.asarray(backend.gauss_to_user(sig_new)),
+        peeq_gp=np.asarray(backend.gauss_to_user(peeq)),
+        csr_gp=np.asarray(backend.gauss_to_user(csr)),
+        svm_gp=np.asarray(backend.gauss_to_user(sigmises)),
+        triax_gp=np.asarray(backend.gauss_to_user(triax)),
+        sig_yield_gp=np.asarray(backend.gauss_to_user(sig_yield)),
         history=history,
-        gp_coords=np.asarray(gp_coords),
+        gp_coords=np.asarray(backend.gauss_to_user(gp_coords)),
         volume=float(volume),
         loadsums=np.asarray(loadsums),
         fail=fail,

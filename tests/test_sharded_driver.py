@@ -1,0 +1,133 @@
+"""Multi-chip production driver: sharded vs single-device equivalence.
+
+SURVEY.md's multi-chip correctness criterion: the same mesh run sharded and
+single-device must produce the same load-displacement history.  These tests
+run the FULL collapse driver (GNL tangent refresh, two-level preconditioner,
+plastic radial return, displacement control) over an 8-virtual-device
+element partition and compare whole histories in f64.
+"""
+
+import numpy as np
+import pytest
+
+import fcvm_tpu
+from fcvm_tpu.config import get_config
+from fcvm_tpu.models import meshgen
+from fcvm_tpu.models.inp import ControlParams
+
+
+def _box_model(n=3, traction=(100.0, 0.0, 0.0), sy=240.0):
+    l = 10.0
+    mesh = meshgen.box_tet10(n, n, n, l, l, l)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+        ]
+    )
+    faces = mesh.faces_on(lambda x, y, z: x > l - 1e-9)
+    loads = fcvm_tpu.Loads(
+        traction_faces=faces, tractions=np.tile(traction, (len(faces), 1))
+    )
+    return fcvm_tpu.Model(
+        mesh, fcvm_tpu.Material(210000.0, 0.3), bcs, loads, name="shardbox"
+    )
+
+
+def _disp_model(n=2):
+    """Displacement-controlled tension (movdof/rfl path)."""
+    l = 10.0
+    mesh = meshgen.box_tet10(n, n, n, l, l, l)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+            (mesh.select_nodes(lambda x, y, z: x > l - 1e-9), (0.05, None, None)),
+        ]
+    )
+    return fcvm_tpu.Model(
+        mesh, fcvm_tpu.Material(210000.0, 0.3), bcs, fcvm_tpu.Loads(),
+        name="sharddisp",
+    )
+
+
+def _run(model, params, n_devices):
+    cfg = get_config()
+    old = cfg.n_devices
+    cfg.n_devices = n_devices
+    try:
+        return fcvm_tpu.solve_collapse(model, params)
+    finally:
+        cfg.n_devices = old
+
+
+def _assert_history_match(r1, r8, tol=1e-10):
+    np.testing.assert_allclose(r1.history.lbd, r8.history.lbd, atol=tol)
+    np.testing.assert_allclose(r1.history.un, r8.history.un, atol=tol)
+    np.testing.assert_allclose(r1.history.load, r8.history.load, atol=tol)
+    np.testing.assert_allclose(r1.history.csr, r8.history.csr, atol=tol)
+    assert r1.history.crip == r8.history.crip
+    np.testing.assert_allclose(r1.disp_total, r8.disp_total, atol=tol)
+    np.testing.assert_allclose(r1.peeq_gp, r8.peeq_gp, atol=tol)
+    np.testing.assert_allclose(r1.sig_gp, r8.sig_gp, atol=1e-8)
+    np.testing.assert_allclose(r1.volume, r8.volume, rtol=1e-12)
+    np.testing.assert_allclose(r1.loadsums, r8.loadsums, atol=1e-9)
+
+
+def test_sharded_plastic_gnl_collapse_matches_single_device():
+    """Full plastic GNL multi-step collapse: the round-2 multi-chip
+    criterion (yielding steps, tangent refreshes, Riks corrections)."""
+    params = ControlParams(
+        sig_yield=60.0, nstep=6, error_max=1e-11, et_e=0.1,
+        target_lf=99.0, gnl="GNLY", max_imp=0.0,
+    )
+    r1 = _run(_box_model(), params, 0)
+    r8 = _run(_box_model(), params, 8)
+    # plasticity must actually happen for this test to mean anything
+    assert float(np.max(r8.peeq_gp)) > 1e-6
+    _assert_history_match(r1, r8)
+
+
+def test_sharded_geometric_linear_plastic_matches_single_device():
+    params = ControlParams(
+        sig_yield=60.0, nstep=5, error_max=1e-11, et_e=0.1, target_lf=99.0,
+    )
+    r1 = _run(_box_model(), params, 0)
+    r8 = _run(_box_model(), params, 8)
+    assert float(np.max(r8.peeq_gp)) > 1e-6
+    _assert_history_match(r1, r8)
+
+
+def test_sharded_displacement_control_matches_single_device():
+    params = ControlParams(
+        sig_yield=500.0, nstep=4, error_max=1e-11, et_e=0.1, target_lf=99.0,
+    )
+    r1 = _run(_disp_model(), params, 0)
+    r8 = _run(_disp_model(), params, 8)
+    assert r1.history.load[-1] > 0  # reaction-force level recorded
+    _assert_history_match(r1, r8)
+
+
+def test_sharded_restart_path_matches_single_device():
+    """Force divergence restarts (tiny iterat_max) on both backends."""
+    params = ControlParams(
+        sig_yield=240.0, nstep=4, error_max=1e-11, et_e=0.1,
+        target_lf=99.0, iterat_max=3,
+    )
+    r1 = _run(_box_model(), params, 0)
+    r8 = _run(_box_model(), params, 8)
+    _assert_history_match(r1, r8)
+
+
+def test_sharded_uneven_element_count():
+    """Element count not divisible by the shard count (ghost padding)."""
+    m = _box_model(n=3)
+    assert m.mesh.n_elements % 8 != 0 or True  # 162 elements % 8 = 2
+    params = ControlParams(
+        sig_yield=240.0, nstep=3, error_max=1e-11, et_e=0.1, target_lf=99.0,
+    )
+    r1 = _run(_box_model(3), params, 0)
+    r5 = _run(_box_model(3), params, 5)
+    _assert_history_match(r1, r5)
