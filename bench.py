@@ -29,6 +29,12 @@ import time
 
 import numpy as np
 
+# cache XLA executables across processes (compile dominates cold timings;
+# FCVM_NO_COMPILE_CACHE=1 restores cold-compile measurement)
+from fcvm_tpu.config import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)

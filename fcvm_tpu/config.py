@@ -108,6 +108,33 @@ if os.environ.get("FCVM_CG_RTOL"):
     _config.cg_rtol = float(os.environ["FCVM_CG_RTOL"])
 
 
+def enable_compilation_cache(cache_dir: str | None = None) -> str:
+    """Enable JAX's persistent compilation cache for this process.
+
+    The analysis kernels (assembly, Galerkin coarse build, CG composites)
+    cost 20-80 s *each* to XLA-compile through the remote-TPU toolchain —
+    measured at 499k dofs, ~95% of the preconditioner "build time" was
+    compilation, not computation.  The persistent cache removes that cost
+    for every process after the first (verified: 64.5 s -> 0.2 s for the
+    coarse inverse).  Called automatically at analysis entry; set
+    ``FCVM_NO_COMPILE_CACHE=1`` to opt out (e.g. for compile-time
+    benchmarking).
+    """
+    if os.environ.get("FCVM_NO_COMPILE_CACHE"):
+        return ""
+    cache_dir = (
+        cache_dir
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or os.path.expanduser("~/.cache/fcvm_tpu/jax_cache")
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    if jax.config.jax_compilation_cache_dir != cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache_dir
+
+
 def get_config() -> FcvmConfig:
     return _config
 

@@ -50,6 +50,35 @@ def _single_elastic_esm(coords_el, dmat):
     return jnp.einsum("gkm,gkn,g->mn", bmat, db, scale)
 
 
+# Above this element count, per-element block builders switch to chunked
+# lax.map so the (ne, 4, 6, 30) B-matrix intermediates never materialize
+# for the whole mesh at once (the fused whole-mesh vmap OOMed 16 GB HBM at
+# 1.98M dofs / ~470k elements; the block output itself is only 1.7 GB).
+ASSEMBLY_CHUNK_THRESHOLD = 262_144
+ASSEMBLY_CHUNK = 65_536
+
+
+def _maybe_chunked(single_fn, elnodes, operands, el_axes):
+    """vmap ``single_fn`` over elements, chunking via lax.map past the
+    threshold.  ``operands``: tuple of arrays; ``el_axes``: 0 for
+    per-element leading axes, None for broadcast."""
+    ne = elnodes.shape[0]
+    if ne <= ASSEMBLY_CHUNK_THRESHOLD:
+        return jax.vmap(single_fn, in_axes=el_axes)(*operands)
+    batched = tuple(op for op, ax in zip(operands, el_axes) if ax == 0)
+    consts = tuple(op for op, ax in zip(operands, el_axes) if ax is None)
+
+    def f(batch_ops):
+        it_b = iter(batch_ops)
+        it_c = iter(consts)
+        args = tuple(
+            next(it_b) if ax == 0 else next(it_c) for ax in el_axes
+        )
+        return single_fn(*args)
+
+    return jax.lax.map(f, batched, batch_size=ASSEMBLY_CHUNK)
+
+
 @partial(jax.jit, static_argnames=())
 def elastic_stiffness_blocks(coords: jnp.ndarray, elnodes: jnp.ndarray, dmat: jnp.ndarray):
     """(ne, 30, 30) elastic element stiffness blocks (``fcVM.py:739-756``).
@@ -59,7 +88,7 @@ def elastic_stiffness_blocks(coords: jnp.ndarray, elnodes: jnp.ndarray, dmat: jn
     extracts the table but its kernels use element 0, ``fcVM.py:736``)."""
     coords_el = coords[elnodes]  # (ne, 10, 3)
     axes = (0, 0) if dmat.ndim == 3 else (0, None)
-    return jax.vmap(_single_elastic_esm, in_axes=axes)(coords_el, dmat)
+    return _maybe_chunked(_single_elastic_esm, elnodes, (coords_el, dmat), axes)
 
 
 def _single_tangent_esm(coords_el, dmat, sig_el, pgp_el, g3fac):
@@ -102,8 +131,9 @@ def tangent_stiffness_blocks(
     coords_el = coords_def[elnodes]
     d_ax = 0 if dmat.ndim == 3 else None
     f_ax = 0 if jnp.ndim(g3fac) == 1 else None
-    return jax.vmap(_single_tangent_esm, in_axes=(0, d_ax, 0, 0, f_ax))(
-        coords_el, dmat, sig_gp, pgp, g3fac
+    return _maybe_chunked(
+        _single_tangent_esm, elnodes,
+        (coords_el, dmat, sig_gp, pgp, g3fac), (0, d_ax, 0, 0, f_ax),
     )
 
 
@@ -124,7 +154,9 @@ def _single_geometric_nsm(coords_el, sig_el):
 @jax.jit
 def geometric_stiffness_blocks(coords: jnp.ndarray, elnodes: jnp.ndarray, sig_gp: jnp.ndarray):
     coords_el = coords[elnodes]
-    return jax.vmap(_single_geometric_nsm)(coords_el, sig_gp)
+    return _maybe_chunked(
+        _single_geometric_nsm, elnodes, (coords_el, sig_gp), (0, 0)
+    )
 
 
 def voigt_to_tensor(sig: jnp.ndarray) -> jnp.ndarray:

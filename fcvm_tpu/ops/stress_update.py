@@ -114,11 +114,17 @@ def update_stress_load(
     def one_element(c, u, d, s, sy, dmat_e, h_e, g_e):
         return _element_stress_update(c, u, d, s, sy, dmat_e, h_e, g_e, large_disp)
 
-    # per-element materials: dmat (ne, 6, 6), h/g (ne,); else broadcast
+    # per-element materials: dmat (ne, 6, 6), h/g (ne,); else broadcast.
+    # Chunked past the threshold so per-gauss-point intermediates never
+    # materialize whole-mesh (see assembly._maybe_chunked).
+    from fcvm_tpu.ops.assembly import _maybe_chunked
+
     mat_axes = (0, 0, 0) if dmat.ndim == 3 else (None, None, None)
-    sig_new, sig_test, pgp, elv = jax.vmap(
-        one_element, in_axes=(0, 0, 0, 0, 0) + mat_axes
-    )(coords_el, u_el, du_el, sig_old, sig_yield, dmat, h, g)
+    sig_new, sig_test, pgp, elv = _maybe_chunked(
+        one_element, elnodes,
+        (coords_el, u_el, du_el, sig_old, sig_yield, dmat, h, g),
+        (0, 0, 0, 0, 0) + mat_axes,
+    )
 
     # node-row scatter: 3x fewer indices than per-dof (see make_matvec)
     if plan is not None:

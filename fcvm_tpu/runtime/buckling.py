@@ -192,6 +192,9 @@ def linear_buckling(model, params, k: int = 2):
     from fcvm_tpu.utils.indexing import pad_ndof, pad_vector
 
     cfg = get_config()
+    from fcvm_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()
     dtype = cfg.resolve_dtype()
     mesh = model.mesh
     coords = jnp.asarray(mesh.coords, dtype=dtype)

@@ -148,6 +148,9 @@ def solve_collapse(
       :class:`AnalysisResults`.
     """
     cfg = get_config()
+    from fcvm_tpu.config import enable_compilation_cache
+
+    enable_compilation_cache()  # compile once per kernel, ever (see config)
     dtype = cfg.resolve_dtype()
     log = progress or (lambda s: None)
     timers = PhaseTimers()

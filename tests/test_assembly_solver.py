@@ -190,3 +190,65 @@ def test_scatter_plan_stress_update_matches():
     s2, t2, p2, q2 = update_stress_load(*args, plan)
     np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), rtol=0, atol=1e-10)
     np.testing.assert_array_equal(np.asarray(p1), np.asarray(p2))
+
+
+def test_chunked_block_builders_match_vmap(monkeypatch):
+    """lax.map-chunked block/stress builders (the >2M-dof memory path)
+    produce bitwise-identical results to the whole-mesh vmap."""
+    import jax.numpy as jnp
+
+    from fcvm_tpu.models import meshgen
+    from fcvm_tpu.ops import assembly as asm
+    from fcvm_tpu.ops import material as mat
+    from fcvm_tpu.ops.stress_update import update_stress_load
+
+    mesh = meshgen.box_tet10(2, 2, 2, 10.0, 10.0, 10.0)
+    coords = jnp.asarray(mesh.coords)
+    eln = jnp.asarray(mesh.elnodes)
+    dmat = mat.hooke_dmat(jnp.asarray(210000.0), jnp.asarray(0.3))
+    ne = mesh.n_elements
+    sig = 0.1 * jnp.arange(ne * 24, dtype=coords.dtype).reshape(ne, 4, 6)
+    pgp = (jnp.arange(ne * 4).reshape(ne, 4) % 3) == 0
+    rng = np.random.default_rng(0)
+    du = jnp.asarray(0.01 * rng.normal(size=mesh.ndof))
+    sy = jnp.full((ne, 4), 25.0)
+
+    ref_esm = asm.elastic_stiffness_blocks(coords, eln, dmat)
+    ref_tan = asm.tangent_stiffness_blocks(
+        coords, eln, dmat, sig, pgp, jnp.asarray(80769.2), jnp.asarray(0.0)
+    )
+    ref_geo = asm.geometric_stiffness_blocks(coords, eln, sig)
+    ref_upd = update_stress_load(
+        coords, eln, dmat, sy, jnp.zeros(mesh.ndof), du,
+        jnp.zeros((ne, 4, 6)), jnp.asarray(210000.0), jnp.asarray(0.3),
+        jnp.asarray(0.1), True,
+    )
+
+    monkeypatch.setattr(asm, "ASSEMBLY_CHUNK_THRESHOLD", 8)
+    monkeypatch.setattr(asm, "ASSEMBLY_CHUNK", 16)
+    # new trace caches: the jitted wrappers key on shapes only, so clear
+    jax.clear_caches()
+    try:
+        np.testing.assert_array_equal(
+            np.asarray(asm.elastic_stiffness_blocks(coords, eln, dmat)),
+            np.asarray(ref_esm),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(asm.tangent_stiffness_blocks(
+                coords, eln, dmat, sig, pgp, jnp.asarray(80769.2), jnp.asarray(0.0)
+            )),
+            np.asarray(ref_tan),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(asm.geometric_stiffness_blocks(coords, eln, sig)),
+            np.asarray(ref_geo),
+        )
+        upd = update_stress_load(
+            coords, eln, dmat, sy, jnp.zeros(mesh.ndof), du,
+            jnp.zeros((ne, 4, 6)), jnp.asarray(210000.0), jnp.asarray(0.3),
+            jnp.asarray(0.1), True,
+        )
+        for a, b in zip(upd, ref_upd):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    finally:
+        jax.clear_caches()

@@ -385,3 +385,171 @@ def test_whole_corpus_ingest_never_crashes():
             clean += 1
     assert ok >= 10
     assert ok + clean == len(list(FCD.glob("*.FCStd")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus regression sweep (round 2): every committed .out either replays
+# with curve assertions or carries a *verified* skip reason.
+# ---------------------------------------------------------------------------
+
+
+def _read_out_table(stem):
+    """Parse a committed ``output files/<stem>.out`` step table into columns."""
+    txt = (REF / "output files" / f"{stem}.out").read_text().splitlines()
+    rows = []
+    in_table = False
+    for line in txt:
+        if line.startswith("Gauss point"):
+            in_table = True
+            continue
+        if in_table:
+            parts = line.split()
+            if len(parts) != 12:
+                break
+            rows.append([float(v) for v in parts])
+    cols = np.asarray(rows)
+    return {
+        "crip": cols[:, 0].astype(int), "load": cols[:, 4], "disp": cols[:, 5],
+        "peeq": cols[:, 6], "svm": cols[:, 8], "csr": cols[:, 11],
+    }
+
+
+def test_lug_pressure_collapse_curve_matches_committed(scipy_solver):
+    """Full 60-step plastic collapse of the lug (committed VTK mesh, 685
+    elements — matches the run that produced the .out) against the whole
+    committed load-displacement table."""
+    import warnings
+
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        model, params = _load(
+            "Lug_Pressure_Example",
+            mesh_path=REF / "output files" / "Lug_Pressure_Example.vtk",
+        )
+    table = _read_out_table("Lug_Pressure_Example")
+    res = solve_collapse(model, params)
+    lbd = np.asarray(res.history.lbd)
+    un = np.asarray(res.history.un)
+    n = min(len(lbd), len(table["load"]))
+    assert n >= 20, f"replay produced only {n} steps"
+    # committed table prints 3 significant digits -> 0.5% quantization;
+    # allow 1% on the shared prefix of the two adaptive-stepping paths
+    np.testing.assert_allclose(lbd[:n], table["load"][:n], rtol=1e-2, atol=5e-3)
+    np.testing.assert_allclose(un[:n], table["disp"][:n], rtol=1.5e-2, atol=5e-3)
+
+
+def test_cantilever_replay_coarse_mesh(scipy_solver):
+    """cantilever.out was committed from a 4998-element mesh; the document
+    now embeds an 84-element one, so exact curve parity is impossible —
+    asserted instead: identical load checksums (geometry-level), plastic
+    plateau onset at the same load level to coarse-mesh accuracy."""
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    model, params = _load("cantilever")
+    sums, _ = _load_sums(model)
+    np.testing.assert_allclose(sums, [0.0, 0.0, -1.0], atol=1e-9)
+    res = solve_collapse(model, params)
+    lbd = np.asarray(res.history.lbd)
+    # committed fine-mesh run plateaus toward 0.279 with adaptive steps
+    # shrinking; the coarse mesh carries the same collapse mechanism
+    assert 0.2 < lbd[-1] < 0.45, lbd
+    steps = np.diff(lbd)
+    assert steps[-1] < 0.25 * steps.max(), "no plastic step shrinkage"
+    assert float(res.peeq_gp.max()) > 1e-5
+
+
+def test_lug_faceload_replay_physics(scipy_solver):
+    """Lug_FaceLoad_Example has no committed .out — asserted: force
+    constraint resolves to the bearing face with the exact total, and the
+    elastic prefix of the response is linear."""
+    from fcvm_tpu.runtime.driver import solve_collapse
+
+    model, params = _load("Lug_FaceLoad_Example")
+    sums, _ = _load_sums(model)
+    # ConstraintForce total (direction +x), integrated over resolved faces
+    assert abs(sums[0]) > 1.0  # nonzero resolved load
+    np.testing.assert_allclose(sums[1:], 0.0, atol=1e-6 * abs(sums[0]))
+    res = solve_collapse(model, dataclasses.replace(params, nstep=4))
+    h = res.history
+    r1 = h.un[1] / h.lbd[1]
+    for k in (2, 3):
+        if h.peeq[k] == 0.0:
+            np.testing.assert_allclose(h.un[k] / h.lbd[k], r1, rtol=1e-6)
+
+
+# Declarative committed-output coverage: every .out is either replayed by a
+# test in this file or skipped for a reason the test below *verifies*.
+_OUT_STATUS = {
+    "Bar buckling": "replayed",
+    "Buckling": "replayed",
+    "Embankment_with_Ditch_Example": "replayed",
+    "Lug_Pressure_Example": "replayed",
+    "buckling_U100_3D": "replayed",
+    "cantilever": "replayed",
+    "tensile": "replayed",
+    "Haltegriff_FEM_RC": "mesh-purged",
+    "Haltegriff_FEM_RC_handle": "mesh-purged",
+    "IPE400": "mesh-purged",
+    "IPE400_2": "mesh-purged",
+    "IPE400_3": "mesh-purged",
+    "IPE400_4": "mesh-purged",
+    "Pit_Example": "mesh-purged",
+    "Plate_girder_EC3": "mesh-purged",
+    "Plate_with_hole_Example": "mesh-purged",
+    "Plate_with_square_hole_Example": "mesh-purged",
+    "Torsion": "mesh-purged",
+    "Wyk_Rohrstoss_linear": "mesh-purged",
+    "Wyk_Rohrstoss_ring": "mesh-purged",
+    "barrier": "mesh-purged",
+    "box girder": "mesh-purged",
+    "train_bridge": "mesh-purged",
+    "transition": "mesh-purged",
+    "transition3": "mesh-purged",
+    "Portal_support_1": "no-document",
+    "Portal_support_2": "no-document",
+    "Portal_support_3": "no-document",
+    "Portal_support_4": "no-document",
+    "Transom_double_outfile": "no-document",
+    "Transom_single_outfile": "no-document",
+    "Tube_Corner_500x5mm_GNL": "no-document",
+    "Tube_Corner_500x5mm_GNL_with_plate": "no-document",
+    "barrier_GNLEP": "no-document",
+    "snapback": "no-document",
+    "strip_failure_fcVM": "no-document",
+    "tank_GNLEP_e=10mm": "no-document",
+    "tank_GNLEP_e=5mm": "no-document",
+    "transition2_GL": "no-document",
+    "transition2_GL_1": "no-document",
+    "transition2_GNL_1": "no-document",
+}
+
+
+def test_committed_output_coverage_is_complete():
+    """The status table covers every committed .out file exactly."""
+    stems = {p.stem for p in (REF / "output files").glob("*.out")}
+    assert stems == set(_OUT_STATUS), (
+        stems.symmetric_difference(set(_OUT_STATUS))
+    )
+
+
+@pytest.mark.parametrize(
+    "stem", [s for s, v in _OUT_STATUS.items() if v != "replayed"]
+)
+def test_committed_output_skip_reasons_are_real(stem):
+    """A skip reason must stay true: 'mesh-purged' documents must actually
+    fail mesh ingest (if one regains a mesh, it must be promoted to a
+    replay test); 'no-document' stems must have no .FCStd at all."""
+    from fcvm_tpu.models.fcstd import read_fcstd
+
+    reason = _OUT_STATUS[stem]
+    doc = FCD / f"{stem}.FCStd"
+    if reason == "no-document":
+        assert not doc.exists()
+        return
+    assert doc.exists()
+    vtk = REF / "output files" / f"{stem}.vtk"
+    assert not vtk.exists(), f"{stem}: VTK mesh exists — promote to replay"
+    with pytest.raises((ValueError, FileNotFoundError)):
+        read_fcstd(doc)
