@@ -64,9 +64,13 @@ def run_analysis(
         t["vtk"] = time.time() - t0
         if save_plots:
             from fcvm_tpu.runtime.plots import save_curves
+            from fcvm_tpu.runtime.viz import save_result_views
 
             t0 = time.time()
             save_curves(out / f"{model.name}.png", res.history, params)
+            # headless clip-plane + principal-stress viewer bundle
+            # (the reference's interactive pyvista panes, fcVM.py:1691-1989)
+            save_result_views(out, model.name, model, res, params)
             t["plots"] = time.time() - t0
 
     for k, v in {**res.timers, **t}.items():

@@ -106,6 +106,16 @@ if os.environ.get("FCVM_NDEVICES"):
     _config.n_devices = int(os.environ["FCVM_NDEVICES"])
 if os.environ.get("FCVM_CG_RTOL"):
     _config.cg_rtol = float(os.environ["FCVM_CG_RTOL"])
+if os.environ.get("FCVM_DTYPE"):
+    # Precision tier: FCVM_DTYPE=float64 runs the whole solve in f64 — on
+    # TPU via XLA's software-emulated f64 (no f64 MXU; the dense coarse
+    # Cholesky stays f32, fcvm_tpu.ops.precond).  This is the corpus-parity
+    # tier (SURVEY.md "fp64 emulation"); f32 is the production tier, whose
+    # residual floor is ~2e-7 relative.
+    _dt = os.environ["FCVM_DTYPE"].lower()
+    _config.dtype = {"f32": "float32", "f64": "float64"}.get(_dt, _dt)
+    if _config.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:

@@ -134,6 +134,23 @@ def _rigid_modes(coords, cluster_size):
     return q * mask[:, None, None]
 
 
+@partial(jax.jit, static_argnames=("cluster_size",))
+def _qmat_bc_jit(coords, fixmask, cluster_size: int):
+    """(ncl*cs, 3, 6) Dirichlet-masked rigid-mode basis (one jit — the
+    eager version cost ~10 s of per-op remote dispatch on the axon TPU)."""
+    nn_pad = fixmask.shape[0] // 3
+    nn = coords.shape[0]
+    coords_p = jnp.pad(coords, ((0, nn_pad - nn), (0, 0)))
+    qmat = _rigid_modes(coords_p, cluster_size)
+    m3 = jnp.pad(
+        fixmask.reshape(nn_pad, 3), ((0, qmat.shape[0] - nn_pad), (0, 0))
+    )
+    return qmat * m3[:, :, None]
+
+
+_block_jacobi_jit = jax.jit(asm.block_jacobi_inverse_blocks)
+
+
 def build_two_level(
     esm: jnp.ndarray,
     elnodes: jnp.ndarray,
@@ -160,14 +177,9 @@ def build_two_level(
     analysis at 500k dofs, plus a 324 MB push back).
     """
     nn_pad = fixmask.shape[0] // 3  # includes dof-alignment padding
-    pinv = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
-
-    nn = coords.shape[0]
-    coords_p = jnp.pad(coords, ((0, nn_pad - nn), (0, 0)))
-    qmat = _rigid_modes(coords_p, cluster_size)
-    ncl = qmat.shape[0] // cluster_size
-    m3 = jnp.pad(fixmask.reshape(nn_pad, 3), ((0, qmat.shape[0] - nn_pad), (0, 0)))
-    qmat_bc = qmat * m3[:, :, None]
+    pinv = _block_jacobi_jit(esm, elnodes, fixmask)
+    qmat_bc = _qmat_bc_jit(coords, fixmask, cluster_size)
+    ncl = qmat_bc.shape[0] // cluster_size
 
     # The f32 Galerkin accumulation cancels heavily (rigid modes nearly
     # annihilate K rows), so the scaled coarse matrix can come out slightly

@@ -50,7 +50,7 @@ from fcvm_tpu.ops.precond import (
     TwoLevelPrecond,
     _coarse_accumulate,
     _coarse_densify_invert,
-    _rigid_modes,
+    _qmat_bc_jit,
     apply_precond,
 )
 from fcvm_tpu.ops.stress_update import _element_stress_update
@@ -451,16 +451,8 @@ class ShardedSystem(LocalSystem):
             return pinv  # already Morton node order
         cluster_size = self.cfg.resolve_cluster_size(self.mesh.n_nodes)
         space = self.space
-        nn_pad = self.nn_pad
         coords_m = space.coords_m.astype(self.dtype)
-        nn = coords_m.shape[0]
-        coords_p = jnp.pad(coords_m, ((0, nn_pad - nn), (0, 0)))
-        qmat = _rigid_modes(coords_p, cluster_size)
-        m3 = jnp.pad(
-            self.fixmask_m.reshape(nn_pad, 3),
-            ((0, qmat.shape[0] - nn_pad), (0, 0)),
-        )
-        qmat_bc = qmat * m3[:, :, None]
+        qmat_bc = _qmat_bc_jit(coords_m, self.fixmask_m, cluster_size)
 
         @partial(jax.jit, static_argnames=("cs",))
         def acc(esm_s, qbc, cs):

