@@ -40,6 +40,15 @@ def main(argv=None):
         p.add_argument("--cpu", action="store_true", help="force CPU backend")
         p.add_argument("--checkpoint", action="store_true")
         p.add_argument("--steps", type=int, default=0, help="override nstep")
+        p.add_argument(
+            "--devices", type=int, default=0,
+            help="shard the solve over N devices (element-partition SPMD; "
+            "0 = single device)",
+        )
+        p.add_argument(
+            "--gif", action="store_true",
+            help="also write the orbital clip-view GIF",
+        )
     args = ap.parse_args(argv)
 
     import jax
@@ -64,6 +73,8 @@ def main(argv=None):
         model, params = load_case(args.case)
     if args.steps:
         params.nstep = args.steps
+    if args.devices:
+        fcvm_tpu.get_config().n_devices = args.devices
 
     if args.cmd == "info":
         m = model.mesh
@@ -95,6 +106,22 @@ def main(argv=None):
         h = res.history
         print(f"final load level: {h.lbd[-1]:.5f}  max |u|: {max(h.un):.5e}  "
               f"PEEQ max: {h.peeqmax[-1]:.4e}  CSR max: {h.csr[-1]:.4e}")
+        if args.gif:
+            from fcvm_tpu.runtime.viz import save_orbit_gif
+            from fcvm_tpu.runtime.vtk import _elements_per_node
+            from fcvm_tpu.ops import postproc
+
+            noce = _elements_per_node(model.mesh.elnodes, model.mesh.n_nodes)
+            _, _, csr_n, _, _ = postproc.map_stresses(
+                params.averaged_option == "averaged", model.mesh.elnodes,
+                model.mesh.n_nodes, res.sig_gp, res.peeq_gp, res.csr_gp,
+                res.svm_gp, noce, params.sig_yield,
+            )
+            save_orbit_gif(
+                f"{args.outdir}/{model.name}_orbit.gif",
+                __import__("numpy").asarray(res.coords),
+                model.mesh.elnodes, csr_n,
+            )
         print(f"wrote {args.outdir}/{model.name}.out .vtk .png")
         from fcvm_tpu.models.casefile import parse_sum_groups
 

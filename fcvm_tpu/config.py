@@ -67,6 +67,10 @@ class FcvmConfig:
     smoother_cluster_nodes: int = 64
     coarse_max_clusters: int = 1500
     coarse_cluster_nodes: int = 32
+    # Cluster mode basis: 12 = affine (rigid + uniform strains; measured
+    # 77->44 CG iters at equal cluster size, still fewer at equal coarse
+    # dimension), 6 = rigid-body only.
+    coarse_modes: int = 12
     n_eig_vectors: int = 8
     seed_elastic_factorization: bool = True
     # Multi-chip: run the full collapse driver SPMD over an n-device

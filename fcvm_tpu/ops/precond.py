@@ -43,8 +43,8 @@ from fcvm_tpu.ops import assembly as asm
 
 class TwoLevelPrecond(NamedTuple):
     pinv: jnp.ndarray  # (nn, 3, 3) block-Jacobi inverses
-    qmat: jnp.ndarray  # (nn_pad, 3, 6) rigid-body modes per node
-    coarse_inv: jnp.ndarray  # (6 ncl, 6 ncl) dense inverse of P^T K P
+    qmat: jnp.ndarray  # (nn_pad, 3, nm) cluster mode basis per node
+    coarse_inv: jnp.ndarray  # (nm ncl, nm ncl) dense inverse of P^T K P
     fixmask: jnp.ndarray  # (ndof,)
     # optional cluster block-Cholesky smoother (ncl_s, 3 cs, 3 cs); replaces
     # the block-Jacobi fine-level apply when present
@@ -60,20 +60,21 @@ class TwoLevelPrecond(NamedTuple):
         else:
             z = asm.apply_block_precond(self.pinv, r)
         nn_pad = self.qmat.shape[0]
-        ncl = self.coarse_inv.shape[0] // 6
+        nm = self.qmat.shape[2]
+        ncl = self.coarse_inv.shape[0] // nm
         cs = nn_pad // ncl
         r3 = (self.fixmask * r).reshape(-1, 3)
         pad = nn_pad - r3.shape[0]
         r3p = jnp.pad(r3, ((0, pad), (0, 0)))
-        # P^T r: project onto rigid modes and sum within clusters.  The
+        # P^T r: project onto cluster modes and sum within clusters.  The
         # coarse inverse lives in mode-major dof order (k * ncl + i) — that
-        # layout lets the Galerkin build avoid a (ncl, ncl, 6, 6)
+        # layout lets the Galerkin build avoid a (ncl, ncl, nm, nm)
         # intermediate whose (8, 128) tiling costs ~21x HBM.
-        rc = jnp.einsum("nak,na->nk", self.qmat, r3p)  # (nn_pad, 6)
-        rc = rc.reshape(ncl, cs, 6).sum(axis=1)  # (ncl, 6)
-        zc = self.coarse_inv @ rc.T.reshape(-1)  # mode-major (6 ncl,)
-        zc_cl = zc.reshape(6, ncl).T  # (ncl, 6)
-        zc_n = jnp.repeat(zc_cl[:, None, :], cs, axis=1).reshape(nn_pad, 6)
+        rc = jnp.einsum("nak,na->nk", self.qmat, r3p)  # (nn_pad, nm)
+        rc = rc.reshape(ncl, cs, nm).sum(axis=1)  # (ncl, nm)
+        zc = self.coarse_inv @ rc.T.reshape(-1)  # mode-major (nm ncl,)
+        zc_cl = zc.reshape(nm, ncl).T  # (ncl, nm)
+        zc_n = jnp.repeat(zc_cl[:, None, :], cs, axis=1).reshape(nn_pad, nm)
         z2 = jnp.einsum("nak,nk->na", self.qmat, zc_n)  # (nn_pad, 3)
         z2 = z2[: r3.shape[0]].reshape(-1) * self.fixmask
         return z + z2
@@ -100,8 +101,17 @@ def refresh_blocks(pc, esm, elnodes, fixmask):
     return pinv
 
 
-def _rigid_modes(coords, cluster_size):
-    """(nn_pad, 3, 6) rigid-body mode basis per node, centroid-centered."""
+def _rigid_modes(coords, cluster_size, n_modes: int = 6):
+    """(nn_pad, 3, n_modes) cluster mode basis per node, centroid-centered.
+
+    ``n_modes=6``: rigid-body modes (translations + rotations).
+    ``n_modes=12``: full affine basis — rigid + the six uniform strain
+    fields.  Measured (47k-dof box, cs=111): 77 -> 44 CG iterations at the
+    same cluster size, and at *equal coarse dimension* the affine basis
+    still wins (52 vs 96 iters) — uniform strains capture the smooth
+    elasticity error components rigid modes miss.  The smoothed-aggregation
+    prolongator was prototyped on the same operator and rejected: 1.17x
+    fewer iterations for ~2x per-iteration apply cost."""
     nn = coords.shape[0]
     ncl = -(-nn // cluster_size)
     nn_pad = ncl * cluster_size
@@ -128,20 +138,36 @@ def _rigid_modes(coords, cluster_size):
         ],
         axis=1,
     )  # (nn_pad, 3, 3): column b = mode omega_b
-    q = jnp.concatenate([trans, rot], axis=2)  # (nn_pad, 3, 6)
+    parts = [trans, rot]
+    if n_modes == 12:
+        # uniform strain modes (same rms normalization as rotations):
+        # exx, eyy, ezz and the engineering shears exy, exz, eyz
+        half = jnp.asarray(0.5, dtype=coords.dtype)
+        strain = jnp.stack(
+            [
+                jnp.stack([dx, z, z, half * dy, half * dz, z], axis=-1),
+                jnp.stack([z, dy, z, half * dx, z, half * dz], axis=-1),
+                jnp.stack([z, z, dz, z, half * dx, half * dy], axis=-1),
+            ],
+            axis=1,
+        )  # (nn_pad, 3, 6)
+        parts.append(strain)
+    elif n_modes != 6:
+        raise ValueError(f"n_modes must be 6 or 12, got {n_modes}")
+    q = jnp.concatenate(parts, axis=2)  # (nn_pad, 3, n_modes)
     # zero the padding nodes so they contribute nothing
     mask = (jnp.arange(nn_pad) < nn).astype(coords.dtype)
     return q * mask[:, None, None]
 
 
-@partial(jax.jit, static_argnames=("cluster_size",))
-def _qmat_bc_jit(coords, fixmask, cluster_size: int):
-    """(ncl*cs, 3, 6) Dirichlet-masked rigid-mode basis (one jit — the
+@partial(jax.jit, static_argnames=("cluster_size", "n_modes"))
+def _qmat_bc_jit(coords, fixmask, cluster_size: int, n_modes: int = 6):
+    """(ncl*cs, 3, nm) Dirichlet-masked cluster-mode basis (one jit — the
     eager version cost ~10 s of per-op remote dispatch on the axon TPU)."""
     nn_pad = fixmask.shape[0] // 3
     nn = coords.shape[0]
     coords_p = jnp.pad(coords, ((0, nn_pad - nn), (0, 0)))
-    qmat = _rigid_modes(coords_p, cluster_size)
+    qmat = _rigid_modes(coords_p, cluster_size, n_modes)
     m3 = jnp.pad(
         fixmask.reshape(nn_pad, 3), ((0, qmat.shape[0] - nn_pad), (0, 0))
     )
@@ -157,6 +183,7 @@ def build_two_level(
     coords: jnp.ndarray,
     fixmask: jnp.ndarray,
     cluster_size: int = 64,
+    n_modes: int = 6,
 ) -> TwoLevelPrecond:
     """Assemble the two-level preconditioner from element blocks, on device.
 
@@ -178,7 +205,7 @@ def build_two_level(
     """
     nn_pad = fixmask.shape[0] // 3  # includes dof-alignment padding
     pinv = _block_jacobi_jit(esm, elnodes, fixmask)
-    qmat_bc = _qmat_bc_jit(coords, fixmask, cluster_size)
+    qmat_bc = _qmat_bc_jit(coords, fixmask, cluster_size, n_modes)
     ncl = qmat_bc.shape[0] // cluster_size
 
     # The f32 Galerkin accumulation cancels heavily (rigid modes nearly
@@ -237,25 +264,28 @@ def _coarse_accumulate(esm, elnodes, qmat_bc, cluster_size: int, kc0=None):
         else elnodes
     )
     eye10 = jnp.eye(10, dtype=dtype)
+    nm = qmat_bc.shape[2]
 
     def body(kc, start):
         esm_c = jax.lax.dynamic_slice_in_dim(esm_p, start, chunk, 0)
         eln_c = jax.lax.dynamic_slice_in_dim(eln_p, start, chunk, 0)
-        qe = qmat_bc[eln_c]  # (c, 10, 3, 6)
-        # block-diagonal Q~ (c, 60, 30): rows (i, x), cols (i, a)
-        qt = jnp.einsum("ciax,ij->cixja", qe, eye10).reshape(chunk, 60, 30)
-        s_blk = qt @ esm_c @ jnp.swapaxes(qt, 1, 2)  # (c, 60, 60)
+        qe = qmat_bc[eln_c]  # (c, 10, 3, nm)
+        # block-diagonal Q~ (c, 10 nm, 30): rows (i, x), cols (j, a)
+        qt = jnp.einsum("ciax,ij->cixja", qe, eye10).reshape(
+            chunk, 10 * nm, 30
+        )
+        s_blk = qt @ esm_c @ jnp.swapaxes(qt, 1, 2)  # (c, 10 nm, 10 nm)
         pair = (
-            s_blk.reshape(chunk, 10, 6, 10, 6)
+            s_blk.reshape(chunk, 10, nm, 10, nm)
             .transpose(0, 1, 3, 2, 4)
-            .reshape(chunk * 100, 36)
+            .reshape(chunk * 100, nm * nm)
         )
         ci = cid[eln_c]  # (c, 10)
         keys = (ci[:, :, None] * ncl + ci[:, None, :]).reshape(-1)
         return kc.at[keys].add(pair), None
 
     if kc0 is None:
-        kc0 = jnp.zeros((ncl * ncl, 36), dtype)
+        kc0 = jnp.zeros((ncl * ncl, nm * nm), dtype)
     starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
     kc, _ = jax.lax.scan(body, kc0, starts)
     return kc
@@ -269,15 +299,16 @@ _coarse_accumulate_jit = jax.jit(
 @partial(jax.jit, static_argnames=())
 def _coarse_densify_invert(kc, ridge):
     """Scale + symmetrize + ridge + f32 Cholesky inversion of the coarse
-    pair-block accumulator ``kc`` ((ncl*ncl, 36), mode-major output)."""
+    pair-block accumulator ``kc`` ((ncl*ncl, nm*nm), mode-major output)."""
     dtype = kc.dtype
     ncl = math.isqrt(kc.shape[0])
-    n6 = 6 * ncl
-    # Mode-major dense layout D[(a ncl + i), (b ncl + j)] = kc[i ncl + j, 6a+b]:
-    # the only transposes move (ncl, ncl) planes, whose (8, 128) tiling is
-    # tight — the naive cluster-major interleave materializes a
-    # (ncl, ncl, 6, 6) intermediate that tiles ~21x (9+ GB at ncl = 1500).
-    planes = kc.T.reshape(6, 6, ncl, ncl)  # [a, b, i, j]
+    nm = math.isqrt(kc.shape[1])
+    n6 = nm * ncl
+    # Mode-major dense layout D[(a ncl + i), (b ncl + j)] = kc[i ncl + j,
+    # nm*a+b]: the only transposes move (ncl, ncl) planes, whose (8, 128)
+    # tiling is tight — the naive cluster-major interleave materializes a
+    # (ncl, ncl, nm, nm) intermediate that tiles ~21x (9+ GB at ncl = 1500).
+    planes = kc.T.reshape(nm, nm, ncl, ncl)  # [a, b, i, j]
     kc_dense = planes.transpose(0, 2, 1, 3).reshape(n6, n6)
     diag = jnp.abs(jnp.diagonal(kc_dense))
     scale = jnp.max(diag)

@@ -452,14 +452,17 @@ class ShardedSystem(LocalSystem):
         cluster_size = self.cfg.resolve_cluster_size(self.mesh.n_nodes)
         space = self.space
         coords_m = space.coords_m.astype(self.dtype)
-        qmat_bc = _qmat_bc_jit(coords_m, self.fixmask_m, cluster_size)
+        qmat_bc = _qmat_bc_jit(
+            coords_m, self.fixmask_m, cluster_size, self.cfg.coarse_modes
+        )
 
         @partial(jax.jit, static_argnames=("cs",))
         def acc(esm_s, qbc, cs):
             def local(esm_l, eln_l, qbc_r):
                 ncl = qbc_r.shape[0] // cs
+                nm = qbc_r.shape[2]
                 kc0 = jax.lax.pcast(
-                    jnp.zeros((ncl * ncl, 36), esm_l.dtype), ("e",),
+                    jnp.zeros((ncl * ncl, nm * nm), esm_l.dtype), ("e",),
                     to="varying",
                 )
                 return jax.lax.psum(

@@ -109,6 +109,7 @@ def buckling_from_arrays(
         pc = build_two_level(
             esm, elnodes, coords_work, fixmask,
             cluster_size=cfg.resolve_cluster_size(coords.shape[0]),
+            n_modes=cfg.coarse_modes,
         )
     elif cfg.solver != "scipy":
         pc = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)

@@ -203,17 +203,24 @@ def solve_displacement(
 
 
 def build_precond(esm, elnodes, coords, fixmask, cluster_size: int,
-                  space: SolveSpace | None = None):
+                  space: SolveSpace | None = None, n_modes: int | None = None):
     """Two-level preconditioner build (device Galerkin assembly + dense
     inverse; see :func:`fcvm_tpu.ops.precond.build_two_level`).  With
     ``space`` the preconditioner is built on the Morton-permuted operator
     (compact index-contiguous clusters)."""
+    from fcvm_tpu.config import get_config
+
+    if n_modes is None:
+        n_modes = get_config().coarse_modes
     if space is not None:
         return build_two_level(
             esm[space.eperm], space.elnodes_m, space.coords_m,
-            space.fixmask_m, cluster_size=cluster_size,
+            space.fixmask_m, cluster_size=cluster_size, n_modes=n_modes,
         )
-    return build_two_level(esm, elnodes, coords, fixmask, cluster_size=cluster_size)
+    return build_two_level(
+        esm, elnodes, coords, fixmask, cluster_size=cluster_size,
+        n_modes=n_modes,
+    )
 
 
 @partial(jax.jit, static_argnames=("large_disp",))

@@ -131,3 +131,30 @@ def test_sharded_uneven_element_count():
     r1 = _run(_box_model(3), params, 0)
     r5 = _run(_box_model(3), params, 5)
     _assert_history_match(r1, r5)
+
+
+def test_checkpoint_cross_backend_resume(tmp_path):
+    """A checkpoint written by the single-device driver resumes under the
+    sharded backend: 2 steps local + 2 resumed sharded == 4 straight
+    (checkpoints store user element order; backends re-shard on load)."""
+    p2 = ControlParams(
+        sig_yield=60.0, nstep=2, error_max=1e-11, et_e=0.1, target_lf=99.0,
+    )
+    ck = str(tmp_path / "ck")
+    # 4 straight steps, single-device (2 + "add" 2 more)
+    r_full = fcvm_tpu.solve_collapse(
+        _box_model(), p2,
+        continuation=lambda h, i: "add" if len(h.lbd) <= 3 else "stop",
+    )
+    fcvm_tpu.solve_collapse(_box_model(), p2, checkpoint_path=ck)
+    cfg = get_config()
+    cfg.n_devices = 8
+    try:
+        r_res = fcvm_tpu.solve_collapse(_box_model(), p2, resume_from=ck)
+    finally:
+        cfg.n_devices = 0
+    np.testing.assert_allclose(
+        r_full.history.lbd, r_res.history.lbd, atol=1e-10
+    )
+    np.testing.assert_allclose(r_full.disp_total, r_res.disp_total, atol=1e-10)
+    np.testing.assert_allclose(r_full.peeq_gp, r_res.peeq_gp, atol=1e-12)
