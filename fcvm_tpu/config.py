@@ -71,6 +71,11 @@ class FcvmConfig:
     # 77->44 CG iters at equal cluster size, still fewer at equal coarse
     # dimension), 6 = rigid-body only.
     coarse_modes: int = 12
+    # Cap on the dense coarse dimension (modes * clusters).  9000 is the
+    # v5e-measured safe size for the on-device dense factor+inverse; the
+    # 18000^2 build crashes the remote compile (2026-08), as did 15600^2
+    # in round 1.
+    coarse_max_dim: int = 9000
     n_eig_vectors: int = 8
     seed_elastic_factorization: bool = True
     # Multi-chip: run the full collapse driver SPMD over an n-device
@@ -79,8 +84,15 @@ class FcvmConfig:
     n_devices: int = 0
 
     def resolve_cluster_size(self, nn: int) -> int:
-        """Nodes per cluster for the two-level coarse space."""
-        cs = max(self.coarse_cluster_nodes, -(-nn // self.coarse_max_clusters))
+        """Nodes per cluster for the two-level coarse space.
+
+        Sized so the dense coarse dimension (coarse_modes * clusters) stays
+        within ``coarse_max_dim`` — the affine basis halves the affordable
+        cluster count but still nets fewer iterations at equal dimension.
+        """
+        ncl_cap = max(1, min(self.coarse_max_clusters,
+                             self.coarse_max_dim // max(self.coarse_modes, 1)))
+        cs = max(self.coarse_cluster_nodes, -(-nn // ncl_cap))
         return min(cs, max(nn // 2, 1))
 
     def resolve_dtype(self):
