@@ -269,3 +269,42 @@ ux = 0.0
     left = centroids[:, 0] < 5.0
     np.testing.assert_allclose(model.materials_by_element[left, 0], 100000.0)
     np.testing.assert_allclose(model.materials_by_element[~left, 0], 200000.0)
+
+
+def test_fcvm_dtype_env_selects_f64_tier():
+    """FCVM_DTYPE=float64 must enable x64 and run the solve in f64
+    (the corpus-parity precision tier)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["FCVM_DTYPE"] = "float64"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu');\n"
+        "from fcvm_tpu.config import get_config\n"
+        "assert jax.config.jax_enable_x64, 'x64 not enabled'\n"
+        "assert str(get_config().resolve_dtype()) == 'float64'\n"
+        "import numpy as np, fcvm_tpu\n"
+        "from fcvm_tpu.models import meshgen\n"
+        "mesh = meshgen.box_tet10(2, 2, 2, 10., 10., 10.)\n"
+        "bcs = fcvm_tpu.BoundaryConditions.from_node_sets(\n"
+        "    [(mesh.select_nodes(lambda x, y, z: x < 1e-9), (0., 0., 0.))])\n"
+        "faces = mesh.faces_on(lambda x, y, z: x > 10. - 1e-9)\n"
+        "loads = fcvm_tpu.Loads(traction_faces=faces,\n"
+        "    tractions=np.tile([100., 0, 0], (len(faces), 1)))\n"
+        "m = fcvm_tpu.Model(mesh, fcvm_tpu.Material(210000., .3), bcs, loads)\n"
+        "p = fcvm_tpu.ControlParams(sig_yield=240., nstep=2, error_max=1e-12)\n"
+        "r = fcvm_tpu.solve_collapse(m, p)\n"
+        "assert r.sig_gp.dtype == np.float64, r.sig_gp.dtype\n"
+        "print('F64-TIER-OK')\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], env=env, capture_output=True,
+        text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "F64-TIER-OK" in proc.stdout
