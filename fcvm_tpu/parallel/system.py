@@ -523,3 +523,92 @@ class ShardedSystem(LocalSystem):
 
     def internal_force(self, coords, sig_gp, disp, large_disp):
         return self._internal_force_jit(coords, sig_gp, disp, large_disp)
+
+    def buckling(self, coords, sig_el_gp, k=2):
+        """Sharded (K, -G) pencil eigensolve: element blocks, multi-vector
+        operators and the inner CG run SPMD over the element partition;
+        the m x m Rayleigh-Ritz math stays on host (reference analogue:
+        ``fcVM.py:1199-1214``)."""
+        from fcvm_tpu.runtime.buckling import pencil_subspace
+
+        cfg = self.cfg
+        space = self.space
+        dtype = self.dtype
+        nn_pad = self.nn_pad
+        ndof_pad = self.ndof_pad
+        coords_dev = jax.device_put(
+            jnp.asarray(np.asarray(coords), dtype=dtype), self._sh_r
+        )
+
+        # element blocks, Morton order, sharded
+        def esm_local(coords_r, eln_l, w_l, dmat_l):
+            return asm.elastic_stiffness_blocks(
+                coords_r, eln_l, dmat_l
+            ) * w_l[:, None, None]
+
+        def nsm_local(coords_r, eln_l, w_l, sig_l):
+            return asm.geometric_stiffness_blocks(
+                coords_r, eln_l, sig_l
+            ) * w_l[:, None, None]
+
+        dspec = P("e") if self.dmat.ndim == 3 else P()
+        esm = self._smap(esm_local, (P(), P("e"), P("e"), dspec), P("e"))(
+            coords_dev, self.eln_s, self.weights, self.dmat_s
+        )
+        nsm = self._smap(nsm_local, (P(), P("e"), P("e"), P("e")), P("e"))(
+            coords_dev, self.eln_s, self.weights, sig_el_gp
+        )
+
+        fm = self.fixmask_m
+
+        def multi_mv(blocks, identity_on_fixed):
+            def mv(u):
+                def local(blocks_l, eln_l, u_r):
+                    up = (fm[:, None] * u_r).reshape(nn_pad, 3, -1)[eln_l]
+                    ne_l = eln_l.shape[0]
+                    fe = jnp.einsum(
+                        "eij,ejm->eim", blocks_l,
+                        up.reshape(ne_l, 30, up.shape[-1]),
+                    )
+                    y = jax.ops.segment_sum(
+                        fe.reshape(-1, 3, fe.shape[-1]),
+                        eln_l.reshape(-1), num_segments=nn_pad,
+                    )
+                    return jax.lax.psum(y, "e")
+
+                y3 = self._smap(local, (P("e"), P("e"), P()), P())(
+                    blocks, self.eln_m_s, u
+                )
+                y = fm[:, None] * y3.reshape(ndof_pad, -1)
+                if identity_on_fixed:
+                    y = y + (1.0 - fm)[:, None] * u
+                return y
+
+            return jax.jit(mv)
+
+        kmv = multi_mv(esm, True)
+        gmv = multi_mv(nsm, False)
+        minus_g = lambda u: -gmv(u)
+
+        pinv = self._pinv_m(esm)
+        pc = self.make_pc(esm, pinv, coords_dev)
+        rtol = min(self.rtol, 1.0e-10)
+
+        @jax.jit
+        def k_inverse(w):
+            def solve_col(b):
+                return slv.pcg(
+                    lambda u: self._khat_m(esm, u),
+                    b,
+                    precond=lambda r: apply_precond(pc, r),
+                    rtol=rtol, maxiter=self.maxiter,
+                ).x
+
+            return jax.vmap(solve_col, in_axes=1, out_axes=1)(w)
+
+        m = max(cfg.n_eig_vectors, 2 * k, k + 4)
+        lam, vecs = pencil_subspace(
+            kmv, minus_g, k_inverse, ndof_pad, dtype, k, m, fixmask=fm
+        )
+        vecs = vecs.reshape(-1, 3, k)[np.asarray(space.npos)].reshape(-1, k)
+        return lam, vecs

@@ -150,6 +150,19 @@ class LocalSystem:
             coords, self.elnodes, sig_gp, disp, large_disp
         )
 
+    def buckling(self, coords, sig_el_gp, k=2):
+        """Lowest-k buckling factors + mode shapes (user dof order).
+
+        ``sig_el_gp`` is the elastic pre-stress field in backend Gauss
+        order (user order here)."""
+        from fcvm_tpu.runtime.buckling import buckling_from_arrays
+
+        return buckling_from_arrays(
+            coords, self.elnodes, self.dmat, sig_el_gp, self.fixmask,
+            k=k, rtol=min(self.rtol, 1.0e-10), maxiter=self.maxiter,
+            plan=self.plan, space=self.space,
+        )
+
     def update_peeq_csr(self, sig_test, sig_new, sig_yield, peeq, csr, et_e,
                         ultimate_strain):
         return mat.update_peeq_csr(

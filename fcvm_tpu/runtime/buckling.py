@@ -139,10 +139,31 @@ def buckling_from_arrays(
 
             return jax.vmap(solve_col, in_axes=1, out_axes=1)(w)
 
-    # Deterministic pseudo-random start block, Dirichlet-projected.
+    lam, vecs = pencil_subspace(
+        kmv, minus_g, k_inverse, ndof, dtype, k, m, outer_tol, max_outer,
+        fixmask=fixmask,
+    )
+    if space is not None:
+        vecs = vecs.reshape(-1, 3, k)[np.asarray(space.npos)].reshape(-1, k)
+    return lam, vecs
+
+
+def pencil_subspace(
+    kmv, minus_g, k_inverse, ndof, dtype, k, m, outer_tol=1.0e-9,
+    max_outer=60, fixmask=None,
+):
+    """Block subspace iteration with Rayleigh-Ritz on the (K, -G) pencil.
+
+    Operator-parametrized so it drives the single-device multi-matvecs and
+    the sharded (shard_map + psum) ones identically; all small dense math
+    (QR, projected eigensolve) is host-side.
+    """
+    import scipy.linalg
+
     key = jax.random.PRNGKey(0)
     v = jax.random.normal(key, (ndof, m), dtype=dtype)
-    v = fixmask[:, None] * v
+    if fixmask is not None:
+        v = fixmask[:, None] * v
 
     theta_old = None
     for _ in range(max_outer):
@@ -177,8 +198,6 @@ def buckling_from_arrays(
         imax = int(np.argmax(np.abs(vecs[:, i])))
         if vecs[imax, i] < 0:
             vecs[:, i] = -vecs[:, i]
-    if space is not None:
-        vecs = vecs.reshape(-1, 3, k)[np.asarray(space.npos)].reshape(-1, k)
     return np.asarray(lam), vecs
 
 

@@ -36,7 +36,6 @@ from fcvm_tpu.config import get_config
 from fcvm_tpu.models.inp import ControlParams
 from fcvm_tpu.models.spec import Model
 from fcvm_tpu.runtime import system as sysm
-from fcvm_tpu.runtime.buckling import buckling_from_arrays
 from fcvm_tpu.runtime.profiling import PhaseTimers
 from fcvm_tpu.utils.indexing import pad_vector
 
@@ -262,15 +261,8 @@ def solve_collapse(
                 coords, 1.0e6 * sig_yield, zero_disp, jnp.asarray(ue),
                 zeros_gp6, et_e, False,
             )
-            # The eigensolve itself replicates (its arrays are the elastic
-            # blocks it assembles internally); Gauss prestress converts to
-            # user element order for it.
-            eigenvalues, eigenvectors = buckling_from_arrays(
-                coords, backend.elnodes, backend.dmat,
-                jnp.asarray(backend.gauss_to_user(sig_el_gp), dtype=dtype),
-                fixmask, k=2, rtol=min(backend.rtol, 1.0e-10),
-                maxiter=backend.maxiter, plan=backend.plan,
-                space=backend.space,
+            eigenvalues, eigenvectors = backend.buckling(
+                coords, sig_el_gp, k=2
             )
             log(f"buckling load factors: {eigenvalues}")
 

@@ -158,3 +158,35 @@ def test_checkpoint_cross_backend_resume(tmp_path):
     )
     np.testing.assert_allclose(r_full.disp_total, r_res.disp_total, atol=1e-10)
     np.testing.assert_allclose(r_full.peeq_gp, r_res.peeq_gp, atol=1e-12)
+
+
+def test_sharded_buckling_and_imperfection_matches_single_device():
+    """GNL + imperfection seeding: the sharded backend's pencil eigensolve
+    and the imperfection-perturbed collapse match single-device."""
+    l = 10.0
+    def build():
+        mesh = meshgen.box_tet10(2, 2, 8, 1.0, 1.0, l * 2)
+        bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+            [(mesh.select_nodes(lambda x, y, z: z < 1e-9), (0.0, 0.0, 0.0))]
+        )
+        faces = mesh.faces_on(lambda x, y, z: z > 2 * l - 1e-9)
+        loads = fcvm_tpu.Loads(
+            traction_faces=faces,
+            tractions=np.tile([0, 0, -1.0], (len(faces), 1)),
+        )
+        return fcvm_tpu.Model(
+            mesh, fcvm_tpu.Material(210000.0, 0.3), bcs, loads, name="col"
+        )
+
+    params = ControlParams(
+        sig_yield=1e5, nstep=3, error_max=1e-10, et_e=0.0, target_lf=1e9,
+        gnl="GNLY", max_imp=0.05, ev1=1.0, ev2=0.0,
+    )
+    r1 = _run(build(), params, 0)
+    r8 = _run(build(), params, 8)
+    np.testing.assert_allclose(r1.eigenvalues, r8.eigenvalues, rtol=1e-8)
+    np.testing.assert_allclose(
+        np.abs(r1.eigenvectors), np.abs(r8.eigenvectors), atol=1e-7
+    )
+    np.testing.assert_allclose(r1.history.lbd, r8.history.lbd, atol=1e-9)
+    np.testing.assert_allclose(r1.history.un, r8.history.un, atol=1e-9)
