@@ -15,14 +15,22 @@ bandwidth-optimal: each esm value is read exactly once per application.
 All kernels run in interpreter mode on CPU for testing (``interpret=True``
 when not on TPU).
 
-Environment note: the current axon remote-compile helper only accepts
-single-program Pallas kernels (any ``grid > 1`` or manual-DMA kernel fails
-its Mosaic stage with an opaque HTTP 500; verified 2026-08).  The kernels
-here are validated on real TPU at single-tile size and in interpreter mode
-at full size; the production matvec uses the XLA einsum formulation, which
-measures within ~1.6x of the memory-bandwidth floor (1.9 ms for 230 MB of
-blocks at 273k dofs), so the headroom a fused kernel could recover is small
-next to the gather/scatter cost anyway.
+Environment notes (updated round 2):
+
+* The round-1 axon restriction to single-program kernels is **lifted**:
+  ``grid > 1`` kernels now compile and run on the v5e (verified 2026-08,
+  grids up to 256); only the 16 MB scoped-VMEM limit constrains tile
+  sizes (ELEM_TILE 2048 double-buffered overflows by 36 KB; 1024 fits).
+* Measured at 131k elements (472 MB of blocks): this kernel and three
+  alternative formulations (per-row sublane reduce, row-major 900 x ne
+  accumulation at tiles 512/1024/2048) all land at 100-130 GB/s — the
+  same plateau as XLA's einsum (154 GB/s in element-major layout, 121 in
+  the production (ne, 30, 30) layout).  The 30-wide block matvec is
+  VPU-issue-bound on v5e, not HBM-bound, so a Pallas rewrite of the
+  *matvec alone* buys nothing; the production path keeps the XLA einsum.
+* The remaining headroom is the gather + scatter index traffic
+  (~9 ms/iteration at 499k dofs) — now unblocked for a fused
+  dynamic-index-DMA kernel, which is a future-round project.
 """
 
 from __future__ import annotations
