@@ -190,3 +190,43 @@ def test_sharded_buckling_and_imperfection_matches_single_device():
     )
     np.testing.assert_allclose(r1.history.lbd, r8.history.lbd, atol=1e-9)
     np.testing.assert_allclose(r1.history.un, r8.history.un, atol=1e-9)
+
+
+def test_sharded_multi_material_matches_single_device():
+    """Per-element material tables shard along the element partition
+    (dmat/e/nu/density P('e') specs): a two-material series bar must give
+    identical histories on both backends."""
+    l = 10.0
+
+    def build():
+        mesh = meshgen.box_tet10(2, 2, 6, 2.0, 2.0, l)
+        cent_z = mesh.coords[mesh.elnodes[:, :4], 2].mean(axis=1)
+        mbe = np.where(
+            (cent_z < l / 2)[:, None],
+            np.array([[100000.0, 0.3, 0.0]]),
+            np.array([[200000.0, 0.3, 0.0]]),
+        )
+        bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+            [
+                (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+                (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+                (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            ]
+        )
+        faces = mesh.faces_on(lambda x, y, z: z > l - 1e-9)
+        loads = fcvm_tpu.Loads(
+            traction_faces=faces,
+            tractions=np.tile([0, 0, 100.0], (len(faces), 1)),
+        )
+        return fcvm_tpu.Model(
+            mesh, fcvm_tpu.Material(1.0, 0.3), bcs, loads,
+            name="mm", materials_by_element=mbe,
+        )
+
+    params = ControlParams(
+        sig_yield=60.0, nstep=4, error_max=1e-11, et_e=0.1, target_lf=99.0,
+    )
+    r1 = _run(build(), params, 0)
+    r8 = _run(build(), params, 8)
+    assert float(np.max(r8.peeq_gp)) > 1e-6  # soft half actually yields
+    _assert_history_match(r1, r8)
