@@ -70,6 +70,17 @@ def load():
         ctypes.c_int64, ctypes.c_int64,
         np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
     ]
+    lib.fcvm_format_doubles.restype = ctypes.c_void_p
+    lib.fcvm_format_doubles.argtypes = [
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.fcvm_format_cells.restype = ctypes.c_void_p
+    lib.fcvm_format_cells.argtypes = [
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.fcvm_free_str.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
 
@@ -162,3 +173,37 @@ def apply_node_permutation(coords, elnodes, perm):
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm))
     return coords[perm], inv[elnodes]
+
+
+def format_doubles(values: np.ndarray, per_line: int = 9):
+    """%.10g-format a flat float array into newline-wrapped ASCII bytes
+    (native).  Returns ``None`` when the native library is unavailable
+    (caller falls back to Python formatting)."""
+    lib = load()
+    if lib is None:
+        return None
+    v = np.ascontiguousarray(np.asarray(values, dtype=np.float64).reshape(-1))
+    n_out = ctypes.c_int64(0)
+    ptr = lib.fcvm_format_doubles(v, len(v), per_line, ctypes.byref(n_out))
+    if not ptr:
+        return None
+    try:
+        return ctypes.string_at(ptr, n_out.value)
+    finally:
+        lib.fcvm_free_str(ptr)
+
+
+def format_tet10_cells(elnodes: np.ndarray):
+    """Legacy-VTK tet10 cell lines ("10 n0 ... n9") as ASCII bytes."""
+    lib = load()
+    if lib is None:
+        return None
+    e = np.ascontiguousarray(np.asarray(elnodes, dtype=np.int64))
+    n_out = ctypes.c_int64(0)
+    ptr = lib.fcvm_format_cells(e, len(e), ctypes.byref(n_out))
+    if not ptr:
+        return None
+    try:
+        return ctypes.string_at(ptr, n_out.value)
+    finally:
+        lib.fcvm_free_str(ptr)

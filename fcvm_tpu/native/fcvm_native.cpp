@@ -10,6 +10,7 @@
 //
 // Build: make -C fcvm_tpu/native   (produces libfcvm_native.so)
 
+#include <charconv>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -362,6 +363,56 @@ int fcvm_node_element_counts(int64_t nn, int64_t ne, const int64_t* elnodes,
   for (int64_t i = 0; i < ne * 10; ++i) ++counts_out[elnodes[i]];
   return 0;
 }
+
+// Fast text formatting for the legacy-VTK writer (runtime/vtk.py): %.10g
+// per value, `per_line` values per line.  Python-side float formatting of
+// multi-hundred-MB exports costs seconds per analysis; this is the
+// native-runtime IO path (caller frees with fcvm_free_str).
+char* fcvm_format_doubles(const double* v, int64_t n, int per_line,
+                          int64_t* len_out) {
+  size_t cap = (size_t)n * 20 + 16;
+  char* buf = (char*)std::malloc(cap);
+  if (!buf) return nullptr;
+  size_t pos = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (cap - pos < 32) {
+      cap = cap * 2;
+      char* nb = (char*)std::realloc(buf, cap);
+      if (!nb) { std::free(buf); return nullptr; }
+      buf = nb;
+    }
+    // std::to_chars: same text as printf %.10g, ~5x faster than snprintf
+    auto res = std::to_chars(buf + pos, buf + cap - 2, v[i],
+                             std::chars_format::general, 10);
+    pos = (size_t)(res.ptr - buf);
+    buf[pos++] = ((i + 1) % per_line == 0 || i + 1 == n) ? '\n' : ' ';
+  }
+  if (pos) --pos;  // strip the final newline (joined by caller)
+  buf[pos] = 0;
+  if (len_out) *len_out = (int64_t)pos;
+  return buf;
+}
+
+// tet10 VTK cell lines: "10 n0 n1 ... n9" per element.
+char* fcvm_format_cells(const int64_t* eln, int64_t ne, int64_t* len_out) {
+  size_t cap = (size_t)ne * 11 * 13 + 16;
+  char* buf = (char*)std::malloc(cap);
+  if (!buf) return nullptr;
+  size_t pos = 0;
+  for (int64_t e = 0; e < ne; ++e) {
+    pos += std::snprintf(buf + pos, cap - pos, "10");
+    for (int k = 0; k < 10; ++k)
+      pos += std::snprintf(buf + pos, cap - pos, " %lld",
+                           (long long)eln[10 * e + k]);
+    buf[pos++] = '\n';
+  }
+  if (pos) --pos;
+  buf[pos] = 0;
+  if (len_out) *len_out = (int64_t)pos;
+  return buf;
+}
+
+void fcvm_free_str(char* s) { std::free(s); }
 
 // Graph bandwidth (max |i-j| over coupled node pairs) — RCM quality metric.
 int64_t fcvm_bandwidth(int64_t nn, int64_t ne, const int64_t* elnodes) {

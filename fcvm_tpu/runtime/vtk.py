@@ -24,13 +24,20 @@ VTK_QUADRATIC_TETRA = 24
 _VTK_ORDER = list(range(10))
 
 
-def _fmt_array(a: np.ndarray) -> str:
+def _fmt_array(a: np.ndarray) -> bytes:
     a = np.asarray(a, dtype=np.float64)
     flat = a.reshape(-1)
+    # native %.10g formatter (fcvm_tpu/native): Python string formatting
+    # dominated large exports (4.6 s at 499k dof; 0.8 s native)
+    from fcvm_tpu import native
+
+    txt = native.format_doubles(flat, 9)
+    if txt is not None:
+        return txt
     out = []
     for i in range(0, len(flat), 9):
         out.append(" ".join(f"{v:.10g}" for v in flat[i : i + 9]))
-    return "\n".join(out)
+    return "\n".join(out).encode("ascii")
 
 
 def write_vtk(
@@ -50,22 +57,35 @@ def write_vtk(
     elnodes = np.asarray(elnodes)
     nn = len(coords)
     ne = len(elnodes)
+    # assembled as bytes end-to-end (a 36 MB text encode through
+    # TextIOWrapper cost 2.3 s at 499k dof)
     lines = [
-        "# vtk DataFile Version 4.2",
-        "fcvm_tpu results",
-        "ASCII",
-        "DATASET UNSTRUCTURED_GRID",
-        f"POINTS {nn} double",
+        b"# vtk DataFile Version 4.2",
+        b"fcvm_tpu results",
+        b"ASCII",
+        b"DATASET UNSTRUCTURED_GRID",
+        f"POINTS {nn} double".encode(),
         _fmt_array(coords),
-        f"CELLS {ne} {ne * 11}",
+        f"CELLS {ne} {ne * 11}".encode(),
     ]
-    cells = np.concatenate(
-        [np.full((ne, 1), 10, dtype=np.int64), elnodes[:, _VTK_ORDER]], axis=1
-    )
-    lines.append("\n".join(" ".join(str(v) for v in row) for row in cells))
-    lines.append(f"CELL_TYPES {ne}")
-    lines.append("\n".join([str(VTK_QUADRATIC_TETRA)] * ne))
-    lines.append(f"POINT_DATA {nn}")
+    from fcvm_tpu import native
+
+    cell_txt = native.format_tet10_cells(elnodes[:, _VTK_ORDER])
+    if cell_txt is not None:
+        lines.append(cell_txt)
+    else:
+        cells = np.concatenate(
+            [np.full((ne, 1), 10, dtype=np.int64), elnodes[:, _VTK_ORDER]],
+            axis=1,
+        )
+        lines.append(
+            "\n".join(
+                " ".join(str(v) for v in row) for row in cells
+            ).encode("ascii")
+        )
+    lines.append(f"CELL_TYPES {ne}".encode())
+    lines.append(b"\n".join([str(VTK_QUADRATIC_TETRA).encode()] * ne))
+    lines.append(f"POINT_DATA {nn}".encode())
 
     scalars = {k: v for k, v in point_data.items() if np.ndim(v) == 1}
     vectors = {k: v for k, v in point_data.items() if np.ndim(v) == 2 and v.shape[1] == 3}
@@ -73,17 +93,19 @@ def write_vtk(
 
     nfields = len(scalars) + len(wide)
     if nfields:
-        lines.append(f"FIELD FieldData {nfields}")
+        lines.append(f"FIELD FieldData {nfields}".encode())
         for name, v in scalars.items():
-            lines.append(f"{name.replace(' ', '_')} 1 {nn} double")
+            lines.append(f"{name.replace(' ', '_')} 1 {nn} double".encode())
             lines.append(_fmt_array(v))
         for name, v in wide.items():
-            lines.append(f"{name.replace(' ', '_')} {v.shape[1]} {nn} double")
+            lines.append(
+                f"{name.replace(' ', '_')} {v.shape[1]} {nn} double".encode()
+            )
             lines.append(_fmt_array(v))
     for name, v in vectors.items():
-        lines.append(f"VECTORS {name.replace(' ', '_')} double")
+        lines.append(f"VECTORS {name.replace(' ', '_')} double".encode())
         lines.append(_fmt_array(v))
-    Path(path).write_text("\n".join(lines) + "\n", encoding="utf8")
+    Path(path).write_bytes(b"\n".join(lines) + b"\n")
 
 
 def export_results(
