@@ -215,7 +215,7 @@ def build_two_level(
     # host-side retry, no jit recompile (ridge is a traced scalar).
     kc = _coarse_accumulate_jit(esm, elnodes, qmat_bc, cluster_size)
     coarse_inv = None
-    for ridge in (3.0e-4, 3.0e-3, 3.0e-2):
+    for ridge in (3.0e-4, 3.0e-3, 3.0e-2, 3.0e-1):
         coarse_inv = _coarse_densify_invert(kc, jnp.asarray(ridge, esm.dtype))
         if bool(jnp.all(jnp.isfinite(coarse_inv))):
             break

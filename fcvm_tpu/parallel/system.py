@@ -475,7 +475,7 @@ class ShardedSystem(LocalSystem):
 
         kc = acc(esm, qmat_bc, cluster_size)
         coarse_inv = None
-        for ridge in (3.0e-4, 3.0e-3, 3.0e-2):
+        for ridge in (3.0e-4, 3.0e-3, 3.0e-2, 3.0e-1):
             coarse_inv = _coarse_densify_invert(
                 kc, jnp.asarray(ridge, esm.dtype)
             )

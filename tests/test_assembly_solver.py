@@ -252,3 +252,40 @@ def test_chunked_block_builders_match_vmap(monkeypatch):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     finally:
         jax.clear_caches()
+
+
+def test_affine_cluster_basis_reproduces_affine_fields():
+    """The 12-mode cluster basis must represent ANY affine displacement
+    field u(x) = A x + b exactly within each cluster (that is what makes it
+    a coarse space for smooth elasticity error); the 6-mode rigid basis
+    must reproduce rigid motions but NOT general affine fields."""
+    import jax.numpy as jnp
+
+    from fcvm_tpu.ops.precond import _rigid_modes
+
+    rng = np.random.default_rng(3)
+    coords = jnp.asarray(rng.random((256, 3)) * 10.0)
+    cs = 64
+
+    amat = rng.normal(size=(3, 3))
+    b = rng.normal(size=3)
+    u_affine = np.asarray(coords) @ amat.T + b  # (nn, 3)
+    skew = 0.5 * (amat - amat.T)
+    u_rigid = np.asarray(coords) @ skew.T + b
+
+    for nm, field, exact in (
+        (6, u_rigid, True), (12, u_affine, True), (6, u_affine, False),
+    ):
+        q = np.asarray(_rigid_modes(coords, cs, nm))  # (nn_pad, 3, nm)
+        nn = len(coords)
+        resid_max = 0.0
+        for c in range(nn // cs):
+            rows = q[c * cs:(c + 1) * cs].reshape(cs * 3, nm)
+            rhs = field[c * cs:(c + 1) * cs].reshape(-1)
+            sol, res, *_ = np.linalg.lstsq(rows, rhs, rcond=None)
+            r = np.linalg.norm(rows @ sol - rhs) / np.linalg.norm(rhs)
+            resid_max = max(resid_max, r)
+        if exact:
+            assert resid_max < 1e-10, (nm, resid_max)
+        else:
+            assert resid_max > 1e-3, (nm, resid_max)
