@@ -71,11 +71,13 @@ class FcvmConfig:
     # 77->44 CG iters at equal cluster size, still fewer at equal coarse
     # dimension), 6 = rigid-body only.
     coarse_modes: int = 12
-    # Cap on the dense coarse dimension (modes * clusters).  9000 is the
-    # v5e-measured safe size for the on-device dense factor+inverse; the
-    # 18000^2 build crashes the remote compile (2026-08), as did 15600^2
-    # in round 1.
-    coarse_max_dim: int = 9000
+    # Cap on the dense coarse dimension (modes * clusters).  12288 is the
+    # v5e-measured ceiling with the chunked factor+inverse path
+    # (ops.precond.coarse_invert): 12.3k^2 builds and cuts 499k-dof
+    # iterations 64 -> 58; 18.3k^2 exhausts HBM at runtime.  The fused
+    # single-jit inverse (used below ~9.2k) crashes the remote compile
+    # beyond that, hence the split path.
+    coarse_max_dim: int = 12288
     n_eig_vectors: int = 8
     seed_elastic_factorization: bool = True
     # Multi-chip: run the full collapse driver SPMD over an n-device
