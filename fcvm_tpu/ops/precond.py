@@ -216,7 +216,7 @@ def build_two_level(
     kc = _coarse_accumulate_jit(esm, elnodes, qmat_bc, cluster_size)
     coarse_inv = None
     for ridge in (3.0e-4, 3.0e-3, 3.0e-2, 3.0e-1):
-        coarse_inv = _coarse_densify_invert(kc, jnp.asarray(ridge, esm.dtype))
+        coarse_inv = coarse_invert(kc, jnp.asarray(ridge, esm.dtype))
         if bool(jnp.all(jnp.isfinite(coarse_inv))):
             break
     else:
@@ -334,6 +334,77 @@ def _coarse_densify_invert(kc, ridge):
     inv_scaled = jax.scipy.linalg.cho_solve(chol, jnp.eye(n6, dtype=jnp.float32))
     ds32 = dscale.astype(jnp.float32)
     return (inv_scaled * ds32[:, None] * ds32[None, :]).astype(dtype)
+
+
+# Chunked large-dimension inversion: the single fused factor+full-identity
+# cho_solve program crashes the v5e remote compile past ~9000^2 (round-1
+# 15600^2, round-2 18000^2).  Splitting into three small jits — scale,
+# factor, and a lax.scan of column-block solves — keeps each compiled
+# program and its peak temps small.
+@jax.jit
+def _coarse_chol(kc_scaled):
+    return jax.scipy.linalg.cho_factor(kc_scaled.astype(jnp.float32),
+                                       lower=True)[0]
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def _cho_inverse_chunked(chol_l, dscale, out_dtype_ref, chunk: int):
+    n6 = chol_l.shape[0]
+    nchunks = n6 // chunk
+    ds32 = dscale.astype(jnp.float32)
+
+    def body(out, i):
+        rows = i * chunk + jnp.arange(chunk)
+        cols = (
+            jnp.zeros((n6, chunk), jnp.float32)
+            .at[rows, jnp.arange(chunk)].set(1.0)
+        )
+        sol = jax.scipy.linalg.cho_solve((chol_l, True), cols)
+        return jax.lax.dynamic_update_slice_in_dim(out, sol, i * chunk, 1), None
+
+    out0 = jnp.zeros((n6, n6), dtype=jnp.float32)
+    out, _ = jax.lax.scan(body, out0, jnp.arange(nchunks, dtype=jnp.int32))
+    return (out * ds32[:, None] * ds32[None, :]).astype(out_dtype_ref.dtype)
+
+
+@jax.jit
+def _coarse_densify_scale(kc, ridge):
+    """The dense layout + scaling + ridge half of ``_coarse_densify_invert``
+    (returns (kc_scaled, dscale)); used by the chunked large-dim path."""
+    dtype = kc.dtype
+    ncl = math.isqrt(kc.shape[0])
+    nm = math.isqrt(kc.shape[1])
+    n6 = nm * ncl
+    planes = kc.T.reshape(nm, nm, ncl, ncl)
+    kc_dense = planes.transpose(0, 2, 1, 3).reshape(n6, n6)
+    diag = jnp.abs(jnp.diagonal(kc_dense))
+    scale = jnp.max(diag)
+    diag = jnp.where(diag <= 1e-12 * scale, scale, diag)
+    dscale = 1.0 / jnp.sqrt(diag)
+    kc_scaled = kc_dense * dscale[:, None] * dscale[None, :]
+    ii = jnp.arange(n6)
+    kc_scaled = kc_scaled.at[ii, ii].set(jnp.maximum(kc_scaled[ii, ii], 1.0))
+    kc_scaled = 0.5 * (kc_scaled + kc_scaled.T)
+    kc_scaled = kc_scaled + ridge * jnp.eye(n6, dtype=dtype)
+    return kc_scaled, dscale
+
+
+def coarse_invert(kc, ridge, large_dim_threshold: int = 9216):
+    """Dense coarse inverse; chunked multi-jit path past the fused-compile
+    size limit."""
+    ncl = math.isqrt(kc.shape[0])
+    nm = math.isqrt(kc.shape[1])
+    n6 = nm * ncl
+    if n6 <= large_dim_threshold:
+        return _coarse_densify_invert(kc, ridge)
+    kc_scaled, dscale = _coarse_densify_scale(kc, ridge)
+    chol_l = _coarse_chol(kc_scaled)
+    chunk = n6 // max(1, -(-n6 // 2048))
+    while n6 % chunk:
+        chunk -= 1
+    return _cho_inverse_chunked(
+        chol_l, dscale, jnp.zeros((), kc.dtype), chunk
+    )
 
 
 @partial(jax.jit, static_argnames=("cs",))

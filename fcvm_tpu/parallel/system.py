@@ -49,9 +49,9 @@ from fcvm_tpu.ops import solver as slv
 from fcvm_tpu.ops.precond import (
     TwoLevelPrecond,
     _coarse_accumulate,
-    _coarse_densify_invert,
     _qmat_bc_jit,
     apply_precond,
+    coarse_invert,
 )
 from fcvm_tpu.ops.stress_update import _element_stress_update
 from fcvm_tpu.runtime import system as sysm
@@ -476,9 +476,7 @@ class ShardedSystem(LocalSystem):
         kc = acc(esm, qmat_bc, cluster_size)
         coarse_inv = None
         for ridge in (3.0e-4, 3.0e-3, 3.0e-2, 3.0e-1):
-            coarse_inv = _coarse_densify_invert(
-                kc, jnp.asarray(ridge, esm.dtype)
-            )
+            coarse_inv = coarse_invert(kc, jnp.asarray(ridge, esm.dtype))
             if bool(jnp.all(jnp.isfinite(coarse_inv))):
                 break
         else:
