@@ -1,4 +1,10 @@
-"""Multi-chip element-partition sharding over a jax.sharding.Mesh.
+"""Multi-chip element-partition sharding building blocks (demo tier).
+
+NOTE: the *production* multi-chip path is
+:class:`fcvm_tpu.parallel.system.ShardedSystem`, which runs the full
+collapse driver SPMD with the two-level preconditioner; this module keeps
+the self-contained building blocks (model sharding, one-psum matvec, a
+single elastic Riks step) used by its tests and the fast smoke path.
 
 The reference has no distributed capability (SURVEY.md section 2); the
 scaling axis of this workload is mesh size.  The TPU-native scaling design:
