@@ -289,3 +289,30 @@ def test_affine_cluster_basis_reproduces_affine_fields():
             assert resid_max < 1e-10, (nm, resid_max)
         else:
             assert resid_max > 1e-3, (nm, resid_max)
+
+
+def test_chunked_coarse_inverse_matches_fused():
+    """The split/chunked large-dimension coarse inversion (the path past
+    the fused-compile size limit) is numerically identical to the fused
+    single-jit inverse."""
+    import jax.numpy as jnp
+
+    from fcvm_tpu.ops import precond as pc
+
+    rng = np.random.default_rng(0)
+    ncl, nm = 32, 6
+    a = rng.normal(size=(ncl * nm, ncl * nm)).astype(np.float32)
+    spd = a @ a.T + 50 * np.eye(ncl * nm, dtype=np.float32)
+    kc = np.empty((ncl * ncl, nm * nm), np.float32)
+    for aa in range(nm):
+        for bb in range(nm):
+            kc[:, aa * nm + bb] = spd[
+                aa * ncl:(aa + 1) * ncl, bb * ncl:(bb + 1) * ncl
+            ].reshape(-1)
+    kc = jnp.asarray(kc)
+    ridge = jnp.asarray(3e-4, jnp.float32)
+    fused = pc._coarse_densify_invert(kc, ridge)
+    chunked = pc.coarse_invert(kc, ridge, large_dim_threshold=0)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(fused), rtol=0, atol=0
+    )
