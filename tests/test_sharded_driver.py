@@ -230,3 +230,29 @@ def test_sharded_multi_material_matches_single_device():
     r8 = _run(build(), params, 8)
     assert float(np.max(r8.peeq_gp)) > 1e-6  # soft half actually yields
     _assert_history_match(r1, r8)
+
+
+def test_sharded_fewer_elements_than_devices():
+    """ne=6 elements on 8 devices: some shards own only ghost padding."""
+    mesh = meshgen.box_tet10(1, 1, 1, 10.0, 10.0, 10.0)
+    assert mesh.n_elements == 6
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+        ]
+    )
+    faces = mesh.faces_on(lambda x, y, z: x > 10.0 - 1e-9)
+    loads = fcvm_tpu.Loads(
+        traction_faces=faces, tractions=np.tile([100.0, 0, 0], (len(faces), 1))
+    )
+    model = fcvm_tpu.Model(
+        mesh, fcvm_tpu.Material(210000.0, 0.3), bcs, loads, name="tiny"
+    )
+    params = ControlParams(
+        sig_yield=60.0, nstep=3, error_max=1e-11, et_e=0.1, target_lf=99.0,
+    )
+    r1 = _run(model, params, 0)
+    r8 = _run(model, params, 8)
+    _assert_history_match(r1, r8)
