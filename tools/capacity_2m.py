@@ -1,5 +1,6 @@
 """Single-chip capacity: 2M-dof elastic assembly + solve (chunked builders)."""
 import sys, time
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, jax.numpy as jnp
 import fcvm_tpu

@@ -1,5 +1,6 @@
 """Embankment corpus replay on the REAL TPU: f32 vs f64 parity tiers."""
 import os, sys, time
+import sys, os; sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "f32"
