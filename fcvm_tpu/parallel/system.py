@@ -54,7 +54,6 @@ from fcvm_tpu.ops.precond import (
     coarse_invert,
 )
 from fcvm_tpu.ops.stress_update import _element_stress_update
-from fcvm_tpu.runtime import system as sysm
 from fcvm_tpu.runtime.backend import LocalSystem
 from fcvm_tpu.utils.linalg3 import inv3_spd
 

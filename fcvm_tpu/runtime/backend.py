@@ -28,7 +28,6 @@ Backend data contract:
 from __future__ import annotations
 
 import jax.numpy as jnp
-import numpy as np
 
 from fcvm_tpu.ops import assembly as asm
 from fcvm_tpu.ops import material as mat
