@@ -58,3 +58,14 @@ def test_run_analysis_writes_view_bundle(tmp_path):
     fcvm_tpu.run_analysis(model, params, outdir=str(tmp_path))
     assert (tmp_path / "viz_views.png").exists()
     assert (tmp_path / "viz_psv.png").exists()
+
+
+def test_orbit_gif(tmp_path):
+    """The orbital-path GIF writer (reference fcVM.py:1800-1830 analogue)."""
+    from fcvm_tpu.runtime.viz import save_orbit_gif
+
+    mesh = meshgen.box_tet10(2, 2, 2, 1.0, 1.0, 1.0)
+    field = np.linspace(0.0, 1.0, mesh.n_nodes)
+    out = tmp_path / "orbit.gif"
+    save_orbit_gif(out, mesh.coords, mesh.elnodes, field, frames=4)
+    assert out.exists() and out.stat().st_size > 5_000
