@@ -292,9 +292,9 @@ def test_affine_cluster_basis_reproduces_affine_fields():
 
 
 def test_chunked_coarse_inverse_matches_fused():
-    """The split/chunked large-dimension coarse inversion (the path past
-    the fused-compile size limit) is numerically identical to the fused
-    single-jit inverse."""
+    """The blocked-Schur large-dimension coarse inversion (the path past
+    the fused-compile size limit) matches the fused single-jit inverse to
+    f32 roundoff."""
     import jax.numpy as jnp
 
     from fcvm_tpu.ops import precond as pc
@@ -312,7 +312,8 @@ def test_chunked_coarse_inverse_matches_fused():
     kc = jnp.asarray(kc)
     ridge = jnp.asarray(3e-4, jnp.float32)
     fused = pc._coarse_densify_invert(kc, ridge)
-    chunked = pc.coarse_invert(kc, ridge, large_dim_threshold=0)
-    np.testing.assert_allclose(
-        np.asarray(chunked), np.asarray(fused), rtol=0, atol=0
+    blocked = pc.coarse_invert(kc, ridge, large_dim_threshold=64)
+    err = np.max(np.abs(np.asarray(blocked) - np.asarray(fused))) / np.max(
+        np.abs(np.asarray(fused))
     )
+    assert err < 1e-5, err
