@@ -369,17 +369,22 @@ def _fused_spd_inv32(m):
 
 @jax.jit
 def _schur_complement(a_inv, b, c):
-    return c.astype(jnp.float32) - b.astype(jnp.float32).T @ (
-        a_inv @ b.astype(jnp.float32)
-    )
+    # HIGHEST matmul precision: the TPU default runs bf16 MXU passes, which
+    # leaves O(1e-3) relative error in S = C - B^T A^-1 B and degraded the
+    # 12k-dim coarse preconditioner from 58 to 222 CG iterations (measured).
+    with jax.default_matmul_precision("highest"):
+        return c.astype(jnp.float32) - b.astype(jnp.float32).T @ (
+            a_inv @ b.astype(jnp.float32)
+        )
 
 
 @jax.jit
 def _schur_assemble(a_inv, b, s_inv):
     """[[A,B],[B^T,C]]^-1 blocks from A^-1 and the Schur inverse."""
-    w = a_inv @ b.astype(jnp.float32)  # A^-1 B
-    tl = a_inv + w @ s_inv @ w.T
-    tr = -(w @ s_inv)
+    with jax.default_matmul_precision("highest"):
+        w = a_inv @ b.astype(jnp.float32)  # A^-1 B
+        tl = a_inv + w @ s_inv @ w.T
+        tr = -(w @ s_inv)
     return tl, tr
 
 
@@ -405,9 +410,26 @@ def _blocked_spd_inverse(m, fused_limit: int):
     return jnp.concatenate([top, bot], axis=0)
 
 
+@jax.jit
+def _newton_schulz_refine(x, m):
+    """Two Newton-Schulz steps ``X <- X (2I - M X)``: pure MXU matmuls that
+    square the inverse residual each step.  The f32 blocked-Schur assembly
+    leaves ``||I - M X|| ~ 1e-3`` at 12k dimensions (measured as a 58 -> 222
+    CG-iteration regression); two refinements put it at f32 roundoff.
+    Must run at HIGHEST matmul precision: at the TPU bf16 default the
+    refinement floor is bf16 roundoff and the steps are a no-op (measured
+    221 iterations, i.e. unchanged)."""
+    m32 = m.astype(jnp.float32)
+    eye2 = 2.0 * jnp.eye(m.shape[0], dtype=jnp.float32)
+    with jax.default_matmul_precision("highest"):
+        for _ in range(2):
+            x = x @ (eye2 - m32 @ x)
+    return 0.5 * (x + x.T)
+
+
 def coarse_invert(kc, ridge, large_dim_threshold: int = 9216):
-    """Dense coarse inverse; blocked Schur path past the fused-compile
-    size limit."""
+    """Dense coarse inverse; blocked Schur + Newton-Schulz refinement past
+    the fused-compile size limit."""
     ncl = math.isqrt(kc.shape[0])
     nm = math.isqrt(kc.shape[1])
     n6 = nm * ncl
@@ -415,6 +437,7 @@ def coarse_invert(kc, ridge, large_dim_threshold: int = 9216):
         return _coarse_densify_invert(kc, ridge)
     kc_scaled, dscale = _coarse_densify_scale(kc, ridge)
     inv_scaled = _blocked_spd_inverse(kc_scaled, large_dim_threshold)
+    inv_scaled = _newton_schulz_refine(inv_scaled, kc_scaled)
     ds32 = dscale.astype(jnp.float32)
     return (inv_scaled * ds32[:, None] * ds32[None, :]).astype(kc.dtype)
 
