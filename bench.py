@@ -126,9 +126,36 @@ def tpu_step_time(nx):
         pc = pinv[space.nperm]
 
     maxiter = 5000
-    solve = lambda b: sysm.solve_displacement(
-        esm, eln, fixmask, pc, b, CG_RTOL, maxiter, plan=plan, space=space
-    )
+
+    def solve(b, defl=None):
+        return sysm.solve_displacement(
+            esm, eln, fixmask, pc, b, CG_RTOL, maxiter, plan=plan,
+            space=space, defl=defl,
+        )
+
+    # Per-step Ritz recycling, exactly the production driver's policy
+    # (runtime/driver.harvesting_solve): the first correction solve of each
+    # step harvests its Lanczos byproducts and rebuilds the deflation space;
+    # the remaining solves of the step run deflated.
+    from fcvm_tpu.ops import deflation as defl_ops
+
+    def harvesting_solve(b):
+        res, h = sysm.solve_displacement_harvest(
+            esm, eln, fixmask, pc, b, CG_RTOL, maxiter, plan=plan,
+            space=space, nstore=cfg.deflation_nstore,
+        )
+        defl = None
+        if cfg.deflation and int(res.iters) >= cfg.deflation_min_iters:
+            coef = defl_ops.ritz_coefficients(
+                h.alphas, h.betas, h.rzs, int(res.iters), cfg.deflation_k
+            )
+            if coef is not None:
+                w = defl_ops.build_w(h.zs, coef, space.fixmask_m)
+                kw = sysm.galerkin_deflation(esm, eln, fixmask, plan=plan,
+                                             space=space, w=w)
+                defl = defl_ops.DeflationSpace(w, defl_ops.invert_galerkin(kw))
+        return res, defl
+
     res = jax.block_until_ready(solve(rhs))  # compile + elastic predictor
     ue = res.x
     cg_iters = int(res.iters)
@@ -149,24 +176,32 @@ def tpu_step_time(nx):
     )
     dl = 0.05
 
+    iters_seen = []
+
     def one_step():
         du = dl * ue
         t_start = time.perf_counter()
         sig_new = sig0
-        for _ in range(N_SOLVES_PER_STEP):
+        defl = None
+        for i in range(N_SOLVES_PER_STEP):
             sig_new, sig_test, pgp, qin, r, err = sysm.residual(
                 coords, eln, dmat, sig_yield, disp, du, sig0, e, nu, et,
                 glv, fixmask, jnp.asarray(lbd0 + dl, dtype), qnorm, False, plan,
             )
-            due = solve(r).x
-            du = du + 0.1 * due
+            if cfg.deflation and i == 0:
+                sres, defl = harvesting_solve(r)
+            else:
+                sres = solve(r, defl=defl)
+            iters_seen.append(int(sres.iters))
+            du = du + 0.1 * sres.x
         jax.block_until_ready((sig_new, du))
         return time.perf_counter() - t_start
 
     one_step()  # warm every kernel
     times = [one_step() for _ in range(3)]
     t_step = min(times)
-    log(f"TPU per-step: {t_step * 1e3:.1f} ms (3 runs: {[f'{t*1e3:.0f}' for t in times]})")
+    log(f"TPU per-step: {t_step * 1e3:.1f} ms (3 runs: {[f'{t*1e3:.0f}' for t in times]}; "
+        f"per-solve iters {iters_seen})")
     return t_step, mesh.ndof, t_asm, cg_iters
 
 

@@ -84,6 +84,27 @@ class FcvmConfig:
     # jax.sharding.Mesh element partition (fcvm_tpu.parallel.system).
     # 0/1 = single device.  Env: FCVM_NDEVICES.
     n_devices: int = 0
+    # Per-step Ritz-deflation recycling (fcvm_tpu.ops.deflation): the first
+    # NR correction solve of each load step harvests its Lanczos byproducts;
+    # the lowest Ritz vectors of M^-1 K deflate the remaining solves of the
+    # step.  Measured at 499k dof (tools/deflate_step_probe.py): in-step
+    # solves drop 56 -> 40 CG iterations.  The space must be harvested from
+    # the step's own residual rhs — an elastic-rhs harvest does nothing for
+    # plastic-residual solves (56 -> 57, measured).  On by default for the
+    # single-device cg tier (the sharded backend does not recycle yet).
+    # Env: FCVM_DEFLATION=0 disables.
+    deflation: bool = True
+    # Ritz vectors kept per harvest (single pass; a second-pass combined
+    # space measured WORSE on fresh rhs — overfit to the harvested one).
+    deflation_k: int = 32
+    # Harvest buffer length: (nstore, ndof) preconditioned residuals are
+    # stored on device during a harvesting solve (128 MB at 499k dof f32).
+    deflation_nstore: int = 64
+    # Skip the build when the harvest solve converged in fewer iterations:
+    # nothing to win, and on small meshes the k-vector correction is pure
+    # overhead plus a Newton-convergence hazard (marginally-converged
+    # deflated solutions slow modified NR; measured restart spirals).
+    deflation_min_iters: int = 48
 
     def resolve_cluster_size(self, nn: int) -> int:
         """Nodes per cluster for the two-level coarse space.
@@ -124,6 +145,8 @@ if os.environ.get("FCVM_NDEVICES"):
     _config.n_devices = int(os.environ["FCVM_NDEVICES"])
 if os.environ.get("FCVM_CG_RTOL"):
     _config.cg_rtol = float(os.environ["FCVM_CG_RTOL"])
+if os.environ.get("FCVM_DEFLATION"):
+    _config.deflation = os.environ["FCVM_DEFLATION"] not in ("0", "off", "false")
 if os.environ.get("FCVM_DTYPE"):
     # Precision tier: FCVM_DTYPE=float64 runs the whole solve in f64 — on
     # TPU via XLA's software-emulated f64 (no f64 MXU; the dense coarse

@@ -342,11 +342,16 @@ def build_scatter_plan(elnodes, nn: int) -> ScatterPlan:
 
 
 def scatter_node_rows(rows3: jnp.ndarray, plan: ScatterPlan) -> jnp.ndarray:
-    """Sum (nrows, 3) value rows into (nn, 3) node rows via the plan."""
-    rows_ext = jnp.concatenate([rows3, jnp.zeros((1, 3), rows3.dtype)])
+    """Sum (nrows, ...) value rows into (nn, ...) node rows via the plan.
+
+    Trailing shape is arbitrary — (3,) for the operator matvec, (3, k) for
+    the deflation block matvec (gather cost is per-index, so wide rows ride
+    along nearly free; see ``fcvm_tpu.ops.deflation``)."""
+    rest = rows3.shape[1:]
+    rows_ext = jnp.concatenate([rows3, jnp.zeros((1,) + rest, rows3.dtype)])
     outs = [rows_ext[inc].sum(axis=1) for inc in plan.inc]
     nz = plan.invperm.shape[0] - sum(o.shape[0] for o in outs)
-    outs.append(jnp.zeros((nz, 3), rows3.dtype))
+    outs.append(jnp.zeros((nz,) + rest, rows3.dtype))
     return jnp.concatenate(outs)[plan.invperm]
 
 

@@ -28,6 +28,19 @@ class CGResult(NamedTuple):
     relres: jnp.ndarray
 
 
+class HarvestData(NamedTuple):
+    """Lanczos byproducts of a PCG solve (see ``fcvm_tpu.ops.deflation``).
+
+    Slots beyond ``min(iters, nstore-2)`` may be clobbered when the solve
+    runs longer than the buffer; ``ritz_coefficients`` only reads the valid
+    prefix."""
+
+    zs: jnp.ndarray      # (nstore, n) preconditioned residuals z_j
+    rzs: jnp.ndarray     # (nstore,) r_j^T z_j
+    alphas: jnp.ndarray  # (nstore,) CG step lengths
+    betas: jnp.ndarray   # (nstore,) CG direction updates
+
+
 def pcg(
     matvec: Callable,
     b: jnp.ndarray,
@@ -75,6 +88,75 @@ def pcg(
     init = (x0, r0, p0, rz0, jnp.array(0, jnp.int32), jnp.linalg.norm(r0))
     x, r, _, _, k, rnorm = jax.lax.while_loop(cond, body, init)
     return CGResult(x, k, rnorm / jnp.where(bnorm == 0.0, 1.0, bnorm))
+
+
+def pcg_harvest(
+    matvec: Callable,
+    b: jnp.ndarray,
+    precond: Optional[Callable] = None,
+    x0: Optional[jnp.ndarray] = None,
+    rtol: float = 1.0e-6,
+    atol: float = 0.0,
+    maxiter: int = 1000,
+    nstore: int = 64,
+):
+    """:func:`pcg` that also records its Lanczos byproducts.
+
+    Identical iteration to :func:`pcg` (same convergence criterion, same
+    update order); additionally stores the first ``nstore`` preconditioned
+    residuals and the alpha/beta coefficients so the caller can extract
+    Ritz vectors for deflation recycling (``fcvm_tpu.ops.deflation``).
+    Returns ``(CGResult, HarvestData)``.
+    """
+    if precond is None:
+        precond = lambda r: r
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+
+    bnorm = jnp.linalg.norm(b)
+    tol = jnp.maximum(rtol * bnorm, atol)
+
+    r0 = b - matvec(x0)
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+    n = b.shape[0]
+    h0 = HarvestData(
+        jnp.zeros((nstore, n), b.dtype).at[0].set(z0),
+        jnp.zeros((nstore,), b.dtype).at[0].set(rz0),
+        jnp.zeros((nstore,), b.dtype),
+        jnp.zeros((nstore,), b.dtype),
+    )
+    cap = nstore - 1
+
+    def cond(state):
+        _, r, _, _, k, _, _ = state
+        return jnp.logical_and(jnp.linalg.norm(r) > tol, k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k, _, h = state
+        ap = matvec(p)
+        pap = jnp.vdot(p, ap)
+        alpha = rz / jnp.where(pap == 0.0, 1.0, pap)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
+        p = z + beta * p
+        kc = jnp.minimum(k, cap)
+        kc1 = jnp.minimum(k + 1, cap)
+        h = HarvestData(
+            jax.lax.dynamic_update_index_in_dim(h.zs, z, kc1, 0),
+            h.rzs.at[kc1].set(rz_new),
+            h.alphas.at[kc].set(alpha),
+            h.betas.at[kc].set(beta),
+        )
+        return (x, r, p, rz_new, k + 1, jnp.linalg.norm(r), h)
+
+    init = (x0, r0, p0, rz0, jnp.array(0, jnp.int32), jnp.linalg.norm(r0), h0)
+    x, r, _, _, k, rnorm, h = jax.lax.while_loop(cond, body, init)
+    return CGResult(x, k, rnorm / jnp.where(bnorm == 0.0, 1.0, bnorm)), h
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,10 @@ class ShardedSystem(LocalSystem):
     """Element-partition SPMD backend with the LocalSystem interface."""
 
     supports_scipy = False
+    # Ritz recycling needs the harvesting PCG + block Galerkin over the
+    # shard_map operator — not ported yet; the driver checks this flag and
+    # runs undeflated sharded solves (correctness identical, more CG iters).
+    supports_deflation = False
 
     def __init__(self, model, cfg, dtype):
         super().__init__(model, cfg, dtype)
@@ -488,7 +492,10 @@ class ShardedSystem(LocalSystem):
             coarse_inv = jnp.zeros_like(coarse_inv)
         return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, self.fixmask_m, None)
 
-    def solve(self, esm, pc, b, x0=None):
+    def solve(self, esm, pc, b, x0=None, defl=None):
+        # defl accepted for driver-interface uniformity; the sharded backend
+        # advertises supports_deflation=False so the driver never builds one.
+        assert defl is None, "ShardedSystem does not support deflation yet"
         if x0 is None:
             return self._solve_jit_nox0(esm, pc, b)
         return self._solve_jit(esm, pc, b, x0)

@@ -40,6 +40,7 @@ class LocalSystem:
     """Single-device backend over the jitted composites of ``runtime.system``."""
 
     supports_scipy = True
+    supports_deflation = True
 
     def __init__(self, model, cfg, dtype):
         self.cfg = cfg
@@ -114,11 +115,33 @@ class LocalSystem:
         # block-Jacobi tier: permute the nodal blocks into the solve space
         return pinv[self.space.nperm]
 
-    def solve(self, esm, pc, b, x0=None):
+    def solve(self, esm, pc, b, x0=None, defl=None):
         return sysm.solve_displacement(
             esm, self.elnodes, self.fixmask, pc, b, self.rtol, self.maxiter,
-            x0=x0, plan=self.plan, space=self.space,
+            x0=x0, plan=self.plan, space=self.space, defl=defl,
         )
+
+    # -- Ritz-deflation recycling (fcvm_tpu.ops.deflation) -------------------
+
+    def solve_harvest(self, esm, pc, b, x0=None, defl=None, nstore=64):
+        return sysm.solve_displacement_harvest(
+            esm, self.elnodes, self.fixmask, pc, b, self.rtol, self.maxiter,
+            x0=x0, plan=self.plan, space=self.space, defl=defl, nstore=nstore,
+        )
+
+    def build_deflation_w(self, zs, coef):
+        from fcvm_tpu.ops.deflation import build_w
+
+        return build_w(zs, jnp.asarray(coef), self.space.fixmask_m)
+
+    def make_deflation(self, esm, w):
+        from fcvm_tpu.ops.deflation import (
+            DeflationSpace, invert_galerkin,
+        )
+
+        kw = sysm.galerkin_deflation(esm, self.elnodes, self.fixmask,
+                                     plan=self.plan, space=self.space, w=w)
+        return DeflationSpace(w, invert_galerkin(kw))
 
     def residual(self, coords, sig_yield, disp_new, du, sig_old, glv,
                  lbd1, qnorm, et_e, large_disp):

@@ -109,11 +109,12 @@ class _LinearState:
     lazily per operator state — the debugging tier mirroring the reference's
     factor-once-per-tangent Cholesky (``fcVM.py:1120-1135``)."""
 
-    def __init__(self, esm, pc, rtol, maxiter):
+    def __init__(self, esm, pc, rtol, maxiter, defl=None):
         self.esm = esm
         self.pc = pc
         self.rtol = rtol
         self.maxiter = maxiter
+        self.defl = defl  # Ritz recycling space (ops.deflation), if built
         self._direct = None
 
     def direct(self, backend):
@@ -192,10 +193,50 @@ def solve_collapse(
             cg_stats["solves"] += 1
             cg_stats["time"] += time.perf_counter() - t0
             return x, 0.0
-        res = backend.solve(lin.esm, lin.pc, b, x0=x0)
+        res = backend.solve(lin.esm, lin.pc, b, x0=x0, defl=lin.defl)
         x = res.x.block_until_ready()
         cg_stats["solves"] += 1
         cg_stats["iters"] += int(res.iters)
+        cg_stats["time"] += time.perf_counter() - t0
+        return x, float(res.relres)
+
+    use_deflation = (
+        cfg.deflation
+        and cfg.solver == "cg"
+        and getattr(backend, "supports_deflation", False)
+    )
+
+    def harvesting_solve(lin, b):
+        """First NR correction solve of a load step: harvest the Lanczos
+        byproducts and (re)build the per-step deflation space
+        (``fcvm_tpu.ops.deflation``), so the remaining solves of the step
+        run deflated.  Measured at 499k dof: step solves drop 56 -> 40 CG
+        iterations.  The space is rebuilt every step because the Ritz modes
+        that matter are those excited by the CURRENT residual — an
+        elastic-rhs harvest does nothing for plastic-residual solves
+        (measured: 56 -> 57 iters; see tools/deflate_step_probe.py).
+        Solves shorter than ``deflation_min_iters`` skip the build: there
+        is not enough to win and the k-vector correction would be pure
+        per-iteration overhead (and, measured on small meshes, a
+        Newton-convergence hazard from marginally-converged solutions)."""
+        t0 = time.perf_counter()
+        res, h = backend.solve_harvest(lin.esm, lin.pc, b,
+                                       nstore=cfg.deflation_nstore)
+        x = res.x.block_until_ready()
+        cg_stats["solves"] += 1
+        cg_stats["iters"] += int(res.iters)
+        lin.defl = None
+        if int(res.iters) >= cfg.deflation_min_iters:
+            from fcvm_tpu.ops import deflation as defl_ops
+
+            coef = defl_ops.ritz_coefficients(
+                h.alphas, h.betas, h.rzs, int(res.iters), cfg.deflation_k
+            )
+            if coef is not None:
+                w = backend.build_deflation_w(h.zs, coef)
+                lin.defl = backend.make_deflation(lin.esm, w)
+                log(f"deflation space: k={w.shape[1]} "
+                    f"(harvest solve: {int(res.iters)} iters)")
         cg_stats["time"] += time.perf_counter() - t0
         return x, float(res.relres)
 
@@ -410,6 +451,9 @@ def solve_collapse(
                 pstep += 1
                 restart = 0
                 log(f"Step: {step}")
+                # per-step Ritz recycling: the first correction solve of
+                # each step harvests and rebuilds the deflation space
+                step_harvested = False
                 a = du  # Riks control vector (fcVM.py:1316)
                 if iriks:
                     sig_old = sig_new
@@ -433,13 +477,24 @@ def solve_collapse(
                         )
                         ue.block_until_ready()
                         cg_stats["tangent_time"] += time.perf_counter() - t0
-                        lin = _LinearState(esm_t, pc_t, backend.rtol, backend.maxiter)
+                        defl_t = None
+                        if use_deflation and lin.defl is not None:
+                            # same basis, re-Galerkined on the new tangent
+                            # operator (one block matvec; a stale Galerkin
+                            # stays SPD but deflates the wrong scales)
+                            defl_t = backend.make_deflation(esm_t, lin.defl.w)
+                        lin = _LinearState(esm_t, pc_t, backend.rtol,
+                                           backend.maxiter, defl=defl_t)
                         if cfg.solver == "scipy":
                             rhs_t = backend.scipy_rhs(esm_t, glv)
                             ue, _ = solve(lin, rhs_t, x0=u_fix)
                         a = ue * (jnp.linalg.norm(du) / jnp.linalg.norm(ue))
 
-                    due, _ = solve(lin, relax * r)
+                    if use_deflation and not step_harvested:
+                        due, _ = harvesting_solve(lin, relax * r)
+                        step_harvested = True
+                    else:
+                        due, _ = solve(lin, relax * r)
                     du, lbd1, _ = sysm.riks_update(a, ue, due, du, lbd[step], lbd[step + 1])
                     lbd[step + 1] = float(lbd1)
 

@@ -56,11 +56,18 @@ def _disp_model(n=2):
 def _run(model, params, n_devices):
     cfg = get_config()
     old = cfg.n_devices
+    old_defl = cfg.deflation
     cfg.n_devices = n_devices
+    # Equivalence tests compare bit-level histories (incl. crip argmax over
+    # near-ties); run both backends with recycling off so the CG arithmetic
+    # is identical (the sharded backend does not deflate yet).  Deflation
+    # physics-preservation is covered in tests/test_deflation.py.
+    cfg.deflation = False
     try:
         return fcvm_tpu.solve_collapse(model, params)
     finally:
         cfg.n_devices = old
+        cfg.deflation = old_defl
 
 
 def _assert_history_match(r1, r8, tol=1e-10):

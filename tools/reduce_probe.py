@@ -83,7 +83,7 @@ def main():
     # r1: shipped plan
     def r1(fe):
         out = asm_ops.scatter_node_rows(fe, plan)
-        return fe * 0.999999 + 1e-9 * out[: nrows]
+        return fe * 0.999999 + 1e-12 * out.sum()
 
     t = timeit_chain(r1, fe, 64, lambda f: f[0, 0])
     log(f"r1 shipped plan:            {t*1e3:6.2f} ms ({t/total_idx*1e9:.2f} ns/idx)")
@@ -112,7 +112,7 @@ def main():
         nz = plan.invperm.shape[0] - sum(o.shape[0] for o in outs)
         outs.append(jnp.zeros((nz, 3), fe.dtype))
         out = jnp.concatenate(outs)[plan.invperm]
-        return fe * 0.999999 + 1e-9 * out[: nrows]
+        return fe * 0.999999 + 1e-12 * out.sum()
 
     t = timeit_chain(r3, fe, 64, lambda f: f[0, 0])
     log(f"r3 flat-1D inc:             {t*1e3:6.2f} ms")
@@ -158,7 +158,7 @@ def main():
         nz = plan.invperm.shape[0] - sum(o.shape[0] for o in outs)
         outs.append(jnp.zeros((nz, 3), fe.dtype))
         out = jnp.concatenate(outs)[plan.invperm]
-        return fe * 0.999999 + 1e-9 * out[: nrows]
+        return fe * 0.999999 + 1e-12 * out.sum()
 
     t = timeit_chain(r5, fe, 64, lambda f: f[0, 0])
     log(f"r5 sorted+windows:          {t*1e3:6.2f} ms")
@@ -182,7 +182,7 @@ def main():
 
     def r7(fe):
         out = jax.ops.segment_sum(fe, seg, num_segments=nn)
-        return fe * 0.999999 + 1e-9 * out[: nrows]
+        return fe * 0.999999 + 1e-12 * out.sum()
 
     t = timeit_chain(r7, fe, 32, lambda f: f[0, 0])
     log(f"r7 segment_sum:             {t*1e3:6.2f} ms")
