@@ -144,16 +144,19 @@ def tpu_step_time(nx):
             esm, eln, fixmask, pc, b, CG_RTOL, maxiter, plan=plan,
             space=space, nstore=cfg.deflation_nstore,
         )
+        iters_h, alphas, betas, rzs = jax.device_get(
+            (res.iters, h.alphas, h.betas, h.rzs)
+        )
         defl = None
-        if cfg.deflation and int(res.iters) >= cfg.deflation_min_iters:
+        if cfg.deflation and int(iters_h) >= cfg.deflation_min_iters:
             coef = defl_ops.ritz_coefficients(
-                h.alphas, h.betas, h.rzs, int(res.iters), cfg.deflation_k
+                alphas, betas, rzs, int(iters_h), cfg.deflation_k
             )
             if coef is not None:
-                w = defl_ops.build_w(h.zs, coef, space.fixmask_m)
-                kw = sysm.galerkin_deflation(esm, eln, fixmask, plan=plan,
-                                             space=space, w=w)
-                defl = defl_ops.DeflationSpace(w, defl_ops.invert_galerkin(kw))
+                defl = sysm.build_deflation(
+                    esm, eln, fixmask, h.zs, jnp.asarray(coef), plan=plan,
+                    space=space,
+                )
         return res, defl
 
     res = jax.block_until_ready(solve(rhs))  # compile + elastic predictor
@@ -192,7 +195,7 @@ def tpu_step_time(nx):
                 sres, defl = harvesting_solve(r)
             else:
                 sres = solve(r, defl=defl)
-            iters_seen.append(int(sres.iters))
+            iters_seen.append(sres.iters)  # device scalar; fetched after timing
             du = du + 0.1 * sres.x
         jax.block_until_ready((sig_new, du))
         return time.perf_counter() - t_start
@@ -201,7 +204,7 @@ def tpu_step_time(nx):
     times = [one_step() for _ in range(3)]
     t_step = min(times)
     log(f"TPU per-step: {t_step * 1e3:.1f} ms (3 runs: {[f'{t*1e3:.0f}' for t in times]}; "
-        f"per-solve iters {iters_seen})")
+        f"per-solve iters {[int(i) for i in jax.device_get(iters_seen)]})")
     return t_step, mesh.ndof, t_asm, cg_iters
 
 

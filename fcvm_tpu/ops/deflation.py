@@ -81,9 +81,18 @@ def ritz_coefficients(
     drops ghost duplicates (re-converged copies of an eigenpair, an
     artifact of finite-precision Lanczos), and returns the combination
     coefficients of the ``k`` lowest Ritz vectors in the stored
-    preconditioned residuals: ``W = Z[:m].T @ coef`` with
+    preconditioned residuals: ``W = Z.T @ coef`` with
     ``v_j = (-1)^j z_j / sqrt(r_j^T z_j)``.
 
+    The result is zero-padded to a FIXED ``(nstore, k)`` shape so every
+    downstream device computation compiles exactly once per mesh (the
+    harvest length varies step to step; a shape-polymorphic build would
+    recompile on the 20-80 s axon path every time).  Zero columns make
+    zero ``W`` columns, which the PSD pseudo-inverse of the Galerkin
+    matrix ignores.
+
+    Expects HOST arrays (fetch the harvest coefficients with a single
+    ``jax.device_get`` — per-array fetches cost a tunnel round-trip each).
     Returns ``None`` when fewer than 3 valid iterations are available.
     """
     nstore = int(np.asarray(alphas).shape[0])
@@ -116,7 +125,9 @@ def ritz_coefficients(
             break
     sgn = (-1.0) ** np.arange(m)
     scale = sgn / np.sqrt(rz)
-    return (scale[:, None] * evecs[:, np.asarray(keep)]).astype(np.float32)
+    coef = np.zeros((nstore, k), dtype=np.float32)
+    coef[:m, : len(keep)] = scale[:, None] * evecs[:, np.asarray(keep)]
+    return coef
 
 
 @jax.jit
@@ -166,10 +177,45 @@ def invert_galerkin(kw) -> jnp.ndarray:
     """Host pseudo-inverse of the (small) Galerkin matrix.
 
     pinv (not inv): near-converged Ritz pairs from successive harvests can
-    be nearly dependent; the pseudo-inverse keeps the correction PSD."""
+    be nearly dependent (and zero-padded coefficient columns make exactly
+    singular blocks); the pseudo-inverse keeps the correction PSD."""
     kw64 = np.asarray(kw, dtype=np.float64)
     kw64 = 0.5 * (kw64 + kw64.T)
     return jnp.asarray(
         np.linalg.pinv(kw64, rcond=1.0e-10, hermitian=True),
         dtype=jnp.asarray(kw).dtype,
     )
+
+
+def pinv_psd(kw):
+    """On-device PSD pseudo-inverse of the (k, k) Galerkin matrix.
+
+    Traceable counterpart of :func:`invert_galerkin` so the whole space
+    build fuses into one jit (each host round-trip through the axon tunnel
+    costs tens of ms — the first landing paid ~0.65 s/step in them).  The
+    eigh runs in f32 when the inputs are f64 on a TPU backend (no f64
+    factorizations there); preconditioner precision does not affect CG
+    correctness, only (marginally) its iteration count."""
+    dt = kw.dtype
+    compute_dt = dt
+    if dt == jnp.float64 and jax.default_backend() != "cpu":
+        compute_dt = jnp.float32
+    rcond = 1.0e-10 if compute_dt == jnp.float64 else 1.0e-5
+    kws = (0.5 * (kw + kw.T)).astype(compute_dt)
+    evals, evecs = jnp.linalg.eigh(kws)
+    cutoff = rcond * jnp.max(jnp.abs(evals))
+    good = evals > cutoff
+    inv = jnp.where(good, 1.0 / jnp.where(good, evals, 1.0), 0.0)
+    return ((evecs * inv[None, :]) @ evecs.T).astype(dt)
+
+
+def build_space(esm, eldofs, fixmask, plan, zs, coef):
+    """Fused (traceable) deflation-space build: Z,coef -> (W, (W^T K W)^+).
+
+    One device program per mesh: basis combination, block Galerkin matvec
+    and the PSD pseudo-inverse all stay on device; the only host work per
+    step is the tiny tridiagonal eigendecomposition in
+    :func:`ritz_coefficients`."""
+    w = fixmask[:, None] * jnp.einsum("mn,mk->nk", zs, coef.astype(zs.dtype))
+    kw = w.T @ block_khat_matvec(esm, eldofs, fixmask, plan, w)
+    return DeflationSpace(w, pinv_psd(kw))

@@ -129,19 +129,16 @@ class LocalSystem:
             x0=x0, plan=self.plan, space=self.space, defl=defl, nstore=nstore,
         )
 
-    def build_deflation_w(self, zs, coef):
-        from fcvm_tpu.ops.deflation import build_w
-
-        return build_w(zs, jnp.asarray(coef), self.space.fixmask_m)
+    def build_deflation(self, esm, zs, coef):
+        """Z,coef -> DeflationSpace, one fused device dispatch."""
+        return sysm.build_deflation(esm, self.elnodes, self.fixmask, zs,
+                                    jnp.asarray(coef), plan=self.plan,
+                                    space=self.space)
 
     def make_deflation(self, esm, w):
-        from fcvm_tpu.ops.deflation import (
-            DeflationSpace, invert_galerkin,
-        )
-
-        kw = sysm.galerkin_deflation(esm, self.elnodes, self.fixmask,
-                                     plan=self.plan, space=self.space, w=w)
-        return DeflationSpace(w, invert_galerkin(kw))
+        """Re-Galerkin an existing basis on a (refreshed) operator."""
+        return sysm.regalerkin_deflation(esm, self.elnodes, self.fixmask, w,
+                                         plan=self.plan, space=self.space)
 
     def residual(self, coords, sig_yield, disp_new, du, sig_old, glv,
                  lbd1, qnorm, et_e, large_disp):

@@ -29,6 +29,7 @@ import dataclasses
 import time
 from typing import Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -223,22 +224,27 @@ def solve_collapse(
         res, h = backend.solve_harvest(lin.esm, lin.pc, b,
                                        nstore=cfg.deflation_nstore)
         x = res.x.block_until_ready()
+        # ONE bundled host fetch (per-array fetches cost a tunnel
+        # round-trip each); the fused build below stays async on device
+        iters_h, relres_h, alphas, betas, rzs = jax.device_get(
+            (res.iters, res.relres, h.alphas, h.betas, h.rzs)
+        )
         cg_stats["solves"] += 1
-        cg_stats["iters"] += int(res.iters)
+        cg_stats["iters"] += int(iters_h)
         lin.defl = None
-        if int(res.iters) >= cfg.deflation_min_iters:
+        if int(iters_h) >= cfg.deflation_min_iters:
             from fcvm_tpu.ops import deflation as defl_ops
 
             coef = defl_ops.ritz_coefficients(
-                h.alphas, h.betas, h.rzs, int(res.iters), cfg.deflation_k
+                alphas, betas, rzs, int(iters_h), cfg.deflation_k
             )
             if coef is not None:
-                w = backend.build_deflation_w(h.zs, coef)
-                lin.defl = backend.make_deflation(lin.esm, w)
-                log(f"deflation space: k={w.shape[1]} "
-                    f"(harvest solve: {int(res.iters)} iters)")
+                lin.defl = backend.build_deflation(lin.esm, h.zs, coef)
+                kept = int((np.abs(coef).sum(axis=0) > 0).sum())
+                log(f"deflation space: k={kept} "
+                    f"(harvest solve: {int(iters_h)} iters)")
         cg_stats["time"] += time.perf_counter() - t0
-        return x, float(res.relres)
+        return x, float(relres_h)
 
     def make_pc(esm, pinv, coords_dev):
         if cfg.precond == "two_level":

@@ -240,17 +240,58 @@ def solve_displacement_harvest(
     )
 
 
-def galerkin_deflation(esm, elnodes, fixmask, plan=None,
-                       space: SolveSpace | None = None, w=None):
-    """``W^T K_hat W`` of the current operator, in the solve space."""
-    from fcvm_tpu.ops.deflation import galerkin
+@jax.jit
+def build_deflation(esm, elnodes, fixmask, zs, coef, plan=None,
+                    space: SolveSpace | None = None):
+    """Fused per-step deflation-space build, in the solve space.
+
+    One device program per mesh (coef is zero-padded to a fixed shape by
+    ``ritz_coefficients``): basis combination, block Galerkin and the PSD
+    pseudo-inverse all run in a single dispatch — the first landing of
+    recycling paid ~0.65 s/step in per-piece host round-trips here."""
+    from fcvm_tpu.ops.deflation import build_space
 
     if space is not None:
         esm_m = esm[space.eperm]
         eldofs = asm.element_dof_ids(space.elnodes_m)
-        return galerkin(esm_m, eldofs, space.fixmask_m, space.plan_m, w)
+        return build_space(esm_m, eldofs, space.fixmask_m, space.plan_m,
+                           zs, coef)
     eldofs = asm.element_dof_ids(elnodes)
-    return galerkin(esm, eldofs, fixmask, plan, w)
+    return build_space(esm, eldofs, fixmask, plan, zs, coef)
+
+
+@jax.jit
+def deflation_x0(b, defl, space: SolveSpace | None = None):
+    """Deflation-as-initial-guess: ``x0 = W (W^T K W)^+ W^T b``.
+
+    The zero-overhead alternative to the per-iteration correction in
+    :func:`fcvm_tpu.ops.deflation.deflated` — the Ritz space is projected
+    out of the initial residual only, so CG pays nothing per iteration but
+    the slow modes can re-enter through rounding.  ``defl`` lives in the
+    solve space; ``b`` and the returned ``x0`` are in user dof order."""
+    bm = space.to_m(b) if space is not None else b
+    x0 = defl.w @ (defl.kw_inv @ (defl.w.T @ bm))
+    return space.from_m(x0) if space is not None else x0
+
+
+@jax.jit
+def regalerkin_deflation(esm, elnodes, fixmask, w, plan=None,
+                         space: SolveSpace | None = None):
+    """Re-Galerkin an existing basis on a refreshed operator (one fused
+    dispatch: block matvec + PSD pseudo-inverse)."""
+    from fcvm_tpu.ops.deflation import (
+        DeflationSpace, block_khat_matvec, pinv_psd,
+    )
+
+    if space is not None:
+        esm_m = esm[space.eperm]
+        eldofs = asm.element_dof_ids(space.elnodes_m)
+        kw = w.T @ block_khat_matvec(esm_m, eldofs, space.fixmask_m,
+                                     space.plan_m, w)
+    else:
+        eldofs = asm.element_dof_ids(elnodes)
+        kw = w.T @ block_khat_matvec(esm, eldofs, fixmask, plan, w)
+    return DeflationSpace(w, pinv_psd(kw))
 
 
 def build_precond(esm, elnodes, coords, fixmask, cluster_size: int,

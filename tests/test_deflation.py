@@ -58,8 +58,7 @@ def _build_space(be, esm, pc, rhs, k=12, nstore=48):
         h1.alphas, h1.betas, h1.rzs, int(res1.iters), k
     )
     assert coef is not None
-    w = be.build_deflation_w(h1.zs, coef)
-    return res1, be.make_deflation(esm, w)
+    return res1, be.build_deflation(esm, h1.zs, coef)
 
 
 def test_deflated_solve_same_solution_fewer_iters(backend_setup):

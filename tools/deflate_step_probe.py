@@ -92,19 +92,19 @@ def main():
     )
     coef1 = defl_ops.ritz_coefficients(h1.alphas, h1.betas, h1.rzs,
                                        int(res1.iters), k)
-    w1 = defl_ops.build_w(h1.zs, coef1, space.fixmask_m)
-    kw = sysm.galerkin_deflation(esm, eln, fixmask, plan=plan, space=space, w=w1)
-    defl1 = defl_ops.DeflationSpace(w1, defl_ops.invert_galerkin(kw))
+    defl1 = sysm.build_deflation(esm, eln, fixmask, h1.zs,
+                                 jnp.asarray(coef1), plan=plan, space=space)
+    w1 = defl1.w
     res2, h2 = sysm.solve_displacement_harvest(
         esm, eln, fixmask, pc, rhs, RTOL, MAXITER, plan=plan, space=space,
         defl=defl1, nstore=nstore,
     )
     coef2 = defl_ops.ritz_coefficients(h2.alphas, h2.betas, h2.rzs,
                                        int(res2.iters), k)
-    w = jnp.concatenate([w1, defl_ops.build_w(h2.zs, coef2, space.fixmask_m)],
-                        axis=1)
-    kw = sysm.galerkin_deflation(esm, eln, fixmask, plan=plan, space=space, w=w)
-    defl = defl_ops.DeflationSpace(w, defl_ops.invert_galerkin(kw))
+    w2 = defl_ops.build_w(h2.zs, jnp.asarray(coef2), space.fixmask_m)
+    w = jnp.concatenate([w1, w2], axis=1)
+    defl = sysm.regalerkin_deflation(esm, eln, fixmask, w, plan=plan,
+                                     space=space)
     log(f"harvests: {int(res1.iters)} + {int(res2.iters)} iters, "
         f"k={w.shape[1]}")
 
@@ -213,21 +213,22 @@ def probe_plastic_harvest():
                                        MAXITER, plan=plan, space=space,
                                        defl=defl)
 
-    def harvest(b, defl=None):
+    def harvest(b, defl=None, ret_h=False):
         res, h = sysm.solve_displacement_harvest(
             esm, eln, fixmask, pc, b, RTOL, MAXITER, plan=plan, space=space,
             defl=defl, nstore=cfg.deflation_nstore,
         )
         coef = defl_ops.ritz_coefficients(h.alphas, h.betas, h.rzs,
                                           int(res.iters), cfg.deflation_k)
-        if coef is None:
-            return res, None
-        return res, defl_ops.build_w(h.zs, coef, space.fixmask_m)
+        w = None if coef is None else defl_ops.build_w(
+            h.zs, jnp.asarray(coef), space.fixmask_m)
+        if ret_h:
+            return res, w, h
+        return res, w
 
     def mkdefl(w):
-        kw = sysm.galerkin_deflation(esm, eln, fixmask, plan=plan,
-                                     space=space, w=w)
-        return defl_ops.DeflationSpace(w, defl_ops.invert_galerkin(kw))
+        return sysm.regalerkin_deflation(esm, eln, fixmask, w, plan=plan,
+                                         space=space)
 
     ue = solve(rhs).x
     ne = mesh.n_elements
@@ -247,7 +248,7 @@ def probe_plastic_harvest():
         coords, eln, dmat, sig_yield, disp, du, sig0, e, nu, et,
         glv, fixmask, jnp.asarray(lbd0 + dl, dtype), qnorm, False, plan,
     )
-    res_p1, w1 = harvest(r)
+    res_p1, w1, h_p1 = harvest(r, ret_h=True)
     log(f"plastic harvest 1: {int(res_p1.iters)} iters")
     d1 = mkdefl(w1)
     res_p2, w2 = harvest(r, defl=d1)
@@ -264,6 +265,36 @@ def probe_plastic_harvest():
     c = solve(r2, defl=d2)
     log(f"NR-2 rhs: undeflated {int(a.iters)}, plastic-harvest k=32 "
         f"{int(b2.iters)}, k=64 {int(c.iters)} iters")
+
+    # --- variants: initial-guess projection (no per-iteration overhead),
+    # and a cheaper k=16 space -------------------------------------------
+    import time as _t
+
+    def timed(fn, *args, **kw):
+        rr = jax.block_until_ready(fn(*args, **kw))
+        t0 = _t.perf_counter()
+        rr = jax.block_until_ready(fn(*args, **kw))
+        return rr, _t.perf_counter() - t0
+
+    def solve_x0proj(b, d):
+        x0 = sysm.deflation_x0(b, d, space=space)
+        return sysm.solve_displacement(
+            esm, eln, fixmask, pc, b, RTOL, MAXITER, x0=x0, plan=plan,
+            space=space,
+        )
+
+    ra, ta = timed(solve, r2)
+    rb, tb = timed(solve, r2, defl=d1)
+    rp, tp2 = timed(solve_x0proj, r2, d1)
+    coef16 = defl_ops.ritz_coefficients(h_p1.alphas, h_p1.betas, h_p1.rzs,
+                                        int(res_p1.iters), 16)
+    d16 = sysm.build_deflation(esm, eln, fixmask, h_p1.zs,
+                               jnp.asarray(coef16), plan=plan, space=space)
+    r16, t16 = timed(solve, r2, defl=d16)
+    log(f"NR-2 timed: undeflated {int(ra.iters)} it {ta*1e3:.0f} ms | "
+        f"defl k=32 {int(rb.iters)} it {tb*1e3:.0f} ms | "
+        f"x0-proj {int(rp.iters)} it {tp2*1e3:.0f} ms | "
+        f"defl k=16 {int(r16.iters)} it {t16*1e3:.0f} ms")
 
 
 if __name__ == "__main__" and os.environ.get("PROBE") == "plastic":
