@@ -133,10 +133,12 @@ def tpu_step_time(nx):
             space=space, defl=defl,
         )
 
-    # Per-step Ritz recycling, exactly the production driver's policy
-    # (runtime/driver.harvesting_solve): the first correction solve of each
-    # step harvests its Lanczos byproducts and rebuilds the deflation space;
-    # the remaining solves of the step run deflated.
+    # Ritz recycling, exactly the production driver's policy
+    # (runtime/driver.harvesting_solve): one correction solve harvests its
+    # Lanczos byproducts; the space is RETAINED across steps and dropped
+    # only when a deflated solve regresses past deflation_refresh_iters
+    # (a per-step re-harvest measured perf-neutral: the undeflated harvest
+    # solve eats the in-step savings).
     from fcvm_tpu.ops import deflation as defl_ops
 
     def harvesting_solve(b):
@@ -148,7 +150,9 @@ def tpu_step_time(nx):
             (res.iters, h.alphas, h.betas, h.rzs)
         )
         defl = None
-        if cfg.deflation and int(iters_h) >= cfg.deflation_min_iters:
+        if int(iters_h) < cfg.deflation_min_iters:
+            state["armed"] = False  # easy solves: disarm (driver hysteresis)
+        else:
             coef = defl_ops.ritz_coefficients(
                 alphas, betas, rzs, int(iters_h), cfg.deflation_k
             )
@@ -157,7 +161,7 @@ def tpu_step_time(nx):
                     esm, eln, fixmask, h.zs, jnp.asarray(coef), plan=plan,
                     space=space,
                 )
-        return res, defl
+        return res, int(iters_h), defl
 
     res = jax.block_until_ready(solve(rhs))  # compile + elastic predictor
     ue = res.x
@@ -180,31 +184,46 @@ def tpu_step_time(nx):
     dl = 0.05
 
     iters_seen = []
+    state = {"defl": None, "armed": True}
 
     def one_step():
         du = dl * ue
         t_start = time.perf_counter()
         sig_new = sig0
-        defl = None
         for i in range(N_SOLVES_PER_STEP):
             sig_new, sig_test, pgp, qin, r, err = sysm.residual(
                 coords, eln, dmat, sig_yield, disp, du, sig0, e, nu, et,
                 glv, fixmask, jnp.asarray(lbd0 + dl, dtype), qnorm, False, plan,
             )
-            if cfg.deflation and i == 0:
-                sres, defl = harvesting_solve(r)
+            if cfg.deflation and state["defl"] is None and state["armed"]:
+                sres, it, state["defl"] = harvesting_solve(r)
+                iters_seen.append(it)
             else:
-                sres = solve(r, defl=defl)
-            iters_seen.append(sres.iters)  # device scalar; fetched after timing
+                sres = solve(r, defl=state["defl"])
+                if cfg.deflation:
+                    # the driver fetches iters per solve for cg_stats and
+                    # the staleness policy; async D2H overlaps the fetch
+                    # with the solve's own completion sync
+                    sres.iters.copy_to_host_async()
+                    it = int(sres.iters)
+                    if (state["defl"] is not None
+                            and it >= cfg.deflation_refresh_iters):
+                        state["defl"] = None  # stale: next solve re-harvests
+                    elif (state["defl"] is None
+                          and it >= cfg.deflation_min_iters):
+                        state["armed"] = True
+                    iters_seen.append(it)
+                else:
+                    iters_seen.append(sres.iters)  # fetched after timing
             du = du + 0.1 * sres.x
         jax.block_until_ready((sig_new, du))
         return time.perf_counter() - t_start
 
-    one_step()  # warm every kernel
+    one_step()  # warm every kernel + the one amortized harvest
     times = [one_step() for _ in range(3)]
     t_step = min(times)
     log(f"TPU per-step: {t_step * 1e3:.1f} ms (3 runs: {[f'{t*1e3:.0f}' for t in times]}; "
-        f"per-solve iters {[int(i) for i in jax.device_get(iters_seen)]})")
+        f"per-solve iters {[int(jax.device_get(i)) for i in iters_seen]})")
     return t_step, mesh.ndof, t_asm, cg_iters
 
 

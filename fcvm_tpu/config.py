@@ -84,12 +84,16 @@ class FcvmConfig:
     # jax.sharding.Mesh element partition (fcvm_tpu.parallel.system).
     # 0/1 = single device.  Env: FCVM_NDEVICES.
     n_devices: int = 0
-    # Per-step Ritz-deflation recycling (fcvm_tpu.ops.deflation): the first
-    # NR correction solve of each load step harvests its Lanczos byproducts;
-    # the lowest Ritz vectors of M^-1 K deflate the remaining solves of the
-    # step.  Measured at 499k dof (tools/deflate_step_probe.py): in-step
-    # solves drop 56 -> 40 CG iterations.  The space must be harvested from
-    # the step's own residual rhs — an elastic-rhs harvest does nothing for
+    # Ritz-deflation recycling (fcvm_tpu.ops.deflation): one NR correction
+    # solve harvests its Lanczos byproducts; the lowest Ritz vectors of
+    # M^-1 K deflate every subsequent solve, RETAINED ACROSS LOAD STEPS
+    # (re-Galerkined on tangent refresh) until a deflated solve regresses
+    # past deflation_refresh_iters.  Measured at 499k dof
+    # (tools/deflate_step_probe.py): residual solves drop 56 -> 40 CG
+    # iterations, 855 -> 652 ms wall.  Harvesting every step instead is
+    # perf-NEUTRAL: the per-step 56-iter undeflated harvest solve eats
+    # exactly the savings (measured, bench).  The space must be harvested
+    # from a residual rhs — an elastic-rhs harvest does nothing for
     # plastic-residual solves (56 -> 57, measured).  On by default for the
     # single-device cg tier (the sharded backend does not recycle yet).
     # Env: FCVM_DEFLATION=0 disables.
@@ -105,6 +109,13 @@ class FcvmConfig:
     # overhead plus a Newton-convergence hazard (marginally-converged
     # deflated solutions slow modified NR; measured restart spirals).
     deflation_min_iters: int = 48
+    # Drop the retained space when a deflated solve needs this many
+    # iterations (staleness from plastic-front motion / tangent drift);
+    # the next correction solve then re-harvests.  Fresh-space deflated
+    # solves run ~30-44 iters at 499k dof, stale ones drift back toward
+    # the undeflated 56 — re-harvesting at 48 costs one undeflated solve
+    # and restores the ~25% per-solve saving.
+    deflation_refresh_iters: int = 48
 
     def resolve_cluster_size(self, nn: int) -> int:
         """Nodes per cluster for the two-level coarse space.

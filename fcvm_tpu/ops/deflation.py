@@ -19,11 +19,22 @@ Measured on the 499k-dof v5e bench operator (tools/deflate_step_probe.py):
   present in the starting vector, so a space harvested from the elastic
   (load-rhs) solve cuts elastic re-solves 58 -> 39 but does NOTHING for
   plastic-residual solves (56 -> 57 + overhead).  A space harvested from
-  a plastic-residual solve cuts the NEXT residual solve 56 -> 40 and a
-  re-solve of the same rhs to 30.  Hence the production policy
-  (``runtime/driver.harvesting_solve``): harvest the FIRST correction
-  solve of each load step, deflate the rest of the step, rebuild next
-  step.
+  a plastic-residual solve cuts fresh residual solves 56 -> 40 iters
+  (855 -> 652 ms wall) and a re-solve of the same rhs to 30.
+- **harvesting every step is perf-neutral** (measured in bench: 2564 ms
+  with and without): the per-step 56-iter undeflated harvest solve eats
+  exactly the in-step savings.  Hence the production policy
+  (``runtime/driver.harvesting_solve``): harvest ONE correction solve,
+  retain the space across load steps (re-Galerkin on tangent refresh,
+  :func:`fcvm_tpu.runtime.system.regalerkin_deflation`), and drop it only
+  when a deflated solve regresses past ``config.deflation_refresh_iters``
+  — one harvest amortizes over many steps.
+- deflation-as-initial-guess only (``runtime/system.deflation_x0``:
+  project the rhs onto the space, run plain CG) saves the per-iteration
+  correction cost but converges slower (44 iters / 697 ms vs 40 / 652 —
+  the slow modes re-enter through rounding); k=16 matches k=32's 40
+  iters at slightly lower cost (638 ms) but keeps half the spectral
+  band, so k=32 stays the default for cross-step robustness.
 - k must stay at the single-pass 32: a second pass on the deflated
   operator captures a band that helps only the harvested rhs (measured:
   combined k=64 on a fresh NR rhs is 45 vs 40 for k=32 — overfit);

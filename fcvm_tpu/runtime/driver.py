@@ -195,10 +195,26 @@ def solve_collapse(
             cg_stats["time"] += time.perf_counter() - t0
             return x, 0.0
         res = backend.solve(lin.esm, lin.pc, b, x0=x0, defl=lin.defl)
+        # start the scalar D2H transfers before the completion sync so they
+        # ride along with it instead of costing an extra tunnel round-trip
+        # each (~10 ms; at small-mesh sizes that is ~10% of a solve)
+        res.iters.copy_to_host_async()
         x = res.x.block_until_ready()
+        iters = int(res.iters)
         cg_stats["solves"] += 1
-        cg_stats["iters"] += int(res.iters)
+        cg_stats["iters"] += iters
         cg_stats["time"] += time.perf_counter() - t0
+        if lin.defl is not None and iters >= cfg.deflation_refresh_iters:
+            # plastic-front motion / tangent drift made the retained Ritz
+            # space stale — drop it so the next correction solve
+            # re-harvests from the current residual
+            lin.defl = None
+            log(f"deflation space stale ({iters} iters), will re-harvest")
+        elif lin.defl is None and iters >= cfg.deflation_min_iters:
+            # solves got long enough for recycling to pay — re-arm the
+            # harvest (hysteresis: a below-threshold harvest disarms it so
+            # easy solves don't pay the harvest fetch every iteration)
+            defl_state["armed"] = True
         return x, float(res.relres)
 
     use_deflation = (
@@ -206,16 +222,24 @@ def solve_collapse(
         and cfg.solver == "cg"
         and getattr(backend, "supports_deflation", False)
     )
+    # armed=True: the next correction solve without a held space harvests.
+    # A harvest below deflation_min_iters disarms (easy solves — nothing to
+    # win); a plain solve at or past min_iters re-arms (see solve()).
+    defl_state = {"armed": True}
 
     def harvesting_solve(lin, b):
-        """First NR correction solve of a load step: harvest the Lanczos
-        byproducts and (re)build the per-step deflation space
-        (``fcvm_tpu.ops.deflation``), so the remaining solves of the step
-        run deflated.  Measured at 499k dof: step solves drop 56 -> 40 CG
-        iterations.  The space is rebuilt every step because the Ritz modes
-        that matter are those excited by the CURRENT residual — an
-        elastic-rhs harvest does nothing for plastic-residual solves
-        (measured: 56 -> 57 iters; see tools/deflate_step_probe.py).
+        """NR correction solve that (re)builds the deflation space from its
+        own Lanczos byproducts (``fcvm_tpu.ops.deflation``).  Runs whenever
+        no space is held; the space is then RETAINED across load steps
+        (re-Galerkined on tangent refresh) until :func:`solve` detects it
+        stale.  Measured at 499k dof: deflated residual solves run 40 vs 56
+        iters, 652 vs 855 ms — but a per-step re-harvest pays a 56-iter
+        undeflated solve each step, which eats exactly the savings
+        (measured perf-neutral in bench); amortizing one harvest over many
+        steps is what makes recycling win.  The space must come from a
+        residual rhs — an elastic-rhs harvest does nothing for
+        plastic-residual solves (measured: 56 -> 57 iters; see
+        tools/deflate_step_probe.py).
         Solves shorter than ``deflation_min_iters`` skip the build: there
         is not enough to win and the k-vector correction would be pure
         per-iteration overhead (and, measured on small meshes, a
@@ -223,6 +247,8 @@ def solve_collapse(
         t0 = time.perf_counter()
         res, h = backend.solve_harvest(lin.esm, lin.pc, b,
                                        nstore=cfg.deflation_nstore)
+        for arr in (res.iters, res.relres, h.alphas, h.betas, h.rzs):
+            arr.copy_to_host_async()  # overlap D2H with the completion sync
         x = res.x.block_until_ready()
         # ONE bundled host fetch (per-array fetches cost a tunnel
         # round-trip each); the fused build below stays async on device
@@ -232,7 +258,9 @@ def solve_collapse(
         cg_stats["solves"] += 1
         cg_stats["iters"] += int(iters_h)
         lin.defl = None
-        if int(iters_h) >= cfg.deflation_min_iters:
+        if int(iters_h) < cfg.deflation_min_iters:
+            defl_state["armed"] = False
+        else:
             from fcvm_tpu.ops import deflation as defl_ops
 
             coef = defl_ops.ritz_coefficients(
@@ -457,9 +485,6 @@ def solve_collapse(
                 pstep += 1
                 restart = 0
                 log(f"Step: {step}")
-                # per-step Ritz recycling: the first correction solve of
-                # each step harvests and rebuilds the deflation space
-                step_harvested = False
                 a = du  # Riks control vector (fcVM.py:1316)
                 if iriks:
                     sig_old = sig_new
@@ -496,9 +521,9 @@ def solve_collapse(
                             ue, _ = solve(lin, rhs_t, x0=u_fix)
                         a = ue * (jnp.linalg.norm(du) / jnp.linalg.norm(ue))
 
-                    if use_deflation and not step_harvested:
+                    if (use_deflation and lin.defl is None
+                            and defl_state["armed"]):
                         due, _ = harvesting_solve(lin, relax * r)
-                        step_harvested = True
                     else:
                         due, _ = solve(lin, relax * r)
                     du, lbd1, _ = sysm.riks_update(a, ue, due, du, lbd[step], lbd[step + 1])

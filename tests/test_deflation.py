@@ -109,8 +109,10 @@ def test_ritz_coefficients_rejects_degenerate():
 
 
 def test_driver_deflation_preserves_physics():
-    """Per-step recycling forced on (min_iters lowered below this tiny
-    mesh's solve counts) must not perturb the converged physics."""
+    """Recycling forced on (min_iters lowered below this tiny mesh's solve
+    counts) must not perturb the converged physics, and the space must be
+    RETAINED across load steps (one harvest amortized over the run — the
+    per-step-rebuild policy measured perf-neutral at 499k dof)."""
     mesh, model = uniaxial_model(2)
     params = ControlParams(nstep=8, sig_yield=SY0, et_e=0.1,
                            error_max=1e-8, target_lf=2.8)
@@ -122,7 +124,9 @@ def test_driver_deflation_preserves_physics():
         res_on = solve_collapse(model, params, progress=logs.append)
     finally:
         cfg.deflation_min_iters = old_min
-    assert any("deflation space: k=" in l for l in logs)
+    n_harvest = sum("deflation space: k=" in l for l in logs)
+    n_steps = sum(l.startswith("Step:") for l in logs)
+    assert 1 <= n_harvest < n_steps
     cfg.deflation = False
     try:
         res_off = solve_collapse(model, params)
