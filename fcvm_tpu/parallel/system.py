@@ -353,7 +353,7 @@ class ShardedSystem(LocalSystem):
         self._residual_jit = jax.jit(residual_fn, static_argnames=("large_disp",))
 
         def tangent_fn(coords, sig_old, pgp, disp_new, du, pc,
-                       dmat_s, g_s, h_s, density_s, u_fix):
+                       dmat_s, g_s, h_s, density_s, u_fix, ue0=None):
             coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
 
             def local(coords_r, eln_l, w_l, sig_l, pgp_l, dmat_l, g_l, h_l):
@@ -408,11 +408,12 @@ class ShardedSystem(LocalSystem):
             rhs_m = self.fixmask_m * space.to_m(glv_t) + modf_m + u_fix_m
             matvec = lambda u: self._khat_m(esm_t, u)
             precond = lambda r: apply_precond(pc_t, r)
-            ue_m = slv.pcg(
-                matvec, rhs_m, precond=precond, rtol=self.rtol,
-                maxiter=self.maxiter,
-            ).x
-            return esm_t, pc_t, glv_t, space.from_m(ue_m)
+            res = slv.pcg(
+                matvec, rhs_m, precond=precond,
+                x0=None if ue0 is None else space.to_m(ue0),
+                rtol=self.rtol, maxiter=self.maxiter,
+            )
+            return esm_t, pc_t, glv_t, space.from_m(res.x), res.iters
 
         self._tangent_jit = jax.jit(tangent_fn)
 
@@ -510,11 +511,14 @@ class ShardedSystem(LocalSystem):
             large_disp,
         )
 
-    def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e):
+    def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e,
+                        ue0=None, w=None, solve_predictor=True):
+        # sharded tier: warm-started predictor (ue0), no Ritz recycling
+        # (w/solve_predictor accepted for driver-interface parity)
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._tangent_jit(
             coords, sig_old, pgp, disp_new, du, pc,
-            self.dmat_s, self.g_s, h, self.density_s, self.u_fix,
+            self.dmat_s, self.g_s, h, self.density_s, self.u_fix, ue0,
         )
 
     def stress_update(self, coords, sig_yield, disp, du, sig_old, et_e,

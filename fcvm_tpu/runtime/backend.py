@@ -140,6 +140,14 @@ class LocalSystem:
         return sysm.regalerkin_deflation(esm, self.elnodes, self.fixmask, w,
                                          plan=self.plan, space=self.space)
 
+    def deflation_basis(self, zs, coef):
+        """Harvest data -> solve-space (ndof, k) Ritz basis only (no
+        Galerkin): for spaces re-Galerkined later against other operators,
+        e.g. the tangent-predictor's load space."""
+        from fcvm_tpu.ops.deflation import build_w
+
+        return build_w(zs, jnp.asarray(coef), self.space.fixmask_m)
+
     def residual(self, coords, sig_yield, disp_new, du, sig_old, glv,
                  lbd1, qnorm, et_e, large_disp):
         return sysm.residual(
@@ -149,12 +157,14 @@ class LocalSystem:
             jnp.asarray(qnorm, dtype=self.dtype), large_disp, self.plan,
         )
 
-    def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e):
+    def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e,
+                        ue0=None, w=None, solve_predictor=True):
         h = mat.hardening_modulus(self.e, jnp.asarray(et_e, self.dtype))
         return sysm.tangent_refresh(
             coords, self.elnodes, self.dmat, sig_old, pgp, disp_new, du,
             self.loads, self.density, self.fixmask, self.u_fix, self.g, h,
             self.rtol, self.maxiter, pc=pc, plan=self.plan, space=self.space,
+            ue0=ue0, w=w, solve_predictor=solve_predictor,
         )
 
     def stress_update(self, coords, sig_yield, disp, du, sig_old, et_e,

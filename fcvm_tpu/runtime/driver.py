@@ -179,7 +179,8 @@ def solve_collapse(
     movdof = backend.movdof
     has_movdof = backend.has_movdof
 
-    cg_stats = {"solves": 0, "iters": 0, "time": 0.0, "tangent_time": 0.0}
+    cg_stats = {"solves": 0, "iters": 0, "time": 0.0, "tangent_time": 0.0,
+                "predictor_solves": 0, "predictor_iters": 0}
 
     def assemble(coords):
         with timers.phase("assemble"):
@@ -226,6 +227,10 @@ def solve_collapse(
     # A harvest below deflation_min_iters disarms (easy solves — nothing to
     # win); a plain solve at or past min_iters re-arms (see solve()).
     defl_state = {"armed": True}
+    # The GNL tangent-predictor's own recycling state: a LOAD-rhs-harvested
+    # Ritz basis (solve-space (ndof, k)), re-Galerkined against each fresh
+    # tangent inside tangent_refresh; same hysteresis as the residual space.
+    lstate = {"w": None, "armed": True}
 
     def harvesting_solve(lin, b):
         """NR correction solve that (re)builds the deflation space from its
@@ -503,10 +508,65 @@ def solve_collapse(
 
                     if large_disp and (iterat == 1 or bool(jnp.any(pgp))):
                         t0 = time.perf_counter()
-                        esm_t, pc_t, glv, ue = backend.tangent_refresh(
+                        # predictor solve: warm-started from the previous
+                        # predictor (successive tangents differ by one
+                        # Newton update; the rtol*||b|| criterion makes the
+                        # warm start pay directly) and deflated with the
+                        # LOAD-harvested Ritz basis (a residual-harvested
+                        # one does nothing for load rhs — measured), which
+                        # tangent_refresh re-Galerkins against the fresh
+                        # operator in-jit.  When no load space is held, the
+                        # refresh returns the assembled rhs instead and the
+                        # harvesting solve below builds one.
+                        lharvest = (use_deflation and lstate["w"] is None
+                                    and lstate["armed"])
+                        esm_t, pc_t, glv, out, itp = backend.tangent_refresh(
                             coords, sig_old, pgp, disp_new, du, lin.pc, et_e,
+                            ue0=ue,
+                            w=lstate["w"] if use_deflation else None,
+                            solve_predictor=not lharvest,
                         )
-                        ue.block_until_ready()
+                        if lharvest:
+                            res_p, h_p = backend.solve_harvest(
+                                esm_t, pc_t, out, x0=ue,
+                                nstore=cfg.deflation_nstore,
+                            )
+                            for arr in (res_p.iters, h_p.alphas, h_p.betas,
+                                        h_p.rzs):
+                                arr.copy_to_host_async()
+                            ue = res_p.x.block_until_ready()
+                            itp, alphas, betas, rzs = jax.device_get(
+                                (res_p.iters, h_p.alphas, h_p.betas, h_p.rzs)
+                            )
+                            if int(itp) < cfg.deflation_min_iters:
+                                lstate["armed"] = False
+                            else:
+                                from fcvm_tpu.ops import deflation as defl_ops
+
+                                coef = defl_ops.ritz_coefficients(
+                                    alphas, betas, rzs, int(itp),
+                                    cfg.deflation_k,
+                                )
+                                if coef is not None:
+                                    lstate["w"] = backend.deflation_basis(
+                                        h_p.zs, coef
+                                    )
+                                    log(f"load-deflation space "
+                                        f"(predictor solve: {int(itp)} iters)")
+                        else:
+                            itp.copy_to_host_async()
+                            ue = out.block_until_ready()
+                            itp = int(itp)
+                            if (lstate["w"] is not None
+                                    and itp >= cfg.deflation_refresh_iters):
+                                lstate["w"] = None
+                                log(f"load-deflation space stale ({itp} "
+                                    "iters), will re-harvest")
+                            elif (lstate["w"] is None
+                                  and itp >= cfg.deflation_min_iters):
+                                lstate["armed"] = True
+                        cg_stats["predictor_solves"] += 1
+                        cg_stats["predictor_iters"] += int(itp)
                         cg_stats["tangent_time"] += time.perf_counter() - t0
                         defl_t = None
                         if use_deflation and lin.defl is not None:
@@ -610,6 +670,9 @@ def solve_collapse(
                     target_lf = float(action[1])
 
     log(f"total number of CG solves: {cg_stats['solves']}, iterations: {cg_stats['iters']}")
+    if cg_stats["predictor_solves"]:
+        log(f"tangent predictor solves: {cg_stats['predictor_solves']}, "
+            f"iterations: {cg_stats['predictor_iters']}")
     log(f"total time evaluating K_inv * r: {cg_stats['time']:.3f}s")
     if cg_stats["solves"]:
         log(f"average time per solve: {cg_stats['time'] / cg_stats['solves']:.4f}s")

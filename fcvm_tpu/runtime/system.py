@@ -344,7 +344,7 @@ def residual(
     return sig_new, sig_test, pgp, qin, r, error
 
 
-@partial(jax.jit, static_argnames=("maxiter",))
+@partial(jax.jit, static_argnames=("maxiter", "solve_predictor"))
 def tangent_refresh(
     coords,
     elnodes,
@@ -364,20 +364,35 @@ def tangent_refresh(
     pc=None,
     plan=None,
     space: SolveSpace | None = None,
+    ue0=None,
+    w=None,
+    solve_predictor: bool = True,
 ):
     """GNL tangent reassembly + follower loads + tangent predictor solve.
 
     The TPU equivalent of ``calcTSM`` + re-factorization + ``ue = K_t^-1 f``
-    (``fcVM.py:1351-1396``).  Returns the new blocks, preconditioner, load
-    vector and tangent elastic solution.  The two-level coarse correction is
-    kept from the elastic operator; only the nodal blocks are rebuilt.
-    ``esm_t`` is returned in user element order; with ``space`` the refresh
-    and solve run in the Morton solve space (``pc`` must live there too).
-    The internal predictor solve runs undeflated: its load-like rhs gets
-    no benefit from a residual-harvested Ritz space (measured,
-    tools/deflate_step_probe.py), so the correction would be pure
-    per-iteration overhead here.
+    (``fcVM.py:1351-1396``).  Returns ``(esm_t, pc_t, glv_t, out, iters)``
+    where ``out`` is the tangent predictor solution (or, with
+    ``solve_predictor=False``, the assembled predictor RHS so the caller
+    can run a harvesting solve on it) and ``iters`` its CG count.  The
+    two-level coarse correction is kept from the elastic operator; only
+    the nodal blocks are rebuilt.  ``esm_t`` is returned in user element
+    order; with ``space`` the refresh and solve run in the Morton solve
+    space (``pc`` must live there too).
+
+    Successive tangent operators and their load-like RHS differ by one
+    Newton update, so the predictor is seeded with the PREVIOUS predictor
+    solution ``ue0`` (the ``rtol * ||b||`` stopping criterion makes a warm
+    start pay off directly).  ``w`` (a load-rhs-harvested Ritz basis in
+    solve space — a RESIDUAL-harvested one does nothing for load rhs,
+    measured in tools/deflate_step_probe.py) is re-Galerkined against the
+    fresh tangent inside the jit (one block matvec) and deflates the
+    predictor solve.
     """
+    from fcvm_tpu.ops.deflation import (
+        DeflationSpace, block_khat_matvec, deflated, pinv_psd,
+    )
+
     coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
     esm_t = asm.tangent_stiffness_blocks(
         coords_def, elnodes, dmat, sig_old, pgp, g, h
@@ -389,21 +404,34 @@ def tangent_refresh(
         esm_m = esm_t[space.eperm]
         pc_t = refresh_blocks(pc, esm_m, space.elnodes_m, space.fixmask_m)
         eldofs = asm.element_dof_ids(space.elnodes_m)
+        fix_m, plan_m = space.fixmask_m, space.plan_m
         rhs = asm.dirichlet_rhs(
-            esm_m, eldofs, space.fixmask_m, space.to_m(u_fix),
-            space.to_m(glv_t), space.plan_m,
+            esm_m, eldofs, fix_m, space.to_m(u_fix), space.to_m(glv_t),
+            plan_m,
         )
-        matvec = asm.make_bc_matvec(esm_m, eldofs, space.fixmask_m, space.plan_m)
-        precond = lambda r: apply_precond(pc_t, r)
-        ue = slv.pcg(matvec, rhs, precond=precond, rtol=rtol, maxiter=maxiter).x
-        return esm_t, pc_t, glv_t, space.from_m(ue)
-    pc_t = refresh_blocks(pc, esm_t, elnodes, fixmask)
-    eldofs = asm.element_dof_ids(elnodes)
-    rhs = asm.dirichlet_rhs(esm_t, eldofs, fixmask, u_fix, glv_t, plan)
-    matvec = asm.make_bc_matvec(esm_t, eldofs, fixmask, plan)
-    precond = lambda r: apply_precond(pc_t, r)
-    ue = slv.pcg(matvec, rhs, precond=precond, rtol=rtol, maxiter=maxiter).x
-    return esm_t, pc_t, glv_t, ue
+        matvec = asm.make_bc_matvec(esm_m, eldofs, fix_m, plan_m)
+    else:
+        esm_m = esm_t
+        pc_t = refresh_blocks(pc, esm_t, elnodes, fixmask)
+        eldofs = asm.element_dof_ids(elnodes)
+        fix_m, plan_m = fixmask, plan
+        rhs = asm.dirichlet_rhs(esm_t, eldofs, fix_m, u_fix, glv_t, plan_m)
+        matvec = asm.make_bc_matvec(esm_t, eldofs, fix_m, plan_m)
+    if not solve_predictor:
+        out = space.from_m(rhs) if space is not None else rhs
+        return esm_t, pc_t, glv_t, out, jnp.array(0, jnp.int32)
+    defl = None
+    if w is not None:
+        kw = w.T @ block_khat_matvec(esm_m, eldofs, fix_m, plan_m, w)
+        defl = DeflationSpace(w, pinv_psd(kw))
+    precond = deflated(lambda r: apply_precond(pc_t, r), defl)
+    x0 = None
+    if ue0 is not None:
+        x0 = space.to_m(ue0) if space is not None else ue0
+    res = slv.pcg(matvec, rhs, precond=precond, x0=x0, rtol=rtol,
+                  maxiter=maxiter)
+    ue = space.from_m(res.x) if space is not None else res.x
+    return esm_t, pc_t, glv_t, ue, res.iters
 
 
 @jax.jit
