@@ -46,6 +46,7 @@ from fcvm_tpu.ops import assembly as asm
 from fcvm_tpu.ops import elements as el
 from fcvm_tpu.ops import material as mat
 from fcvm_tpu.ops import solver as slv
+from fcvm_tpu.ops.deflation import DeflationSpace, deflated, pinv_psd
 from fcvm_tpu.ops.precond import (
     TwoLevelPrecond,
     _coarse_accumulate,
@@ -72,10 +73,13 @@ class ShardedSystem(LocalSystem):
     """Element-partition SPMD backend with the LocalSystem interface."""
 
     supports_scipy = False
-    # Ritz recycling needs the harvesting PCG + block Galerkin over the
-    # shard_map operator — not ported yet; the driver checks this flag and
-    # runs undeflated sharded solves (correctness identical, more CG iters).
-    supports_deflation = False
+    # Ritz recycling runs sharded too: the harvest stores replicated
+    # preconditioned residuals (the CG vectors are replicated by design),
+    # the block Galerkin K @ W goes through the same one-psum shard_map
+    # matvec with k trailing columns, and the (k, k) correction math is
+    # replicated — so a deflated sharded iteration still pays exactly one
+    # (ndof,)-sized collective.
+    supports_deflation = True
 
     def __init__(self, model, cfg, dtype):
         super().__init__(model, cfg, dtype)
@@ -198,6 +202,32 @@ class ShardedSystem(LocalSystem):
         fm = self.fixmask_m
         return fm * self._kv_m(esm, fm * u_m) + (1.0 - fm) * u_m
 
+    def _khat_block_m(self, esm, w):
+        """``K_hat @ W`` for a replicated (ndof_m, k) block in ONE pass.
+
+        The sharded counterpart of ``ops.deflation.block_khat_matvec``:
+        gather cost is per-index and independent of row width, so the k
+        columns ride the same element gather/psum as a single matvec."""
+        nn = self.nn_pad
+        fm = self.fixmask_m
+        wp = fm[:, None] * w
+
+        def local(esm_l, eln_l, w_r):
+            ne_l = eln_l.shape[0]
+            k = w_r.shape[1]
+            u3k = w_r.reshape(nn, 3, k)[eln_l]  # (ne_l, 10, 3, k)
+            fe = jnp.einsum("eij,ejk->eik", esm_l, u3k.reshape(ne_l, 30, k))
+            y = jax.ops.segment_sum(
+                fe.reshape(-1, 3, k), eln_l.reshape(-1), num_segments=nn
+            )
+            return jax.lax.psum(y, "e")
+
+        y3 = self._smap(local, (P("e"), P("e"), P()), P())(
+            esm, self.eln_m_s, wp
+        )
+        kw = fm[:, None] * y3.reshape(-1, w.shape[1])
+        return kw + (1.0 - fm)[:, None] * w
+
     def _pinv_m(self, esm):
         """Replicated (nn, 3, 3) block-Jacobi inverses in Morton node order."""
         nn = self.nn_pad
@@ -293,9 +323,11 @@ class ShardedSystem(LocalSystem):
 
         self._assemble_jit = jax.jit(assemble_fn)
 
-        def solve_fn(esm, pc, b, x0):
+        def solve_fn(esm, pc, b, x0, defl):
+            # x0/defl may be None: jit caches per pytree structure, so each
+            # (x0?, defl?) combination compiles its own executable once.
             matvec = lambda u: self._khat_m(esm, u)
-            precond = lambda r: apply_precond(pc, r)
+            precond = deflated(lambda r: apply_precond(pc, r), defl)
             res = slv.pcg(
                 matvec, space.to_m(b), precond=precond,
                 x0=None if x0 is None else space.to_m(x0),
@@ -303,8 +335,36 @@ class ShardedSystem(LocalSystem):
             )
             return res._replace(x=space.from_m(res.x))
 
-        self._solve_jit = jax.jit(solve_fn, static_argnames=())
-        self._solve_jit_nox0 = jax.jit(lambda esm, pc, b: solve_fn(esm, pc, b, None))
+        self._solve_jit = jax.jit(solve_fn)
+
+        def solve_harvest_fn(esm, pc, b, x0, defl, nstore):
+            matvec = lambda u: self._khat_m(esm, u)
+            precond = deflated(lambda r: apply_precond(pc, r), defl)
+            res, h = slv.pcg_harvest(
+                matvec, space.to_m(b), precond=precond,
+                x0=None if x0 is None else space.to_m(x0),
+                rtol=self.rtol, maxiter=self.maxiter, nstore=nstore,
+            )
+            return res._replace(x=space.from_m(res.x)), h
+
+        self._solve_harvest_jit = jax.jit(
+            solve_harvest_fn, static_argnames=("nstore",)
+        )
+
+        def build_deflation_fn(esm, zs, coef):
+            w = self.fixmask_m[:, None] * jnp.einsum(
+                "mn,mk->nk", zs, coef.astype(zs.dtype)
+            )
+            kw = w.T @ self._khat_block_m(esm, w)
+            return DeflationSpace(w, pinv_psd(kw))
+
+        self._build_deflation_jit = jax.jit(build_deflation_fn)
+
+        def regalerkin_fn(esm, w):
+            kw = w.T @ self._khat_block_m(esm, w)
+            return DeflationSpace(w, pinv_psd(kw))
+
+        self._regalerkin_jit = jax.jit(regalerkin_fn)
 
         def stress_update_fn(coords, sig_yield, disp, du, sig_old,
                              dmat_s, g_s, h_s, et_e, large_disp):
@@ -353,7 +413,8 @@ class ShardedSystem(LocalSystem):
         self._residual_jit = jax.jit(residual_fn, static_argnames=("large_disp",))
 
         def tangent_fn(coords, sig_old, pgp, disp_new, du, pc,
-                       dmat_s, g_s, h_s, density_s, u_fix, ue0=None):
+                       dmat_s, g_s, h_s, density_s, u_fix, ue0=None,
+                       w=None, solve_predictor=True):
             coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
 
             def local(coords_r, eln_l, w_l, sig_l, pgp_l, dmat_l, g_l, h_l):
@@ -406,8 +467,19 @@ class ShardedSystem(LocalSystem):
             u_fix_m = space.to_m(u_fix)
             modf_m = -self.fixmask_m * self._kv_m(esm_t, u_fix_m)
             rhs_m = self.fixmask_m * space.to_m(glv_t) + modf_m + u_fix_m
+            if not solve_predictor:
+                # return the assembled predictor rhs so the driver can run
+                # a load-space harvesting solve on it (same contract as
+                # runtime.system.tangent_refresh)
+                return (esm_t, pc_t, glv_t, space.from_m(rhs_m),
+                        jnp.array(0, jnp.int32))
+            defl = None
+            if w is not None:
+                # re-Galerkin the load-harvested basis on the fresh tangent
+                kw = w.T @ self._khat_block_m(esm_t, w)
+                defl = DeflationSpace(w, pinv_psd(kw))
             matvec = lambda u: self._khat_m(esm_t, u)
-            precond = lambda r: apply_precond(pc_t, r)
+            precond = deflated(lambda r: apply_precond(pc_t, r), defl)
             res = slv.pcg(
                 matvec, rhs_m, precond=precond,
                 x0=None if ue0 is None else space.to_m(ue0),
@@ -415,7 +487,9 @@ class ShardedSystem(LocalSystem):
             )
             return esm_t, pc_t, glv_t, space.from_m(res.x), res.iters
 
-        self._tangent_jit = jax.jit(tangent_fn)
+        self._tangent_jit = jax.jit(
+            tangent_fn, static_argnames=("solve_predictor",)
+        )
 
         def internal_force_fn(coords, sig_gp, disp, large_disp):
             def local(coords_r, eln_l, w_l, sig_l, disp_r):
@@ -494,12 +568,18 @@ class ShardedSystem(LocalSystem):
         return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, self.fixmask_m, None)
 
     def solve(self, esm, pc, b, x0=None, defl=None):
-        # defl accepted for driver-interface uniformity; the sharded backend
-        # advertises supports_deflation=False so the driver never builds one.
-        assert defl is None, "ShardedSystem does not support deflation yet"
-        if x0 is None:
-            return self._solve_jit_nox0(esm, pc, b)
-        return self._solve_jit(esm, pc, b, x0)
+        return self._solve_jit(esm, pc, b, x0, defl)
+
+    # -- Ritz-deflation recycling (sharded; see ops.deflation) ---------------
+
+    def solve_harvest(self, esm, pc, b, x0=None, defl=None, nstore=64):
+        return self._solve_harvest_jit(esm, pc, b, x0, defl, nstore=nstore)
+
+    def build_deflation(self, esm, zs, coef):
+        return self._build_deflation_jit(esm, zs, jnp.asarray(coef))
+
+    def make_deflation(self, esm, w):
+        return self._regalerkin_jit(esm, w)
 
     def residual(self, coords, sig_yield, disp_new, du, sig_old, glv,
                  lbd1, qnorm, et_e, large_disp):
@@ -513,12 +593,11 @@ class ShardedSystem(LocalSystem):
 
     def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e,
                         ue0=None, w=None, solve_predictor=True):
-        # sharded tier: warm-started predictor (ue0), no Ritz recycling
-        # (w/solve_predictor accepted for driver-interface parity)
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._tangent_jit(
             coords, sig_old, pgp, disp_new, du, pc,
             self.dmat_s, self.g_s, h, self.density_s, self.u_fix, ue0,
+            w, solve_predictor=solve_predictor,
         )
 
     def stress_update(self, coords, sig_yield, disp, du, sig_old, et_e,

@@ -60,8 +60,9 @@ def _run(model, params, n_devices):
     cfg.n_devices = n_devices
     # Equivalence tests compare bit-level histories (incl. crip argmax over
     # near-ties); run both backends with recycling off so the CG arithmetic
-    # is identical (the sharded backend does not deflate yet).  Deflation
-    # physics-preservation is covered in tests/test_deflation.py.
+    # is identical.  Deflated sharded-vs-local equivalence is covered by
+    # test_sharded_driver_deflation_matches_single_device (solver-tolerance
+    # match) and physics preservation by tests/test_deflation.py.
     cfg.deflation = False
     try:
         return fcvm_tpu.solve_collapse(model, params)
@@ -263,3 +264,104 @@ def test_sharded_fewer_elements_than_devices():
     r1 = _run(model, params, 0)
     r8 = _run(model, params, 8)
     _assert_history_match(r1, r8)
+
+
+# ---------------------------------------------------------------------------
+# Ritz-deflation recycling on the sharded backend (round 2)
+# ---------------------------------------------------------------------------
+
+
+def _sharded_backend(model, n_devices=8):
+    import jax.numpy as jnp
+
+    from fcvm_tpu.runtime.backend import make_backend
+
+    cfg = get_config()
+    old = cfg.n_devices
+    cfg.n_devices = n_devices
+    try:
+        return make_backend(model, cfg, jnp.float64)
+    finally:
+        cfg.n_devices = old
+
+
+def test_sharded_block_matvec_matches_columnwise():
+    """_khat_block_m == k applications of the scalar sharded matvec."""
+    import jax.numpy as jnp
+
+    model = _box_model()
+    be = _sharded_backend(model)
+    esm, pinv, glv, rhs, gpc, vol, ls = be.assemble(model.mesh.coords)
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(be.ndof_pad, 5)))
+    kw = np.asarray(be._khat_block_m(esm, w))
+    cols = np.stack(
+        [np.asarray(be._khat_m(esm, w[:, j])) for j in range(5)], axis=1
+    )
+    np.testing.assert_allclose(kw, cols, rtol=1e-12, atol=1e-9)
+
+
+def test_sharded_deflated_solve_same_solution_fewer_iters():
+    """Harvest -> build space -> deflated re-solve on the sharded backend:
+    same solution to solver tolerance, never more iterations."""
+    from fcvm_tpu.ops import deflation as defl_ops
+
+    model = _box_model(n=4)
+    be = _sharded_backend(model)
+    esm, pinv, glv, rhs, gpc, vol, ls = be.assemble(model.mesh.coords)
+    pc = be.make_pc(esm, pinv, None)
+    res1, h = be.solve_harvest(esm, pc, rhs, nstore=48)
+    coef = defl_ops.ritz_coefficients(
+        np.asarray(h.alphas), np.asarray(h.betas), np.asarray(h.rzs),
+        int(res1.iters), 12,
+    )
+    assert coef is not None
+    defl = be.build_deflation(esm, h.zs, coef)
+    # basis vanishes on fixed dofs
+    wb = np.asarray(defl.w)
+    fix = np.asarray(be.space.fixmask_m)
+    assert np.all(wb[fix < 0.5] == 0.0)
+    res2 = be.solve(esm, pc, rhs, defl=defl)
+    ref = np.asarray(res1.x)
+    err = np.max(np.abs(np.asarray(res2.x) - ref)) / max(np.max(np.abs(ref)), 1e-30)
+    assert err < 1e-6
+    assert float(res2.relres) <= be.rtol
+    assert int(res2.iters) < int(res1.iters)
+    # re-Galerkin path returns the same correction on the same operator
+    defl2 = be.make_deflation(esm, defl.w)
+    np.testing.assert_allclose(
+        np.asarray(defl2.kw_inv), np.asarray(defl.kw_inv), rtol=1e-8, atol=1e-12
+    )
+
+
+def test_sharded_driver_deflation_matches_single_device():
+    """Full GNL plastic collapse with recycling forced ON for both backends:
+    residual- and load-space harvests, retention, deflated predictor and
+    correction solves all run sharded.  Both tiers converge every solve to
+    rtol, so the histories agree to solver tolerance."""
+    cfg = get_config()
+    params = ControlParams(
+        sig_yield=60.0, nstep=6, error_max=1e-11, et_e=0.1,
+        target_lf=99.0, gnl="GNLY", max_imp=0.0,
+    )
+
+    def run(n_devices, logs):
+        old_n, old_min = cfg.n_devices, cfg.deflation_min_iters
+        cfg.n_devices = n_devices
+        cfg.deflation_min_iters = 5  # tiny mesh: force harvesting
+        try:
+            return fcvm_tpu.solve_collapse(_box_model(), params,
+                                           progress=logs.append)
+        finally:
+            cfg.n_devices = old_n
+            cfg.deflation_min_iters = old_min
+
+    logs1, logs8 = [], []
+    r1 = run(0, logs1)
+    r8 = run(8, logs8)
+    assert any("deflation space: k=" in l for l in logs8)  # sharded harvest
+    assert any("load-deflation space" in l for l in logs8)  # predictor space
+    assert float(np.max(r8.peeq_gp)) > 1e-6
+    np.testing.assert_allclose(r1.history.lbd, r8.history.lbd, atol=5e-7)
+    np.testing.assert_allclose(r1.history.un, r8.history.un, atol=1e-7)
+    np.testing.assert_allclose(r1.disp_total, r8.disp_total, atol=1e-7)
