@@ -518,13 +518,18 @@ def solve_collapse(
                         # operator in-jit.  When no load space is held, the
                         # refresh returns the assembled rhs instead and the
                         # harvesting solve below builds one.
-                        lharvest = (use_deflation and lstate["w"] is None
+                        # scipy tier: the direct factorization below is the
+                        # predictor — don't pay a CG solve in-jit just to
+                        # discard it
+                        want_cg = cfg.solver != "scipy"
+                        lharvest = (use_deflation and want_cg
+                                    and lstate["w"] is None
                                     and lstate["armed"])
                         esm_t, pc_t, glv, out, itp = backend.tangent_refresh(
                             coords, sig_old, pgp, disp_new, du, lin.pc, et_e,
-                            ue0=ue,
+                            ue0=ue if want_cg else None,
                             w=lstate["w"] if use_deflation else None,
-                            solve_predictor=not lharvest,
+                            solve_predictor=want_cg and not lharvest,
                         )
                         if lharvest:
                             res_p, h_p = backend.solve_harvest(
@@ -553,7 +558,7 @@ def solve_collapse(
                                     )
                                     log(f"load-deflation space "
                                         f"(predictor solve: {int(itp)} iters)")
-                        else:
+                        elif want_cg:
                             itp.copy_to_host_async()
                             ue = out.block_until_ready()
                             itp = int(itp)
@@ -565,8 +570,9 @@ def solve_collapse(
                             elif (lstate["w"] is None
                                   and itp >= cfg.deflation_min_iters):
                                 lstate["armed"] = True
-                        cg_stats["predictor_solves"] += 1
-                        cg_stats["predictor_iters"] += int(itp)
+                        if want_cg:
+                            cg_stats["predictor_solves"] += 1
+                            cg_stats["predictor_iters"] += int(itp)
                         cg_stats["tangent_time"] += time.perf_counter() - t0
                         defl_t = None
                         if use_deflation and lin.defl is not None:
