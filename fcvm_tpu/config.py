@@ -95,7 +95,7 @@ class FcvmConfig:
     # exactly the savings (measured, bench).  The space must be harvested
     # from a residual rhs — an elastic-rhs harvest does nothing for
     # plastic-residual solves (56 -> 57, measured).  On by default for the
-    # single-device cg tier (the sharded backend does not recycle yet).
+    # cg tier, single-device and sharded alike.
     # Env: FCVM_DEFLATION=0 disables.
     deflation: bool = True
     # Ritz vectors kept per harvest (single pass; a second-pass combined
@@ -116,6 +116,14 @@ class FcvmConfig:
     # the undeflated 56 — re-harvesting at 48 costs one undeflated solve
     # and restores the ~25% per-solve saving.
     deflation_refresh_iters: int = 48
+    # The buckling eigensolve re-solves ONE fixed operator for m columns x
+    # up to 60 sweeps at rtol <= 1e-10, so its harvest wants to go much
+    # deeper than the driver's 64-slot buffer (a 64-step Lanczos prefix of
+    # a 1000+-iteration solve holds too weak a low band — measured NET LOSS;
+    # 512/64 measured 1.9x on a 20:1 clamped-free column, CPU f64).  The
+    # buffer is capped to ~1 GiB at large ndof inside buckling_from_arrays.
+    buckling_deflation_nstore: int = 512
+    buckling_deflation_k: int = 64
 
     def resolve_cluster_size(self, nn: int) -> int:
         """Nodes per cluster for the two-level coarse space.

@@ -681,6 +681,10 @@ class ShardedSystem(LocalSystem):
         pc = self.make_pc(esm, pinv, coords_dev)
         rtol = min(self.rtol, 1.0e-10)
 
+        # (the single-device tier deflates these re-solves with a deep Ritz
+        # harvest — runtime/buckling.py; the sharded tier runs them plain:
+        # correctness identical, and sharded buckling is a pre-analysis, not
+        # the per-step hot path)
         @jax.jit
         def k_inverse(w):
             def solve_col(b):

@@ -175,3 +175,29 @@ def test_shallow_arch_snap_through():
     assert lbd[i_pk:].min() < 0.95 * lbd[i_pk]  # descending unstable branch
     assert un[-1] > un[i_pk]  # while displacement keeps growing
     assert res.peeq_gp.max() == 0.0  # purely geometric (elastic) instability
+
+
+def test_buckling_deflation_matches_undeflated():
+    """The deep Ritz-harvest recycling inside the eigensolve's k_inverse
+    (runtime/buckling.py) must not move the eigenvalues: the deflation
+    correction changes the CG path, not the converged solutions."""
+    from fcvm_tpu import config as cfgmod
+
+    mesh, model = _column_model(nx=12)
+    params = fcvm_tpu.ControlParams(gnl="GNLY", nstep=1)
+    cfg = cfgmod.get_config()
+
+    def run(defl):
+        old = cfg.deflation
+        cfg.deflation = defl
+        try:
+            lam, vecs = fcvm_tpu.linear_buckling(model, params, k=2)
+        finally:
+            cfg.deflation = old
+        return np.asarray(lam), np.asarray(vecs)
+
+    lam_off, v_off = run(False)
+    lam_on, v_on = run(True)
+    np.testing.assert_allclose(lam_on, lam_off, rtol=1e-8)
+    # modes are (-G)-normalized and sign-fixed: comparable directly
+    np.testing.assert_allclose(v_on, v_off, atol=1e-6 * np.abs(v_off).max())
