@@ -365,3 +365,23 @@ def test_sharded_driver_deflation_matches_single_device():
     np.testing.assert_allclose(r1.history.lbd, r8.history.lbd, atol=5e-7)
     np.testing.assert_allclose(r1.history.un, r8.history.un, atol=1e-7)
     np.testing.assert_allclose(r1.disp_total, r8.disp_total, atol=1e-7)
+
+
+def test_sharded_buckling_deflation_matches_undeflated():
+    """Deep-harvest recycling in the sharded eigensolve's k_inverse must
+    not move the eigenvalues (same contract as the local tier)."""
+    model = _box_model(n=2, traction=(-100.0, 0.0, 0.0))
+    cfg = get_config()
+    params = ControlParams(gnl="GNLY", nstep=1)
+
+    def run(defl):
+        old_n, old_d, old_m = cfg.n_devices, cfg.deflation, cfg.deflation_min_iters
+        cfg.n_devices, cfg.deflation, cfg.deflation_min_iters = 8, defl, 5
+        try:
+            return fcvm_tpu.solve_collapse(_box_model(n=2, traction=(-100.0, 0.0, 0.0)), params)
+        finally:
+            cfg.n_devices, cfg.deflation, cfg.deflation_min_iters = old_n, old_d, old_m
+
+    r_off = run(False)
+    r_on = run(True)
+    np.testing.assert_allclose(r_on.eigenvalues, r_off.eigenvalues, rtol=1e-8)
