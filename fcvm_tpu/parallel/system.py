@@ -697,16 +697,20 @@ class ShardedSystem(LocalSystem):
         k_defl = min(cfg.buckling_deflation_k, max(nstore // 4, 8))
         defl_state = {"defl": None, "tried": not cfg.deflation}
 
-        def _kinv(w, defl):
+        def _kinv(w, defl, x0):
             prec = defl_ops.deflated(lambda r: apply_precond(pc, r), defl)
 
-            def solve_col(b):
+            def solve_col(b, x0c):
                 return slv.pcg(
                     lambda u: self._khat_m(esm, u),
-                    b, precond=prec, rtol=rtol, maxiter=self.maxiter,
+                    b, precond=prec, x0=x0c, rtol=rtol, maxiter=self.maxiter,
                 ).x
 
-            return jax.vmap(solve_col, in_axes=1, out_axes=1)(w)
+            if x0 is None:
+                return jax.vmap(
+                    lambda b: solve_col(b, None), in_axes=1, out_axes=1
+                )(w)
+            return jax.vmap(solve_col, in_axes=(1, 1), out_axes=1)(w, x0)
 
         _kinv_jit = jax.jit(_kinv)
 
@@ -726,7 +730,7 @@ class ShardedSystem(LocalSystem):
 
             return DeflationSpace(w, pinv_psd(kw))
 
-        def k_inverse(w):
+        def k_inverse(w, x0=None):
             if not defl_state["tried"]:
                 defl_state["tried"] = True
                 res0, h = _harvest_jit(w[:, 0])
@@ -740,10 +744,11 @@ class ShardedSystem(LocalSystem):
                         defl_state["defl"] = _build_space(h.zs,
                                                           jnp.asarray(coef))
                 if w.shape[1] > 1:
-                    rest = _kinv_jit(w[:, 1:], defl_state["defl"])
+                    rest = _kinv_jit(w[:, 1:], defl_state["defl"],
+                                     None if x0 is None else x0[:, 1:])
                     return jnp.concatenate([res0.x[:, None], rest], axis=1)
                 return res0.x[:, None]
-            return _kinv_jit(w, defl_state["defl"])
+            return _kinv_jit(w, defl_state["defl"], x0)
 
         m = max(cfg.n_eig_vectors, 2 * k, k + 4)
         lam, vecs = pencil_subspace(
