@@ -681,23 +681,21 @@ class ShardedSystem(LocalSystem):
         pc = self.make_pc(esm, pinv, coords_dev)
         rtol = min(self.rtol, 1.0e-10)
 
-        # Deep Ritz-harvest recycling, sharded (same policy as
-        # runtime/buckling.py: ONE deep harvest of the first column deflates
-        # every subsequent solve of the never-changing K_hat; the Lanczos
-        # buffers and (k, k) correction math are replicated, the Galerkin
-        # block matvec rides the one-psum shard_map operator).
+        # Deep Ritz-harvest recycling, sharded: the policy helper is shared
+        # with the local tier (runtime/buckling.make_recycled_k_inverse);
+        # the Lanczos buffers and (k, k) correction math are replicated,
+        # the Galerkin block matvec rides the one-psum shard_map operator
+        # (self.build_deflation, the driver's own space builder).
         from fcvm_tpu.ops import deflation as defl_ops
-
-        itemsize = jnp.dtype(dtype).itemsize
-        nstore = max(
-            cfg.deflation_nstore,
-            min(cfg.buckling_deflation_nstore,
-                int(2**30 // (ndof_pad * itemsize))),
+        from fcvm_tpu.runtime.buckling import (
+            _recycling_params, make_recycled_k_inverse,
         )
-        k_defl = min(cfg.buckling_deflation_k, max(nstore // 4, 8))
-        defl_state = {"defl": None, "tried": not cfg.deflation}
 
-        def _kinv(w, defl, x0):
+        nstore, k_defl = _recycling_params(
+            cfg, ndof_pad, jnp.dtype(dtype).itemsize
+        )
+
+        def _kinv(w, defl, x0_basis, x0_scale):
             prec = defl_ops.deflated(lambda r: apply_precond(pc, r), defl)
 
             def solve_col(b, x0c):
@@ -706,49 +704,25 @@ class ShardedSystem(LocalSystem):
                     b, precond=prec, x0=x0c, rtol=rtol, maxiter=self.maxiter,
                 ).x
 
-            if x0 is None:
+            if x0_basis is None:
                 return jax.vmap(
                     lambda b: solve_col(b, None), in_axes=1, out_axes=1
                 )(w)
+            x0 = x0_basis * x0_scale[None, :]
             return jax.vmap(solve_col, in_axes=(1, 1), out_axes=1)(w, x0)
 
-        _kinv_jit = jax.jit(_kinv)
-
-        _harvest_jit = jax.jit(
-            lambda b: slv.pcg_harvest(
-                lambda u: self._khat_m(esm, u), b,
-                precond=lambda r: apply_precond(pc, r),
-                rtol=rtol, maxiter=self.maxiter, nstore=nstore,
-            )
+        k_inverse = make_recycled_k_inverse(
+            jax.jit(_kinv),
+            jax.jit(
+                lambda b: slv.pcg_harvest(
+                    lambda u: self._khat_m(esm, u), b,
+                    precond=lambda r: apply_precond(pc, r),
+                    rtol=rtol, maxiter=self.maxiter, nstore=nstore,
+                )
+            ),
+            lambda zs, coef: self.build_deflation(esm, zs, coef),
+            k_defl, cfg.deflation_min_iters, cfg.deflation,
         )
-
-        @jax.jit
-        def _build_space(zs, coef):
-            w = fm[:, None] * jnp.einsum("mn,mk->nk", zs, coef.astype(zs.dtype))
-            kw = w.T @ self._khat_block_m(esm, w)
-            from fcvm_tpu.ops.deflation import DeflationSpace, pinv_psd
-
-            return DeflationSpace(w, pinv_psd(kw))
-
-        def k_inverse(w, x0=None):
-            if not defl_state["tried"]:
-                defl_state["tried"] = True
-                res0, h = _harvest_jit(w[:, 0])
-                it0 = int(res0.iters)
-                if it0 >= cfg.deflation_min_iters:
-                    coef = defl_ops.ritz_coefficients(
-                        *jax.device_get((h.alphas, h.betas, h.rzs)), it0,
-                        k_defl,
-                    )
-                    if coef is not None:
-                        defl_state["defl"] = _build_space(h.zs,
-                                                          jnp.asarray(coef))
-                if w.shape[1] > 1:
-                    rest = _kinv_jit(w[:, 1:], defl_state["defl"],
-                                     None if x0 is None else x0[:, 1:])
-                    return jnp.concatenate([res0.x[:, None], rest], axis=1)
-                return res0.x[:, None]
-            return _kinv_jit(w, defl_state["defl"], x0)
 
         m = max(cfg.n_eig_vectors, 2 * k, k + 4)
         lam, vecs = pencil_subspace(

@@ -32,6 +32,61 @@ from fcvm_tpu.ops import material as mat
 from fcvm_tpu.ops import solver as slv
 
 
+def _recycling_params(cfg, ndof, itemsize):
+    """Deep-harvest sizing for the eigensolve's Ritz recycling.
+
+    The harvest must go much deeper than the nonlinear driver's (a 64-slot
+    prefix of a 1000+-iteration solve holds too weak a low band — measured
+    net loss); the (nstore, ndof) buffer is capped at ~1 GiB on big meshes.
+    """
+    nstore = max(
+        cfg.deflation_nstore,
+        min(cfg.buckling_deflation_nstore, int(2**30 // (ndof * itemsize))),
+    )
+    return nstore, min(cfg.buckling_deflation_k, max(nstore // 4, 8))
+
+
+def make_recycled_k_inverse(kinv, harvest, build_space, k_defl, min_iters,
+                            enabled):
+    """Deep-harvest recycling policy, operator-parametrized (shared by the
+    local and sharded eigensolve tiers — same shape as ``pencil_subspace``).
+
+    ``kinv(w, defl, x0_basis, x0_scale)`` solves the columns (jitted; the
+    Ritz warm start ``x0 = x0_basis * x0_scale`` is formed IN-JIT so the
+    outer sweep loop dispatches no eager device ops — those cost 0.2-0.5 s
+    each through the axon tunnel), ``harvest(b)`` is a ``pcg_harvest`` of
+    one column, ``build_space(zs, coef)`` the fused DeflationSpace build.
+    ONE harvest (first column, first call) deflates every subsequent solve:
+    the operator never changes, so no re-Galerkin is needed.
+    """
+    from fcvm_tpu.ops import deflation as defl_ops
+
+    state = {"defl": None, "tried": not enabled}
+
+    def k_inverse(w, x0_basis=None, x0_scale=None):
+        if not state["tried"]:
+            state["tried"] = True
+            res0, h = harvest(w[:, 0])
+            it0 = int(res0.iters)
+            if it0 >= min_iters:
+                coef = defl_ops.ritz_coefficients(
+                    *jax.device_get((h.alphas, h.betas, h.rzs)), it0, k_defl
+                )
+                if coef is not None:
+                    state["defl"] = build_space(h.zs, jnp.asarray(coef))
+            if w.shape[1] > 1:
+                rest = kinv(
+                    w[:, 1:], state["defl"],
+                    None if x0_basis is None else x0_basis[:, 1:],
+                    None if x0_scale is None else x0_scale[1:],
+                )
+                return jnp.concatenate([res0.x[:, None], rest], axis=1)
+            return res0.x[:, None]
+        return kinv(w, state["defl"], x0_basis, x0_scale)
+
+    return k_inverse
+
+
 def _multi_matvec(blocks, eldofs, fixmask, identity_on_fixed):
     """(ndof, m) -> (ndof, m) block operator with Dirichlet projection."""
     ndof = fixmask.shape[0]
@@ -124,7 +179,7 @@ def buckling_from_arrays(
         # need a very deep iteration to reach eigensolve accuracy.
         direct = slv.ScipyDirectSolver(esm, eldofs, fixmask, ndof)
 
-        def k_inverse(w, x0=None):
+        def k_inverse(w, x0_basis=None, x0_scale=None):
             # exact solve: the Ritz warm start has nothing to seed
             cols = [direct.solve(np.asarray(w[:, i])) for i in range(w.shape[1])]
             return jnp.stack(cols, axis=1).astype(dtype)
@@ -143,17 +198,9 @@ def buckling_from_arrays(
         # rtol 1e-10), identical eigenvalues.
         from fcvm_tpu.ops import deflation as defl_ops
 
-        use_defl = cfg.deflation
-        itemsize = jnp.dtype(dtype).itemsize
-        # cap the (nstore, ndof) harvest buffer at ~1 GiB on big meshes
-        nstore = max(
-            cfg.deflation_nstore,
-            min(cfg.buckling_deflation_nstore, int(2**30 // (ndof * itemsize))),
-        )
-        k_defl = min(cfg.buckling_deflation_k, max(nstore // 4, 8))
-        defl_state = {"defl": None, "tried": False}
+        nstore, k_defl = _recycling_params(cfg, ndof, jnp.dtype(dtype).itemsize)
 
-        def _kinv(w, defl, x0):
+        def _kinv(w, defl, x0_basis, x0_scale):
             prec = defl_ops.deflated(precond, defl)
 
             def solve_col(b, x0c):
@@ -162,44 +209,28 @@ def buckling_from_arrays(
                     maxiter=maxiter,
                 ).x
 
-            if x0 is None:
+            if x0_basis is None:
                 return jax.vmap(
                     lambda b: solve_col(b, None), in_axes=1, out_axes=1
                 )(w)
+            x0 = x0_basis * x0_scale[None, :]
             return jax.vmap(solve_col, in_axes=(1, 1), out_axes=1)(w, x0)
 
-        _kinv_jit = jax.jit(_kinv)
-
-        _harvest_jit = jax.jit(
-            lambda b: slv.pcg_harvest(
-                kmv_single, b, precond=precond, rtol=rtol, maxiter=maxiter,
-                nstore=nstore,
-            )
+        k_inverse = make_recycled_k_inverse(
+            jax.jit(_kinv),
+            jax.jit(
+                lambda b: slv.pcg_harvest(
+                    kmv_single, b, precond=precond, rtol=rtol,
+                    maxiter=maxiter, nstore=nstore,
+                )
+            ),
+            # fused build, one device dispatch (jit: eager multi-op code
+            # costs ~0.2-0.5 s PER OP on axon)
+            lambda zs, coef: jax.jit(defl_ops.build_space)(
+                esm, eldofs, fixmask, plan, zs, coef
+            ),
+            k_defl, cfg.deflation_min_iters, cfg.deflation,
         )
-
-        def k_inverse(w, x0=None):
-            if use_defl and not defl_state["tried"]:
-                defl_state["tried"] = True
-                res0, h = _harvest_jit(w[:, 0])
-                it0 = int(res0.iters)
-                if it0 >= cfg.deflation_min_iters:
-                    coef = defl_ops.ritz_coefficients(
-                        *jax.device_get((h.alphas, h.betas, h.rzs)), it0,
-                        k_defl,
-                    )
-                    if coef is not None:
-                        # jit: the fused build is one device dispatch (eager
-                        # multi-op code costs ~0.2-0.5 s PER OP on axon)
-                        defl_state["defl"] = jax.jit(defl_ops.build_space)(
-                            esm, eldofs, fixmask, plan, h.zs,
-                            jnp.asarray(coef),
-                        )
-                if w.shape[1] > 1:
-                    rest = _kinv_jit(w[:, 1:], defl_state["defl"],
-                                     None if x0 is None else x0[:, 1:])
-                    return jnp.concatenate([res0.x[:, None], rest], axis=1)
-                return res0.x[:, None]
-            return _kinv_jit(w, defl_state["defl"], x0)
 
     lam, vecs = pencil_subspace(
         kmv, minus_g, k_inverse, ndof, dtype, k, m, outer_tol, max_outer,
@@ -234,11 +265,14 @@ def pencil_subspace(
         # (theta are the pencil Ritz values from the previous sweep), so
         # theta_i * v_i seeds each column solve almost exactly once the
         # subspace converges — later sweeps' inner solves collapse to a
-        # few iterations.  Measured with the deflated k_inverse (CPU f64,
-        # 20:1 clamped-free column): 1.8x -> 2.8x end-to-end.
-        x0 = None if theta_full is None else v * jnp.asarray(
-            theta_full, dtype=dtype)[None, :]
-        z = k_inverse(minus_g(v), x0=x0)
+        # few iterations (measured 1.7x alone, ~3.1x with the deflation).
+        # Passed as (basis, scale) so the product is formed inside the
+        # solver jit, not as an eager per-sweep device op.
+        if theta_full is None:
+            z = k_inverse(minus_g(v))
+        else:
+            z = k_inverse(minus_g(v), x0_basis=v,
+                          x0_scale=jnp.asarray(theta_full, dtype=dtype))
         # Euclidean orthonormalization keeps the Rayleigh-Ritz projection
         # well conditioned once columns align with the dominant eigenspace.
         q, _ = np.linalg.qr(np.asarray(z))

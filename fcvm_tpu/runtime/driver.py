@@ -522,8 +522,8 @@ def solve_collapse(
                         # predictor — don't pay a CG solve in-jit just to
                         # discard it
                         want_cg = cfg.solver != "scipy"
-                        lharvest = (use_deflation and want_cg
-                                    and lstate["w"] is None
+                        # (use_deflation already implies the cg solver)
+                        lharvest = (use_deflation and lstate["w"] is None
                                     and lstate["armed"])
                         esm_t, pc_t, glv, out, itp = backend.tangent_refresh(
                             coords, sig_old, pgp, disp_new, du, lin.pc, et_e,

@@ -370,7 +370,6 @@ def test_sharded_driver_deflation_matches_single_device():
 def test_sharded_buckling_deflation_matches_undeflated():
     """Deep-harvest recycling in the sharded eigensolve's k_inverse must
     not move the eigenvalues (same contract as the local tier)."""
-    model = _box_model(n=2, traction=(-100.0, 0.0, 0.0))
     cfg = get_config()
     params = ControlParams(gnl="GNLY", nstep=1)
 
