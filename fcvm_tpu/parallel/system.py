@@ -679,7 +679,9 @@ class ShardedSystem(LocalSystem):
 
         pinv = self._pinv_m(esm)
         pc = self.make_pc(esm, pinv, coords_dev)
-        rtol = min(self.rtol, 1.0e-10)
+        # dtype-aware floor, same rationale as buckling_from_arrays
+        rtol = max(min(self.rtol, 1.0e-10),
+                   50.0 * float(jnp.finfo(dtype).eps))
 
         # Deep Ritz-harvest recycling, sharded: the policy helper is shared
         # with the local tier (runtime/buckling.make_recycled_k_inverse);

@@ -140,6 +140,13 @@ def buckling_from_arrays(
     m = n_sub if n_sub > 0 else max(cfg.n_eig_vectors, 2 * k, k + 4)
     ndof = fixmask.shape[0]
     dtype = coords.dtype
+    # f32 CG stalls around 2e-7 relative residual (elv rounding); an
+    # unreachable rtol burns maxiter on EVERY inner solve (measured:
+    # 3150/3150 iterations at relres 2.7e-3 on a slender f32 operator).
+    # Floor the tolerance at ~50 eps of the working dtype — 6e-6 for f32
+    # (the f32 tier's eigenvalues are floor-limited anyway), a no-op 1e-14
+    # for the f64 parity tier.
+    rtol = max(float(rtol), 50.0 * float(jnp.finfo(dtype).eps))
 
     esm = asm.elastic_stiffness_blocks(coords, elnodes, dmat)
     nsm = asm.geometric_stiffness_blocks(coords, elnodes, sig_gp)
@@ -252,6 +259,11 @@ def pencil_subspace(
     (QR, projected eigensolve) is host-side.
     """
     import scipy.linalg
+
+    # Same dtype floor as the inner rtol: at f32 the Ritz values fluctuate
+    # at ~1e-6 relative, so an outer_tol below that never fires and ALL
+    # max_outer sweeps run regardless of convergence.
+    outer_tol = max(float(outer_tol), 50.0 * float(jnp.finfo(dtype).eps))
 
     key = jax.random.PRNGKey(0)
     v = jax.random.normal(key, (ndof, m), dtype=dtype)
