@@ -49,11 +49,23 @@ def pcg(
     rtol: float = 1.0e-6,
     atol: float = 0.0,
     maxiter: int = 1000,
+    stall: int = 0,
 ) -> CGResult:
     """Preconditioned conjugate gradients (jit/vmap/shard_map friendly).
 
     Replaces the reference's ``factor(f)`` triangular solves
     (``fcVM.py:1130, 1400-1406``) as the per-Newton-iteration hot op.
+
+    ``stall > 0`` adds a stagnation exit: stop once the residual norm has
+    not improved by >0.1% for ``stall`` consecutive iterations.  This is
+    how callers that want "as accurate as the arithmetic allows" (the
+    buckling eigensolve at rtol 1e-10) avoid burning ``maxiter`` when the
+    dtype's residual floor sits above ``rtol`` — the solve runs to ITS OWN
+    floor and exits ~``stall`` iterations later, instead of either
+    grinding to maxiter (f32 floor > 1e-10) or stopping at a fixed floored
+    tolerance that is 100x sloppier than the arithmetic can deliver
+    (measured: a 6e-6 f32 rtol floor cost 8% eigenvalue error on the
+    Euler-column example; the true f32 floor gives ~1%).
     """
     if precond is None:
         precond = lambda r: r
@@ -62,18 +74,28 @@ def pcg(
 
     bnorm = jnp.linalg.norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
+    stall_lim = int(stall) if stall and stall > 0 else int(maxiter) + 1
+    # the stagnation exit only arms once the solve is in the converging
+    # regime (residual 1e3 below ||b||); a genuinely stuck solve keeps the
+    # conservative run-to-maxiter behavior
+    stall_gate = 1.0e-3 * bnorm
 
     r0 = b - matvec(x0)
     z0 = precond(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
+    rn0 = jnp.linalg.norm(r0)
 
     def cond(state):
-        _, r, _, _, k, _ = state
-        return jnp.logical_and(jnp.linalg.norm(r) > tol, k < maxiter)
+        _, _, _, _, k, rnorm, _, since = state
+        stalled = jnp.logical_and(since >= stall_lim, rnorm < stall_gate)
+        return jnp.logical_and(
+            jnp.logical_and(rnorm > tol, k < maxiter),
+            jnp.logical_not(stalled),
+        )
 
     def body(state):
-        x, r, p, rz, k, _ = state
+        x, r, p, rz, k, _, best, since = state
         ap = matvec(p)
         pap = jnp.vdot(p, ap)
         alpha = rz / jnp.where(pap == 0.0, 1.0, pap)
@@ -83,10 +105,15 @@ def pcg(
         rz_new = jnp.vdot(r, z)
         beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
         p = z + beta * p
-        return (x, r, p, rz_new, k + 1, jnp.linalg.norm(r))
+        rnorm = jnp.linalg.norm(r)
+        improved = rnorm < 0.999 * best
+        since = jnp.where(improved, 0, since + 1)
+        best = jnp.minimum(best, rnorm)
+        return (x, r, p, rz_new, k + 1, rnorm, best, since)
 
-    init = (x0, r0, p0, rz0, jnp.array(0, jnp.int32), jnp.linalg.norm(r0))
-    x, r, _, _, k, rnorm = jax.lax.while_loop(cond, body, init)
+    init = (x0, r0, p0, rz0, jnp.array(0, jnp.int32), rn0, rn0,
+            jnp.array(0, jnp.int32))
+    x, r, _, _, k, rnorm, _, _ = jax.lax.while_loop(cond, body, init)
     return CGResult(x, k, rnorm / jnp.where(bnorm == 0.0, 1.0, bnorm))
 
 
@@ -99,13 +126,15 @@ def pcg_harvest(
     atol: float = 0.0,
     maxiter: int = 1000,
     nstore: int = 64,
+    stall: int = 0,
 ):
     """:func:`pcg` that also records its Lanczos byproducts.
 
-    Identical iteration to :func:`pcg` (same convergence criterion, same
-    update order); additionally stores the first ``nstore`` preconditioned
-    residuals and the alpha/beta coefficients so the caller can extract
-    Ritz vectors for deflation recycling (``fcvm_tpu.ops.deflation``).
+    Identical iteration to :func:`pcg` (same convergence criterion incl.
+    the optional ``stall`` stagnation exit, same update order);
+    additionally stores the first ``nstore`` preconditioned residuals and
+    the alpha/beta coefficients so the caller can extract Ritz vectors for
+    deflation recycling (``fcvm_tpu.ops.deflation``).
     Returns ``(CGResult, HarvestData)``.
     """
     if precond is None:
@@ -115,11 +144,14 @@ def pcg_harvest(
 
     bnorm = jnp.linalg.norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
+    stall_lim = int(stall) if stall and stall > 0 else int(maxiter) + 1
+    stall_gate = 1.0e-3 * bnorm  # see pcg
 
     r0 = b - matvec(x0)
     z0 = precond(r0)
     p0 = z0
     rz0 = jnp.vdot(r0, z0)
+    rn0 = jnp.linalg.norm(r0)
     n = b.shape[0]
     h0 = HarvestData(
         jnp.zeros((nstore, n), b.dtype).at[0].set(z0),
@@ -130,11 +162,15 @@ def pcg_harvest(
     cap = nstore - 1
 
     def cond(state):
-        _, r, _, _, k, _, _ = state
-        return jnp.logical_and(jnp.linalg.norm(r) > tol, k < maxiter)
+        _, _, _, _, k, rnorm, _, since, _ = state
+        stalled = jnp.logical_and(since >= stall_lim, rnorm < stall_gate)
+        return jnp.logical_and(
+            jnp.logical_and(rnorm > tol, k < maxiter),
+            jnp.logical_not(stalled),
+        )
 
     def body(state):
-        x, r, p, rz, k, _, h = state
+        x, r, p, rz, k, _, best, since, h = state
         ap = matvec(p)
         pap = jnp.vdot(p, ap)
         alpha = rz / jnp.where(pap == 0.0, 1.0, pap)
@@ -152,10 +188,15 @@ def pcg_harvest(
             h.alphas.at[kc].set(alpha),
             h.betas.at[kc].set(beta),
         )
-        return (x, r, p, rz_new, k + 1, jnp.linalg.norm(r), h)
+        rnorm = jnp.linalg.norm(r)
+        improved = rnorm < 0.999 * best
+        since = jnp.where(improved, 0, since + 1)
+        best = jnp.minimum(best, rnorm)
+        return (x, r, p, rz_new, k + 1, rnorm, best, since, h)
 
-    init = (x0, r0, p0, rz0, jnp.array(0, jnp.int32), jnp.linalg.norm(r0), h0)
-    x, r, _, _, k, rnorm, h = jax.lax.while_loop(cond, body, init)
+    init = (x0, r0, p0, rz0, jnp.array(0, jnp.int32), rn0, rn0,
+            jnp.array(0, jnp.int32), h0)
+    x, r, _, _, k, rnorm, _, _, h = jax.lax.while_loop(cond, body, init)
     return CGResult(x, k, rnorm / jnp.where(bnorm == 0.0, 1.0, bnorm)), h
 
 

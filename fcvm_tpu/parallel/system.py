@@ -679,9 +679,10 @@ class ShardedSystem(LocalSystem):
 
         pinv = self._pinv_m(esm)
         pc = self.make_pc(esm, pinv, coords_dev)
-        # dtype-aware floor, same rationale as buckling_from_arrays
-        rtol = max(min(self.rtol, 1.0e-10),
-                   50.0 * float(jnp.finfo(dtype).eps))
+        rtol = min(self.rtol, 1.0e-10)
+        # stagnation exit instead of a floored rtol — see
+        # runtime/buckling.buckling_from_arrays
+        stall = 50
 
         # Deep Ritz-harvest recycling, sharded: the policy helper is shared
         # with the local tier (runtime/buckling.make_recycled_k_inverse);
@@ -704,6 +705,7 @@ class ShardedSystem(LocalSystem):
                 return slv.pcg(
                     lambda u: self._khat_m(esm, u),
                     b, precond=prec, x0=x0c, rtol=rtol, maxiter=self.maxiter,
+                    stall=stall,
                 ).x
 
             if x0_basis is None:
@@ -720,6 +722,7 @@ class ShardedSystem(LocalSystem):
                     lambda u: self._khat_m(esm, u), b,
                     precond=lambda r: apply_precond(pc, r),
                     rtol=rtol, maxiter=self.maxiter, nstore=nstore,
+                    stall=stall,
                 )
             ),
             lambda zs, coef: self.build_deflation(esm, zs, coef),
