@@ -201,3 +201,34 @@ def test_buckling_deflation_matches_undeflated():
     np.testing.assert_allclose(lam_on, lam_off, rtol=1e-8)
     # modes are (-G)-normalized and sign-fixed: comparable directly
     np.testing.assert_allclose(v_on, v_off, atol=1e-6 * np.abs(v_off).max())
+
+
+def test_cg_eigensolve_matches_direct_tier():
+    """The CG-tier pencil eigensolve (with recycling, warm start and the
+    PCG stagnation exit) must agree with the exact-direct scipy tier at
+    f64 to eigensolve accuracy — guards the stagnation exit against
+    premature truncation on plateaued (but converging) f64 solves."""
+    from fcvm_tpu import config as cfgmod
+
+    mesh, model = _column_model(nx=10)
+    params = fcvm_tpu.ControlParams(gnl="GNLY", nstep=1)
+    cfg = cfgmod.get_config()
+
+    def run(solver):
+        old = cfg.solver
+        cfg.solver = solver
+        try:
+            lam, vecs = fcvm_tpu.linear_buckling(model, params, k=2)
+        finally:
+            cfg.solver = old
+        return np.asarray(lam), np.asarray(vecs)
+
+    lam_cg, v_cg = run("cg")
+    lam_sp, v_sp = run("scipy")
+    np.testing.assert_allclose(lam_cg, lam_sp, rtol=1e-6)
+    # the two bending modes are (near-)degenerate, so individual vectors
+    # are only defined up to a rotation within the pair — compare the
+    # spanned SUBSPACE instead
+    coef, *_ = np.linalg.lstsq(v_sp, v_cg, rcond=None)
+    resid = v_cg - v_sp @ coef
+    assert np.linalg.norm(resid) < 1e-4 * np.linalg.norm(v_cg)
