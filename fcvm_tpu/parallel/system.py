@@ -682,7 +682,7 @@ class ShardedSystem(LocalSystem):
         rtol = min(self.rtol, 1.0e-10)
         # stagnation exit instead of a floored rtol — see
         # runtime/buckling.buckling_from_arrays
-        stall = 50
+        stall = 100
 
         # Deep Ritz-harvest recycling, sharded: the policy helper is shared
         # with the local tier (runtime/buckling.make_recycled_k_inverse);

@@ -147,7 +147,7 @@ def buckling_from_arrays(
     # rtol floor was tried first and measured 8% eigenvalue error on the
     # Euler-column f32 example (the true f32 floor gives ~1%); without
     # either, every f32 inner solve burns maxiter.
-    stall = 50
+    stall = 100
 
     esm = asm.elastic_stiffness_blocks(coords, elnodes, dmat)
     nsm = asm.geometric_stiffness_blocks(coords, elnodes, sig_gp)

@@ -317,3 +317,41 @@ def test_chunked_coarse_inverse_matches_fused():
         np.abs(np.asarray(fused))
     )
     assert err < 1e-5, err
+
+
+def test_pcg_stagnation_exit_stops_at_arithmetic_floor():
+    """``stall`` must (a) cut short solves that have reached their slow/
+    floored regime, (b) NOT engage on a diverged solve (the 1e-3*||b||
+    gate keeps the conservative run-to-maxiter behavior there), and
+    (c) leave reachable-tolerance solves bit-identical."""
+    import jax.numpy as jnp
+
+    from fcvm_tpu.ops import solver as slv
+
+    rng = np.random.default_rng(3)
+    n = 400
+    q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    b = jnp.asarray(rng.normal(size=n).astype(np.float32))
+
+    # (a) cond 1e6 at f32: progress slows below 0.1%/iter long before
+    # rtol 1e-12 — the stall exit stops early at a floored residual
+    spd6 = jnp.asarray((q * np.logspace(0, -6, n)) @ q.T, dtype=jnp.float32)
+    mv6 = lambda u: spd6 @ u
+    res_burn = slv.pcg(mv6, b, rtol=1e-12, maxiter=5000)
+    assert int(res_burn.iters) == 5000
+    res_stall = slv.pcg(mv6, b, rtol=1e-12, maxiter=5000, stall=100)
+    assert int(res_stall.iters) < 5000
+    assert float(res_stall.relres) < 1e-2  # converged to a genuine floor
+
+    # (b) cond 1e10 at f32: CG diverges (relres > 1); the gate must keep
+    # it running to maxiter rather than "stalling out" early
+    spd10 = jnp.asarray((q * np.logspace(0, -10, n)) @ q.T, dtype=jnp.float32)
+    mv10 = lambda u: spd10 @ u
+    res_div = slv.pcg(mv10, b, rtol=1e-12, maxiter=3000, stall=100)
+    assert int(res_div.iters) == 3000
+
+    # (c) reachable tolerance: identical path with and without stall
+    res_a = slv.pcg(mv6, b, rtol=1e-3, maxiter=5000)
+    res_b = slv.pcg(mv6, b, rtol=1e-3, maxiter=5000, stall=100)
+    assert int(res_a.iters) == int(res_b.iters)
+    np.testing.assert_allclose(np.asarray(res_a.x), np.asarray(res_b.x))
