@@ -648,8 +648,10 @@ class ShardedSystem(LocalSystem):
 
         fm = self.fixmask_m
 
-        def multi_mv(blocks, identity_on_fixed):
-            def mv(u):
+        def multi_mv(identity_on_fixed, negate=False):
+            # blocks are a jit ARGUMENT (not a closure — see the local
+            # tier's _multi_matvec: remote-compile payload limit)
+            def mv(blocks, u):
                 def local(blocks_l, eln_l, u_r):
                     up = (fm[:, None] * u_r).reshape(nn_pad, 3, -1)[eln_l]
                     ne_l = eln_l.shape[0]
@@ -669,13 +671,14 @@ class ShardedSystem(LocalSystem):
                 y = fm[:, None] * y3.reshape(ndof_pad, -1)
                 if identity_on_fixed:
                     y = y + (1.0 - fm)[:, None] * u
-                return y
+                return -y if negate else y
 
             return jax.jit(mv)
 
-        kmv = multi_mv(esm, True)
-        gmv = multi_mv(nsm, False)
-        minus_g = lambda u: -gmv(u)
+        _kmv = multi_mv(True)
+        _mg = multi_mv(False, negate=True)
+        kmv = lambda u: _kmv(esm, u)
+        minus_g = lambda u: _mg(nsm, u)
 
         pinv = self._pinv_m(esm)
         pc = self.make_pc(esm, pinv, coords_dev)
@@ -698,12 +701,13 @@ class ShardedSystem(LocalSystem):
             cfg, ndof_pad, jnp.dtype(dtype).itemsize
         )
 
-        def _kinv(w, defl, x0_basis, x0_scale):
-            prec = defl_ops.deflated(lambda r: apply_precond(pc, r), defl)
+        # esm/pc as jit ARGUMENTS, not closures (see the local tier)
+        def _kinv(esm_a, pc_a, w, defl, x0_basis, x0_scale):
+            prec = defl_ops.deflated(lambda r: apply_precond(pc_a, r), defl)
 
             def solve_col(b, x0c):
                 return slv.pcg(
-                    lambda u: self._khat_m(esm, u),
+                    lambda u: self._khat_m(esm_a, u),
                     b, precond=prec, x0=x0c, rtol=rtol, maxiter=self.maxiter,
                     stall=stall,
                 ).x
@@ -715,16 +719,20 @@ class ShardedSystem(LocalSystem):
             x0 = x0_basis * x0_scale[None, :]
             return jax.vmap(solve_col, in_axes=(1, 1), out_axes=1)(w, x0)
 
+        _kinv_jit = jax.jit(_kinv)
+
+        def _harvest(esm_a, pc_a, b):
+            return slv.pcg_harvest(
+                lambda u: self._khat_m(esm_a, u), b,
+                precond=lambda r: apply_precond(pc_a, r),
+                rtol=rtol, maxiter=self.maxiter, nstore=nstore, stall=stall,
+            )
+
+        _harvest_jit = jax.jit(_harvest)
+
         k_inverse = make_recycled_k_inverse(
-            jax.jit(_kinv),
-            jax.jit(
-                lambda b: slv.pcg_harvest(
-                    lambda u: self._khat_m(esm, u), b,
-                    precond=lambda r: apply_precond(pc, r),
-                    rtol=rtol, maxiter=self.maxiter, nstore=nstore,
-                    stall=stall,
-                )
-            ),
+            lambda w, defl, xb, xs: _kinv_jit(esm, pc, w, defl, xb, xs),
+            lambda b: _harvest_jit(esm, pc, b),
             lambda zs, coef: self.build_deflation(esm, zs, coef),
             k_defl, cfg.deflation_min_iters, cfg.deflation,
         )

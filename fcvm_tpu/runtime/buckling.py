@@ -87,11 +87,19 @@ def make_recycled_k_inverse(kinv, harvest, build_space, k_defl, min_iters,
     return k_inverse
 
 
-def _multi_matvec(blocks, eldofs, fixmask, identity_on_fixed):
-    """(ndof, m) -> (ndof, m) block operator with Dirichlet projection."""
+def _multi_matvec(eldofs, fixmask, identity_on_fixed, negate=False):
+    """Jitted ``(blocks, (ndof, m)) -> (ndof, m)`` block operator with
+    Dirichlet projection.
+
+    ``blocks`` is a jit ARGUMENT, not a closure: a 600 MB element-block
+    closure at 499k dof exceeds axon's remote-compile payload limit
+    (HTTP 413 — see CLAUDE.md), and the jitted whole-operator form costs
+    one device dispatch instead of ~6 eager ops x 0.2-0.5 s each through
+    the tunnel per application."""
     ndof = fixmask.shape[0]
 
-    def mv(u):
+    @jax.jit
+    def mv(blocks, u):
         up = fixmask[:, None] * u
         ue = up[eldofs]  # (ne, 30, m)
         fe = jnp.einsum("eij,ejm->eim", blocks, ue)
@@ -101,7 +109,7 @@ def _multi_matvec(blocks, eldofs, fixmask, identity_on_fixed):
         y = fixmask[:, None] * y
         if identity_on_fixed:
             y = y + (1.0 - fixmask)[:, None] * u
-        return y
+        return -y if negate else y
 
     return mv
 
@@ -161,11 +169,11 @@ def buckling_from_arrays(
         coords_work = space.coords_m.astype(dtype)
     eldofs = asm.element_dof_ids(elnodes)
 
-    kmv = _multi_matvec(esm, eldofs, fixmask, identity_on_fixed=True)
-    gmv_raw = _multi_matvec(nsm, eldofs, fixmask, identity_on_fixed=False)
-    minus_g = lambda u: -gmv_raw(u)
+    _kmv = _multi_matvec(eldofs, fixmask, identity_on_fixed=True)
+    _mg = _multi_matvec(eldofs, fixmask, identity_on_fixed=False, negate=True)
+    kmv = lambda u: _kmv(esm, u)
+    minus_g = lambda u: _mg(nsm, u)
 
-    kmv_single = asm.make_bc_matvec(esm, eldofs, fixmask, plan)
     from fcvm_tpu.ops.precond import apply_precond, build_two_level
 
     if cfg.solver != "scipy" and cfg.precond == "two_level":
@@ -178,8 +186,6 @@ def buckling_from_arrays(
         pc = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
     else:
         pc = None  # direct tier: no iterative preconditioner needed
-    precond = lambda r: apply_precond(pc, r)
-
     if cfg.solver == "scipy":
         # Host direct tier (the reference's Cholesky analogue,
         # ``fcVM.py:1263-1278``): exact K^{-1} makes the subspace iteration
@@ -208,12 +214,16 @@ def buckling_from_arrays(
 
         nstore, k_defl = _recycling_params(cfg, ndof, jnp.dtype(dtype).itemsize)
 
-        def _kinv(w, defl, x0_basis, x0_scale):
-            prec = defl_ops.deflated(precond, defl)
+        # esm/pc enter every jit as ARGUMENTS (never closures: the element
+        # blocks and the dense coarse inverse are each ~600 MB at 499k dof,
+        # far past axon's remote-compile payload limit)
+        def _kinv(esm_a, pc_a, w, defl, x0_basis, x0_scale):
+            kv = asm.make_bc_matvec(esm_a, eldofs, fixmask, plan)
+            prec = defl_ops.deflated(lambda r: apply_precond(pc_a, r), defl)
 
             def solve_col(b, x0c):
                 return slv.pcg(
-                    kmv_single, b, precond=prec, x0=x0c, rtol=rtol,
+                    kv, b, precond=prec, x0=x0c, rtol=rtol,
                     maxiter=maxiter, stall=stall,
                 ).x
 
@@ -224,14 +234,20 @@ def buckling_from_arrays(
             x0 = x0_basis * x0_scale[None, :]
             return jax.vmap(solve_col, in_axes=(1, 1), out_axes=1)(w, x0)
 
+        _kinv_jit = jax.jit(_kinv)
+
+        def _harvest(esm_a, pc_a, b):
+            kv = asm.make_bc_matvec(esm_a, eldofs, fixmask, plan)
+            return slv.pcg_harvest(
+                kv, b, precond=lambda r: apply_precond(pc_a, r), rtol=rtol,
+                maxiter=maxiter, nstore=nstore, stall=stall,
+            )
+
+        _harvest_jit = jax.jit(_harvest)
+
         k_inverse = make_recycled_k_inverse(
-            jax.jit(_kinv),
-            jax.jit(
-                lambda b: slv.pcg_harvest(
-                    kmv_single, b, precond=precond, rtol=rtol,
-                    maxiter=maxiter, nstore=nstore, stall=stall,
-                )
-            ),
+            lambda w, defl, xb, xs: _kinv_jit(esm, pc, w, defl, xb, xs),
+            lambda b: _harvest_jit(esm, pc, b),
             # fused build, one device dispatch (jit: eager multi-op code
             # costs ~0.2-0.5 s PER OP on axon)
             lambda zs, coef: jax.jit(defl_ops.build_space)(
@@ -297,8 +313,11 @@ def pencil_subspace(
             q, _ = jnp.linalg.qr(z)
         else:
             q = jnp.asarray(np.linalg.qr(np.asarray(z))[0], dtype=dtype)
-        a_small = np.asarray(q.T @ minus_g(q))
-        b_small = np.asarray(q.T @ kmv(q))
+        # one device_get for both (m, m) projections; the operator applies
+        # are single jitted dispatches (blocks passed as args)
+        a_small, b_small = jax.device_get((q.T @ minus_g(q), q.T @ kmv(q)))
+        a_small = np.asarray(a_small)
+        b_small = np.asarray(b_small)
         b_small = 0.5 * (b_small + b_small.T)
         a_small = 0.5 * (a_small + a_small.T)
         theta, c = scipy.linalg.eigh(a_small, b_small)
