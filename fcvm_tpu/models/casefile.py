@@ -229,6 +229,15 @@ def _build_mesh(spec: dict, base: Path) -> Mesh:
                 n_rad=int(g.get("n_rad", 6)),
                 n_thick=int(g.get("n_thick", 1)),
             )
+        elif kind == "cruciform":
+            mesh = meshgen.cruciform_tet10(
+                b=float(g.get("b", 40.0)),
+                t=float(g.get("t", 4.0)),
+                length=float(g.get("length", 200.0)),
+                n_flange=int(g.get("n_flange", 5)),
+                n_thick=int(g.get("n_thick", 1)),
+                n_z=int(g.get("n_z", 16)),
+            )
         else:
             raise ValueError(f"unknown mesh generator: {kind}")
     else:

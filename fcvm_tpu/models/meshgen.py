@@ -67,6 +67,55 @@ def _fix_orientation(coords4, tets4):
     return tets4
 
 
+def grid_tet10(xs, ys, zs, keep=None) -> Mesh:
+    """Tet10 mesh on an explicit (possibly non-uniform) structured grid.
+
+    ``xs/ys/zs`` are strictly-increasing breakpoint arrays.  ``keep(cx, cy,
+    cz) -> bool`` (vectorized over cell-centroid arrays) optionally masks
+    grid cells, so voxelized solids (L-shapes, cruciforms, ...) come out of
+    the same conforming Kuhn subdivision; unused nodes are compacted away.
+    """
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    zs = np.asarray(zs, dtype=np.float64)
+    nx, ny, nz = len(xs) - 1, len(ys) - 1, len(zs) - 1
+    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
+    coords4 = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+
+    def vid(i, j, k):
+        return (i * (ny + 1) + j) * (nz + 1) + k
+
+    if keep is not None:
+        ci, cj, ck = np.meshgrid(
+            np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij"
+        )
+        cx = 0.5 * (xs[ci] + xs[ci + 1])
+        cy = 0.5 * (ys[cj] + ys[cj + 1])
+        cz = 0.5 * (zs[ck] + zs[ck + 1])
+        mask = np.asarray(keep(cx, cy, cz), dtype=bool)
+    else:
+        mask = None
+
+    tets = []
+    for i in range(nx):
+        for j in range(ny):
+            for k in range(nz):
+                if mask is not None and not mask[i, j, k]:
+                    continue
+                corner = np.array(
+                    [vid(i + (c & 1), j + ((c >> 1) & 1), k + ((c >> 2) & 1)) for c in range(8)]
+                )
+                for tet in _CUBE_TETS:
+                    tets.append(corner[list(tet)])
+    tets4 = np.asarray(tets, dtype=np.int64)
+    if mask is not None:
+        used, inv = np.unique(tets4, return_inverse=True)
+        coords4 = coords4[used]
+        tets4 = inv.reshape(tets4.shape)
+    tets4 = _fix_orientation(coords4, tets4)
+    return _tet4_to_tet10(coords4, tets4)
+
+
 def box_tet10(
     nx: int,
     ny: int,
@@ -76,26 +125,41 @@ def box_tet10(
     lz: float = 1.0,
 ) -> Mesh:
     """Structured tet10 box mesh: ``6 * nx * ny * nz`` elements on [0,L]^3."""
-    xs = np.linspace(0.0, lx, nx + 1)
-    ys = np.linspace(0.0, ly, ny + 1)
-    zs = np.linspace(0.0, lz, nz + 1)
-    gx, gy, gz = np.meshgrid(xs, ys, zs, indexing="ij")
-    coords4 = np.stack([gx, gy, gz], axis=-1).reshape(-1, 3)
+    return grid_tet10(
+        np.linspace(0.0, lx, nx + 1),
+        np.linspace(0.0, ly, ny + 1),
+        np.linspace(0.0, lz, nz + 1),
+    )
 
-    def vid(i, j, k):
-        return (i * (ny + 1) + j) * (nz + 1) + k
 
-    tets = []
-    for i in range(nx):
-        for j in range(ny):
-            for k in range(nz):
-                corner = np.array(
-                    [vid(i + (c & 1), j + ((c >> 1) & 1), k + ((c >> 2) & 1)) for c in range(8)]
-                )
-                for tet in _CUBE_TETS:
-                    tets.append(corner[list(tet)])
-    tets4 = _fix_orientation(coords4, np.asarray(tets, dtype=np.int64))
-    return _tet4_to_tet10(coords4, tets4)
+def cruciform_tet10(
+    b: float,
+    t: float,
+    length: float,
+    n_flange: int = 5,
+    n_thick: int = 1,
+    n_z: int = 16,
+) -> Mesh:
+    """Cruciform (+-shaped) column along +z, centered on the z axis.
+
+    Cross-section: two orthogonal rectangular plates of thickness ``t`` and
+    total width ``2 b + t`` each (four outstands of clear width ``b``) — the
+    torsional-buckling specimen of the reference manual section 9.4 (the
+    corpus ``cruciform_column.FCStd`` ships with its mesh purged, so the
+    validation mesh is regenerated parametrically).  ``n_thick`` elements
+    through the plate thickness, ``n_flange`` cells per outstand width,
+    ``n_z`` slices along the length.
+    """
+    # in-plane breakpoints: outstand splits on each side of the exact
+    # [-t/2, +t/2] plate-face planes
+    out = np.linspace(0.5 * t, 0.5 * t + b, n_flange + 1)
+    core = np.linspace(-0.5 * t, 0.5 * t, n_thick + 1)
+    brk = np.unique(np.concatenate([-out[::-1], core, out]))
+
+    def keep(cx, cy, cz):
+        return (np.abs(cx) < 0.5 * t) | (np.abs(cy) < 0.5 * t)
+
+    return grid_tet10(brk, brk, np.linspace(0.0, length, n_z + 1), keep=keep)
 
 
 def bar_tet10(length: float, width: float, height: float, nx: int, ny: int, nz: int) -> Mesh:

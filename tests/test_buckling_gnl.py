@@ -232,3 +232,57 @@ def test_cg_eigensolve_matches_direct_tier():
     coef, *_ = np.linalg.lstsq(v_sp, v_cg, rcond=None)
     resid = v_cg - v_sp @ coef
     assert np.linalg.norm(resid) < 1e-4 * np.linalg.norm(v_cg)
+
+
+def test_cruciform_torsional_buckling():
+    """Torsional buckling of a cruciform column (manual section 9.4; the
+    corpus ``cruciform_column.FCStd`` mesh is purged, so the specimen is
+    regenerated parametrically).  With negligible warping stiffness the
+    critical stress is the St Venant value sigma_cr = G J / I_p
+    (Timoshenko), independent of length and boundary conditions; the
+    voxel section's A/I_p are exact, J is thin-wall (2 w t^3 - t^4)/3.
+    Measured FE factors bracket the analytic value within ~6% across
+    resolutions (one quadratic element through the plate thickness)."""
+    from fcvm_tpu.config import get_config
+
+    b, t, lc, p = 40.0, 4.0, 200.0, 100.0
+    mesh = meshgen.cruciform_tet10(b, t, lc, n_flange=4, n_thick=1, n_z=12)
+    g = E / (2.0 * (1.0 + NU))
+    w = 2 * b + t
+    area = 2 * w * t - t * t
+    ip = 2 * (t * w**3 / 12 + w * t**3 / 12) - t**4 / 6
+    jt = (2 * w * t**3 - t**4) / 3.0
+    sig_tor = g * jt / ip
+    sig_euler = np.pi**2 * E * (t * w**3 / 12 + (w - t) * t**3 / 12) / (
+        4 * lc**2 * area
+    )
+    assert sig_tor < 0.25 * sig_euler  # torsion governs by construction
+
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [(mesh.select_nodes(lambda x, y, z: z < 1e-9), (0.0, 0.0, 0.0))]
+    )
+    top = mesh.faces_on(lambda x, y, z: z > lc - 1e-9)
+    loads = fcvm_tpu.Loads(
+        traction_faces=top, tractions=np.tile([0, 0, -p], (len(top), 1))
+    )
+    model = fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads)
+    cfg = get_config()
+    old = cfg.solver
+    cfg.solver = "scipy"
+    try:
+        lam, vecs = fcvm_tpu.linear_buckling(
+            model, fcvm_tpu.ControlParams(gnl="GNLY", nstep=1), k=2
+        )
+    finally:
+        cfg.solver = old
+    np.testing.assert_allclose(lam[0], sig_tor / p, rtol=0.10)
+    # second mode: next torsional harmonic (warping-split), below flexure
+    assert lam[0] < lam[1] < sig_euler / p
+    # the mode is a twist: in-plane displacement aligned with theta x r
+    v = np.asarray(vecs)[:, 0].reshape(-1, 3)
+    tang = np.stack([-mesh.coords[:, 1], mesh.coords[:, 0]], axis=1)
+    cos = abs(
+        (v[:, :2] * tang).sum()
+        / np.sqrt((v[:, :2] ** 2).sum() * (tang**2).sum())
+    )
+    assert cos > 0.6

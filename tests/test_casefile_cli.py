@@ -308,3 +308,16 @@ def test_fcvm_dtype_env_selects_f64_tier():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "F64-TIER-OK" in proc.stdout
+
+
+def test_cruciform_example_case_loads():
+    """The bundled cruciform example builds its voxel mesh exactly:
+    volume = A * L with A = 2 w t - t^2 (w = 2 b + t)."""
+    model, params = load_case("examples/cruciform_torsional_buckling.toml")
+    b, t, lc = 40.0, 4.0, 200.0
+    w = 2 * b + t
+    v = model.mesh.coords[model.mesh.elnodes[:, :4]]
+    det = np.linalg.det(v[:, 1:4] - v[:, :1])
+    vol = float(np.abs(det).sum() / 6.0)
+    np.testing.assert_allclose(vol, (2 * w * t - t * t) * lc, rtol=1e-12)
+    assert params.gnl == "GNLY" and params.nstep == 1
