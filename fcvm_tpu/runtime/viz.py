@@ -40,7 +40,7 @@ def _clip_surface(coords, elnodes, normal, offset):
 
 
 def _render_faces(ax, coords, faces, values, cmap, title, elev=20, azim=-60):
-    from matplotlib import cm
+    import matplotlib
     from mpl_toolkits.mplot3d.art3d import Poly3DCollection
 
     verts = coords[faces]
@@ -49,7 +49,7 @@ def _render_faces(ax, coords, faces, values, cmap, title, elev=20, azim=-60):
     if vmax <= vmin:
         vmax = vmin + 1.0
     norm = (fvals - vmin) / (vmax - vmin)
-    mapper = cm.get_cmap(cmap)
+    mapper = matplotlib.colormaps[cmap]
     coll = Poly3DCollection(
         verts, facecolors=mapper(norm), edgecolors="none", shade=False
     )
