@@ -36,5 +36,8 @@ run_stage coarse_bf16 1800 python tools/coarse_bf16_probe.py
 # headline bench (writes the JSON line to bench.json.out)
 run_stage bench 3600 python bench.py
 
+# block-CSR matvec vs element+ScatterPlan (round-3 lead; expected ~neutral)
+run_stage blockcsr 1800 python tools/blockcsr_probe.py
+
 echo "=== session complete; outputs in $OUT ==="
 grep -h "" "$OUT"/bench.out 2>/dev/null
