@@ -302,7 +302,48 @@ def cpu_step_time(nx):
     return t_step, t_mnr, mesh.ndof, t_factor
 
 
+def wait_for_device(max_tries=3, probe_timeout=150, wait_s=420):
+    """Bounded pre-flight: wait out a transiently wedged tunnel TPU.
+
+    The remote device can stay unresponsive for 10-40 min after any failed
+    device action (compile crash, HBM OOM, killed RPC); a bench started
+    during a wedge fails outright.  Probe with a *subprocess* trivial jit —
+    it must run before this process initializes any JAX backend, because
+    two concurrent TPU clients crash the device — and sleep between
+    attempts (worst case ~21 min, then proceed and let the real run try).
+    """
+    import subprocess
+
+    if os.environ.get("FCVM_BENCH_NO_PREFLIGHT") or (
+        os.environ.get("JAX_PLATFORMS", "").lower() == "cpu"
+    ):
+        return True
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float(jax.jit(lambda x: (x * 2).sum())(jnp.ones(64))))"
+    )
+    for k in range(max_tries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], timeout=probe_timeout,
+                capture_output=True, text=True,
+            )
+            if r.returncode == 0:
+                if k:
+                    log(f"device healthy after {k} wait(s)")
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if k + 1 < max_tries:
+            log(f"device health probe {k + 1}/{max_tries} failed; "
+                f"waiting {wait_s}s")
+            time.sleep(wait_s)
+    log("device never turned healthy in the pre-flight; proceeding anyway")
+    return False
+
+
 def main():
+    wait_for_device()
     t_cpu, t_cpu_mnr, ndof_cpu, t_factor = cpu_step_time(NX_CPU)
 
     # matched-size TPU measurement for the honest ratio
