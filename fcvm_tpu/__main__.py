@@ -39,6 +39,11 @@ def main(argv=None):
         p.add_argument("--x64", action="store_true", help="enable float64")
         p.add_argument("--cpu", action="store_true", help="force CPU backend")
         p.add_argument("--checkpoint", action="store_true")
+        p.add_argument(
+            "--resume", default=None, metavar="DIR",
+            help="resume from the latest step checkpoint in DIR "
+            "(written by a previous --checkpoint run)",
+        )
         p.add_argument("--steps", type=int, default=0, help="override nstep")
         p.add_argument(
             "--devices", type=int, default=0,
@@ -101,7 +106,8 @@ def main(argv=None):
     if args.cmd == "run":
         res = fcvm_tpu.run_analysis(
             model, params, outdir=args.outdir,
-            checkpoint=args.checkpoint, progress=print,
+            checkpoint=args.checkpoint, resume_from=args.resume,
+            progress=print,
         )
         h = res.history
         print(f"final load level: {h.lbd[-1]:.5f}  max |u|: {max(h.un):.5e}  "

@@ -29,6 +29,7 @@ def run_analysis(
     outdir: Optional[str] = None,
     continuation=None,
     checkpoint: bool = False,
+    resume_from: Optional[str] = None,
     progress=None,
     save_plots: bool = True,
 ) -> AnalysisResults:
@@ -43,6 +44,7 @@ def run_analysis(
         params,
         continuation=continuation,
         checkpoint_path=(str(Path(outdir) / "checkpoints") if (checkpoint and outdir) else None),
+        resume_from=resume_from,
         progress=progress,
     )
     t["solve"] = time.time() - t0

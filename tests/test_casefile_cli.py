@@ -321,3 +321,27 @@ def test_cruciform_example_case_loads():
     vol = float(np.abs(det).sum() / 6.0)
     np.testing.assert_allclose(vol, (2 * w * t - t * t) * lc, rtol=1e-12)
     assert params.gnl == "GNLY" and params.nstep == 1
+
+
+def test_cli_checkpoint_then_resume(tmp_path):
+    """--checkpoint writes per-step state; --resume continues from it and
+    lands on the same final state as the original run."""
+    from fcvm_tpu.__main__ import main
+
+    p = tmp_path / "case.toml"
+    p.write_text(CASE)
+    out1 = tmp_path / "out1"
+    assert main(["run", str(p), "--outdir", str(out1), "--checkpoint"]) == 0
+    ckdir = out1 / "checkpoints"
+    assert ckdir.exists() and any(ckdir.iterdir())
+
+    out2 = tmp_path / "out2"
+    assert main([
+        "run", str(p), "--outdir", str(out2), "--resume", str(ckdir),
+    ]) == 0
+    t1 = (out1 / "cli_box.out").read_text().splitlines()
+    t2 = (out2 / "cli_box.out").read_text().splitlines()
+    # the resumed run reproduces the original history table rows
+    rows1 = [ln for ln in t1 if ln.strip() and ln.lstrip()[0].isdigit()]
+    rows2 = [ln for ln in t2 if ln.strip() and ln.lstrip()[0].isdigit()]
+    assert rows1 and rows1[-1] == rows2[-1]
