@@ -124,6 +124,14 @@ class FcvmConfig:
     # buffer is capped to ~1 GiB at large ndof inside buckling_from_arrays.
     buckling_deflation_nstore: int = 512
     buckling_deflation_k: int = 64
+    # Arc-length control of the nonlinear driver: "riks" = the reference's
+    # linearized load correction + norm scale-back (fcVM.py:1414-1434;
+    # parity default — stalls at snapback folds, where the scale-back
+    # never lets |du| grow within a step).  "crisfield" = spherical
+    # constraint solved exactly per iteration (quadratic root chosen by
+    # path continuity) — traverses snap-through AND snapback
+    # (runtime/system.riks_update_crisfield).  Env: FCVM_ARC.
+    arc_length: str = "riks"
 
     def resolve_cluster_size(self, nn: int) -> int:
         """Nodes per cluster for the two-level coarse space.
@@ -166,6 +174,8 @@ if os.environ.get("FCVM_CG_RTOL"):
     _config.cg_rtol = float(os.environ["FCVM_CG_RTOL"])
 if os.environ.get("FCVM_DEFLATION"):
     _config.deflation = os.environ["FCVM_DEFLATION"] not in ("0", "off", "false")
+if os.environ.get("FCVM_ARC"):
+    _config.arc_length = os.environ["FCVM_ARC"]
 if os.environ.get("FCVM_DTYPE"):
     # Precision tier: FCVM_DTYPE=float64 runs the whole solve in f64 — on
     # TPU via XLA's software-emulated f64 (no f64 MXU; the dense coarse

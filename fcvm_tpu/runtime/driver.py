@@ -223,6 +223,10 @@ def solve_collapse(
         and cfg.solver == "cg"
         and getattr(backend, "supports_deflation", False)
     )
+    # arc-length flavor: reference-faithful linearized Riks (default) or
+    # the spherical Crisfield constraint (traverses snapback folds)
+    riks_fn = (sysm.riks_update_crisfield if cfg.arc_length == "crisfield"
+               else sysm.riks_update)
     # armed=True: the next correction solve without a held space harvests.
     # A harvest below deflation_min_iters disarms (easy solves — nothing to
     # win); a plain solve at or past min_iters re-arms (see solve()).
@@ -592,7 +596,7 @@ def solve_collapse(
                         due, _ = harvesting_solve(lin, relax * r)
                     else:
                         due, _ = solve(lin, relax * r)
-                    du, lbd1, _ = sysm.riks_update(a, ue, due, du, lbd[step], lbd[step + 1])
+                    du, lbd1, _ = riks_fn(a, ue, due, du, lbd[step], lbd[step + 1])
                     lbd[step + 1] = float(lbd1)
 
                     sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd[step + 1])

@@ -455,3 +455,38 @@ def riks_update(a, ue, due, du, lbd0, lbd1):
     lbd1 = lbd0 + sf * (lbd1 - lbd0)
     du = du * sf
     return du, lbd1, dl
+
+
+@jax.jit
+def riks_update_crisfield(a, ue, due, du, lbd0, lbd1):
+    """Spherical (Crisfield) arc-length update — beyond-reference capability.
+
+    The reference's linearized correction + norm scale-back
+    (:func:`riks_update`, ``fcVM.py:1414-1434``) cannot traverse a
+    *snapback* fold: the scale-back never lets ``|du|`` grow within a
+    step, so modified NR cycles at constant residual when the equilibrium
+    path folds back in the controlled displacement (measured on the
+    arch + soft-ram specimen of ``tests/test_buckling_gnl.py``).  This
+    variant instead solves the spherical constraint
+    ``|du + due + dl*ue|^2 = |a|^2`` exactly for the load correction
+    (quadratic roots; the one keeping the increment aligned with the
+    control vector ``a`` preserves path continuity, Crisfield 1981),
+    falling back to the stationary point when the sphere is unreachable.
+    Select with ``config.arc_length = "crisfield"`` / ``FCVM_ARC``.
+
+    Returns (du, lbd1, dl) like :func:`riks_update`.
+    """
+    p = du + due
+    a2 = jnp.vdot(ue, ue)
+    safe_a2 = jnp.where(a2 == 0.0, 1.0, a2)
+    b = 2.0 * jnp.vdot(p, ue)
+    c = jnp.vdot(p, p) - jnp.vdot(a, a)
+    disc = b * b - 4.0 * a2 * c
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    dl_hi = (-b + sq) / (2.0 * safe_a2)
+    dl_lo = (-b - sq) / (2.0 * safe_a2)
+    keep_hi = jnp.vdot(a, p + dl_hi * ue) >= jnp.vdot(a, p + dl_lo * ue)
+    dl = jnp.where(keep_hi, dl_hi, dl_lo)
+    dl = jnp.where(disc >= 0.0, dl, -b / (2.0 * safe_a2))
+    du = p + dl * ue
+    return du, lbd1 + dl, dl

@@ -286,3 +286,106 @@ def test_cruciform_torsional_buckling():
         / np.sqrt((v[:, :2] ** 2).sum() * (tang**2).sum())
     )
     assert cos > 0.6
+
+
+def test_riks_update_crisfield_sphere_property():
+    """The Crisfield update returns an increment exactly on the arc sphere
+    |du_new| = |a| whenever the sphere is reachable, and lands on the
+    stationary point otherwise."""
+    from fcvm_tpu.runtime.system import riks_update_crisfield
+
+    rng = np.random.default_rng(3)
+    a = jnp.asarray(rng.standard_normal(30))
+    ue = jnp.asarray(rng.standard_normal(30))
+    due = jnp.asarray(0.1 * rng.standard_normal(30))
+    du = jnp.asarray(0.9 * np.asarray(a))
+    du_new, lbd1, dl = riks_update_crisfield(a, ue, due, du, 0.0, 1.0)
+    np.testing.assert_allclose(
+        float(jnp.linalg.norm(du_new)), float(jnp.linalg.norm(a)), rtol=1e-12
+    )
+    assert float(lbd1) == 1.0 + float(dl)
+    # continuity: the chosen root advances along the control vector
+    assert float(jnp.vdot(a, du_new)) > 0.0
+
+
+def test_snapback_crisfield_arc_length(tmp_path):
+    """Snapback traversal — capability beyond the reference scheme.
+
+    Specimen: the shallow arch driven through a soft laterally-guided ram
+    (per-element materials: ram E = 1e-4 * arch E).  The equilibrium path
+    in (load, ram-top displacement) folds back: past the limit point the
+    stored ram compression releases faster than the apex descends, so the
+    *monitored* displacement reverses while the load drops — snapback.
+    The reference's linearized Riks + norm scale-back (fcVM.py:1414-1434,
+    our default) stalls here at constant residual and exhausts its 4
+    restarts (measured on this exact specimen); the spherical Crisfield
+    constraint (config.arc_length = "crisfield") traverses the fold and
+    continues down the unstable branch."""
+    from fcvm_tpu.config import get_config
+    from fcvm_tpu.models.spec import Mesh
+
+    length, w, h, rise = 100.0, 5.0, 1.0, 8.0
+    colh, cole_fac, nxc = 40.0, 1e-4, 32
+    xs = np.linspace(0, length, nxc + 1)
+    ys = np.array([0.0, w])
+    zs = np.concatenate([[0.0, h], h + np.linspace(colh / 6, colh, 6)])
+    cx0 = length / 2
+
+    mesh0 = meshgen.grid_tet10(
+        xs, ys, zs,
+        keep=lambda cx, cy, cz: (cz < h) | (np.abs(cx - cx0) < length / nxc),
+    )
+    c = mesh0.coords.copy()
+    arch = c[:, 2] <= h + 1e-9
+    c[arch, 2] += rise * (1 - ((2 * c[arch, 0] / length) - 1) ** 2)
+    c[~arch, 2] += rise  # the ram rides the apex, stays vertical
+    mesh = Mesh(c, mesh0.elnodes)
+    cent = mesh.coords[mesh.elnodes[:, :4]].mean(axis=1)
+    mats = np.tile([E, NU, 0.0], (mesh.n_elements, 1))
+    mats[cent[:, 2] > rise + h, 0] = E * cole_fac
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets([
+        (mesh.select_nodes(lambda x, y, z: (x < 1e-9) & (z < 1e-6)), (0.0, 0.0, 0.0)),
+        (mesh.select_nodes(lambda x, y, z: (x > length - 1e-9) & (z < 1e-6)), (0.0, 0.0, 0.0)),
+        (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+        (mesh.select_nodes(lambda x, y, z: z > rise + h + 0.5), (0.0, 0.0, None)),
+    ])
+    ztop = float(mesh.coords[:, 2].max())
+    top = mesh.faces_on(lambda x, y, z: z > ztop - 1e-6)
+    loads = fcvm_tpu.Loads(
+        traction_faces=top, tractions=np.tile([0, 0, -0.5], (len(top), 1))
+    )
+    model = fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads,
+                           materials_by_element=mats, name="snapback")
+    params = fcvm_tpu.ControlParams(
+        sig_yield=1e5, nstep=40, iterat_max=40, error_max=1e-6,
+        gnl="GNLY", max_imp=0.0, target_lf=999.0,
+    )
+    cfg = get_config()
+    old_solver, old_arc = cfg.solver, cfg.arc_length
+    cfg.solver, cfg.arc_length = "scipy", "crisfield"
+    try:
+        res = fcvm_tpu.solve_collapse(
+            model, params,
+            continuation=lambda hist, info: "add" if len(hist.lbd) < 82 else "stop",
+            checkpoint_path=str(tmp_path),
+        )
+    finally:
+        cfg.solver, cfg.arc_length = old_solver, old_arc
+
+    import pathlib
+
+    topn = mesh.select_nodes(lambda x, y, z: z > ztop - 1e-6)
+    ut = [0.0]
+    for f in sorted(pathlib.Path(tmp_path).glob("step_*.npz")):
+        ut.append(float(np.load(f)["disp_new"].reshape(-1, 3)[topn, 2].mean()))
+    lbd = np.asarray(res.history.lbd)
+    n = min(len(lbd), len(ut))
+    lbd, ut = lbd[:n], np.asarray(ut[:n])
+    ipk = int(np.argmax(lbd))
+    assert 8.5 < lbd[ipk] < 10.0 and 0 < ipk < n - 10  # interior limit point
+    dut, dlb = np.diff(ut), np.diff(lbd)
+    snapback = (dut > 0) & (dlb < 0)
+    assert snapback.sum() >= 3  # the monitored displacement reverses...
+    assert dut[snapback].sum() > 0.3  # ...by a finite recovery...
+    assert lbd[-1] < 0.9 * lbd[ipk]  # ...while the load keeps descending
+    assert res.peeq_gp.max() == 0.0  # purely geometric
