@@ -459,7 +459,7 @@ def solve_collapse(
         history.peeq.append(float(peeq_np[maxloc]))
         history.peeqmax.append(float(peeq_np.max()))
         if has_movdof:
-            history.load.append(float(jnp.sum(movdof * qin)))
+            history.load.append(float(sysm.masked_sum(movdof, qin)))
         else:
             history.load.append(lbd[step + 1])
         history.lbd.append(lbd[step + 1])
@@ -510,7 +510,7 @@ def solve_collapse(
                     iterat += 1
                     iterat_tot += 1
 
-                    if large_disp and (iterat == 1 or bool(jnp.any(pgp))):
+                    if large_disp and (iterat == 1 or bool(sysm.any_flag(pgp))):
                         t0 = time.perf_counter()
                         # predictor solve: warm-started from the previous
                         # predictor (successive tangents differ by one
@@ -589,7 +589,7 @@ def solve_collapse(
                         if cfg.solver == "scipy":
                             rhs_t = backend.scipy_rhs(esm_t, glv)
                             ue, _ = solve(lin, rhs_t, x0=u_fix)
-                        a = ue * (jnp.linalg.norm(du) / jnp.linalg.norm(ue))
+                        a = sysm.scaled_control_vector(ue, du)
 
                     if (use_deflation and lin.defl is None
                             and defl_state["armed"]):

@@ -458,6 +458,38 @@ def riks_update(a, ue, due, du, lbd0, lbd1):
 
 
 @jax.jit
+def any_flag(mask):
+    """Jitted reduction for the driver host loop.
+
+    Eager (non-jitted) array ops cost ~0.2-0.5 s EACH through the axon
+    remote dispatch (measured, docs/PERFORMANCE.md); the GNL Newton loop
+    asks "any Gauss point plastic?" every iteration (``fcVM.py:1351``),
+    so the reduction must be a cached jit, not an eager op.
+    """
+    return jnp.any(mask)
+
+
+@jax.jit
+def scaled_control_vector(ue, du):
+    """``a = ue * |du| / |ue|`` (``fcVM.py:1392-1394``) as ONE dispatch.
+
+    Runs once per GNL tangent refresh in the driver host loop — eager it
+    was three remote ops (two norms + a multiply, ~1 s of axon dispatch
+    per refresh at any problem size).  ``|ue| = 0`` guarded like
+    :func:`riks_update` (crash-hazard class, not result-affecting).
+    """
+    nu = jnp.linalg.norm(ue)
+    return ue * (jnp.linalg.norm(du) / jnp.where(nu == 0.0, 1.0, nu))
+
+
+@jax.jit
+def masked_sum(mask, v):
+    """Jitted ``sum(mask * v)`` (displacement-control reaction level,
+    ``fcVM.py:1522-1523``) — once per converged step in the host loop."""
+    return jnp.sum(mask * v)
+
+
+@jax.jit
 def riks_update_crisfield(a, ue, due, du, lbd0, lbd1):
     """Spherical (Crisfield) arc-length update — beyond-reference capability.
 
