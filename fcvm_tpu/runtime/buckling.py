@@ -31,6 +31,13 @@ from fcvm_tpu.ops import assembly as asm
 from fcvm_tpu.ops import material as mat
 from fcvm_tpu.ops import solver as slv
 
+# Per-sweep host-loop helpers as cached jits: eager array ops cost
+# ~0.2-0.5 s EACH through the axon remote dispatch (docs/PERFORMANCE.md),
+# and the subspace iteration runs up to 60 sweeps.
+_qr_q = jax.jit(lambda z: jnp.linalg.qr(z)[0])
+_proj = jax.jit(lambda q, w: q.T @ w)
+_mix = jax.jit(lambda q, c: q @ c)
+
 
 def _recycling_params(cfg, ndof, itemsize):
     """Deep-harvest sizing for the eigensolve's Ritz recycling.
@@ -310,12 +317,14 @@ def pencil_subspace(
         # (ndof, m) block through the axon tunnel every sweep (~0.5 s at
         # 499k dof).  f64 stays on host: TPU has no f64 factorizations.
         if dtype == jnp.float32:
-            q, _ = jnp.linalg.qr(z)
+            q = _qr_q(z)
         else:
             q = jnp.asarray(np.linalg.qr(np.asarray(z))[0], dtype=dtype)
         # one device_get for both (m, m) projections; the operator applies
         # are single jitted dispatches (blocks passed as args)
-        a_small, b_small = jax.device_get((q.T @ minus_g(q), q.T @ kmv(q)))
+        a_small, b_small = jax.device_get(
+            (_proj(q, minus_g(q)), _proj(q, kmv(q)))
+        )
         a_small = np.asarray(a_small)
         b_small = np.asarray(b_small)
         b_small = 0.5 * (b_small + b_small.T)
@@ -324,7 +333,7 @@ def pencil_subspace(
         order = np.argsort(theta)[::-1]
         theta = theta[order]
         c = c[:, order]
-        v = q @ jnp.asarray(c, dtype=dtype)
+        v = _mix(q, jnp.asarray(c, dtype=dtype))
         theta_full = theta
         if theta_old is not None:
             denom = np.maximum(np.abs(theta[:k]), 1e-300)
