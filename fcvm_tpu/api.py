@@ -31,6 +31,7 @@ def run_analysis(
     checkpoint: bool = False,
     resume_from: Optional[str] = None,
     progress=None,
+    monitor=None,
     save_plots: bool = True,
 ) -> AnalysisResults:
     """Full pipeline; writes ``<name>.out``, ``<name>.vtk``, ``<name>.png``
@@ -46,6 +47,7 @@ def run_analysis(
         checkpoint_path=(str(Path(outdir) / "checkpoints") if (checkpoint and outdir) else None),
         resume_from=resume_from,
         progress=progress,
+        monitor=monitor,
     )
     t["solve"] = time.time() - t0
 

@@ -131,6 +131,7 @@ def solve_collapse(
     checkpoint_path: Optional[str] = None,
     resume_from: Optional[str] = None,
     progress: Optional[Callable[[str], None]] = None,
+    monitor: Optional[Callable] = None,
 ) -> AnalysisResults:
     """Run a full collapse analysis (the Start-button pipeline, GUI-free).
 
@@ -144,6 +145,11 @@ def solve_collapse(
       checkpoint_path: if set, converged-step state is saved there
         (``fcvm_tpu.runtime.checkpoint``).
       progress: optional line logger (the reference's ``prn_upd``).
+      monitor: optional per-converged-step observer
+        ``(disp_nodes, history) -> None`` receiving the (nn, 3) total
+        nodal displacements already fetched for the history record —
+        track arbitrary dofs (e.g. a snapback monitor point) without
+        checkpointing.  Beyond-reference: the GUI showed this visually.
 
     Returns:
       :class:`AnalysisResults`.
@@ -441,6 +447,8 @@ def solve_collapse(
         nonlocal sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr
         disp_nodes = np.asarray(disp_new).reshape(-1, 3)
         history.un.append(float(np.sqrt((disp_nodes**2).sum(axis=1).max())))
+        if monitor is not None:
+            monitor(disp_nodes[: model.mesh.n_nodes], history)
         sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr = backend.update_peeq_csr(
             sig_test, sig_new, sig_yield, peeq, csr, et_e,
             params.ultimate_strain,

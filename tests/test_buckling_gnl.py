@@ -308,7 +308,7 @@ def test_riks_update_crisfield_sphere_property():
     assert float(jnp.vdot(a, du_new)) > 0.0
 
 
-def test_snapback_crisfield_arc_length(tmp_path):
+def test_snapback_crisfield_arc_length():
     """Snapback traversal — capability beyond the reference scheme.
 
     Specimen: the shallow arch driven through a soft laterally-guided ram
@@ -363,21 +363,17 @@ def test_snapback_crisfield_arc_length(tmp_path):
     cfg = get_config()
     old_solver, old_arc = cfg.solver, cfg.arc_length
     cfg.solver, cfg.arc_length = "scipy", "crisfield"
+    topn = mesh.select_nodes(lambda x, y, z: z > ztop - 1e-6)
+    ut = [0.0]  # per-step ram-top displacement via the monitor hook
     try:
         res = fcvm_tpu.solve_collapse(
             model, params,
             continuation=lambda hist, info: "add" if len(hist.lbd) < 82 else "stop",
-            checkpoint_path=str(tmp_path),
+            monitor=lambda d, hist: ut.append(float(d[topn, 2].mean())),
         )
     finally:
         cfg.solver, cfg.arc_length = old_solver, old_arc
 
-    import pathlib
-
-    topn = mesh.select_nodes(lambda x, y, z: z > ztop - 1e-6)
-    ut = [0.0]
-    for f in sorted(pathlib.Path(tmp_path).glob("step_*.npz")):
-        ut.append(float(np.load(f)["disp_new"].reshape(-1, 3)[topn, 2].mean()))
     lbd = np.asarray(res.history.lbd)
     n = min(len(lbd), len(ut))
     lbd, ut = lbd[:n], np.asarray(ut[:n])
