@@ -605,9 +605,14 @@ def solve_collapse(
                     else:
                         due, _ = solve(lin, relax * r)
                     du, lbd1, _ = riks_fn(a, ue, due, du, lbd[step], lbd[step + 1])
+                    # overlap the lambda fetch with the residual dispatch:
+                    # do_residual takes the device scalar directly (same
+                    # executable — jnp.asarray of a scalar either way) and
+                    # the host reads both values after one completion sync
+                    if hasattr(lbd1, "copy_to_host_async"):
+                        lbd1.copy_to_host_async()
+                    sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd1)
                     lbd[step + 1] = float(lbd1)
-
-                    sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd[step + 1])
                     error = float(error_dev)
                     log(f"Iteration: {iterat}, Error: {error:.2e}")
 
