@@ -13,7 +13,6 @@ import time
 from pathlib import Path
 from typing import Optional
 
-import numpy as np
 
 from fcvm_tpu.models.inp import ControlParams
 from fcvm_tpu.models.spec import Model

@@ -37,7 +37,6 @@ trusted input, like any solver input deck.
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 
 import numpy as np

@@ -15,7 +15,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from fcvm_tpu.ops.quadrature import GP10, GP6, GP2
-from fcvm_tpu.utils.linalg3 import det3, inv3
+from fcvm_tpu.utils.linalg3 import inv3
 
 
 def tet10_shape_np(xi: float, et: float, ze: float) -> np.ndarray:

@@ -35,7 +35,6 @@ Environment notes (updated round 2):
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from fcvm_tpu.ops import elements as el
 from fcvm_tpu.ops import material as mat
-from fcvm_tpu.ops.assembly import element_dof_ids, scatter_node_rows, voigt_to_tensor
+from fcvm_tpu.ops.assembly import scatter_node_rows, voigt_to_tensor
 from fcvm_tpu.utils.linalg3 import det3
 
 

@@ -30,7 +30,6 @@ tiny next to the element blocks.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from fcvm_tpu.ops import assembly as asm
-from fcvm_tpu.ops import material as mat
 from fcvm_tpu.ops import solver as slv
 from fcvm_tpu.ops.precond import apply_precond, build_two_level, refresh_blocks
 from fcvm_tpu.ops.stress_update import update_stress_load

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from fcvm_tpu.config import enable_compilation_cache, get_config
+from fcvm_tpu.config import enable_compilation_cache
 
 enable_compilation_cache()
 
