@@ -384,3 +384,23 @@ def test_sharded_buckling_deflation_matches_undeflated():
     r_off = run(False)
     r_on = run(True)
     np.testing.assert_allclose(r_on.eigenvalues, r_off.eigenvalues, rtol=1e-8)
+
+
+def test_sharded_crisfield_arc_matches_single_device():
+    """config.arc_length='crisfield' routes through the backend-agnostic
+    host loop: sharded and single-device histories must stay identical
+    (the spherical update operates on replicated vectors only)."""
+    cfg = get_config()
+    old_arc = cfg.arc_length
+    cfg.arc_length = "crisfield"
+    try:
+        params = ControlParams(
+            sig_yield=60.0, nstep=5, error_max=1e-11, et_e=0.1,
+            target_lf=99.0, gnl="GNLY", max_imp=0.0,
+        )
+        r1 = _run(_box_model(), params, 0)
+        r8 = _run(_box_model(), params, 8)
+    finally:
+        cfg.arc_length = old_arc
+    assert float(np.max(r8.peeq_gp)) > 1e-6
+    _assert_history_match(r1, r8)
