@@ -385,3 +385,55 @@ def test_snapback_crisfield_arc_length():
     assert dut[snapback].sum() > 0.3  # ...by a finite recovery...
     assert lbd[-1] < 0.9 * lbd[ipk]  # ...while the load keeps descending
     assert res.peeq_gp.max() == 0.0  # purely geometric
+
+
+def test_cruciform_imperfect_collapse_below_plastic_limit():
+    """Manual section 9.4 phenomenology: an imperfection-seeded cruciform in
+    the torsion/squash interaction regime (sigma_y chosen so the squash
+    factor 7.5 ~ the elastic torsional factor) collapses slightly BELOW the
+    plastic limit load, with plasticity active — torsional buckling and
+    yielding interact (BASELINE.md 'ultimate slightly below plastic limit';
+    the corpus document's mesh is purged, so the specimen is parametric)."""
+    from fcvm_tpu.config import get_config
+
+    b, t, lc, p, sy = 40.0, 4.0, 200.0, 100.0, 750.0
+    mesh = meshgen.cruciform_tet10(b, t, lc, n_flange=3, n_thick=1, n_z=8)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [(mesh.select_nodes(lambda x, y, z: z < 1e-9), (0.0, 0.0, 0.0))]
+    )
+    top = mesh.faces_on(lambda x, y, z: z > lc - 1e-9)
+    loads = fcvm_tpu.Loads(
+        traction_faces=top, tractions=np.tile([0, 0, -p], (len(top), 1))
+    )
+    model = fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads)
+    params = fcvm_tpu.ControlParams(
+        sig_yield=sy, nstep=14, iterat_max=25, error_max=1e-8,
+        et_e=0.0, gnl="GNLY", max_imp=0.4, ev1=1.0, ev2=0.0, target_lf=99.0,
+    )
+
+    def cont(h, i):
+        if len(h.lbd) > 55:
+            return "stop"
+        if len(h.lbd) > 8 and max(h.lbd) > 3 and h.lbd[-1] < 0.93 * max(h.lbd):
+            return "stop"
+        return "add"
+
+    cfg = get_config()
+    old = cfg.solver
+    cfg.solver = "scipy"
+    try:
+        res = fcvm_tpu.solve_collapse(model, params, continuation=cont)
+    finally:
+        cfg.solver = old
+    squash = sy / p  # 7.5
+    peak = max(res.history.lbd)
+    assert res.eigenvalues is not None and res.eigenvalues[0] > squash * 0.9
+    # ultimate: below the plastic limit AND the elastic buckling factor,
+    # but not far below (interaction knock-down, not a premature failure)
+    assert 0.80 * squash < peak < squash
+    assert peak < res.eigenvalues[0]
+    assert float(np.asarray(res.peeq_gp).max()) > 1e-5  # yielding occurred
+    # the imperfection really was added to the geometry (torsional shape)
+    np.testing.assert_allclose(
+        np.abs(res.coords - res.coords_old).max(), 0.4, rtol=1e-9
+    )
