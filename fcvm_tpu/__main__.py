@@ -7,6 +7,8 @@ The batch equivalent of the reference workbench's Start / Save / Sum buttons
   buckle  linear buckling factors + mode shapes
   info    parse + validate a case, print the model summary
   bench   quick per-step timing of the case on the current backend
+  sum     post-hoc surface/edge averages from a finished run's .vtk
+          (the Sum button; reads [[sum.*]] groups from the case file)
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ import time
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="fcvm_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
-    for name in ("run", "buckle", "info", "bench"):
+    for name in ("run", "buckle", "info", "bench", "sum"):
         p = sub.add_parser(name)
         p.add_argument("case", help="TOML case file or FreeCAD .FCStd document")
         p.add_argument(
@@ -140,6 +142,52 @@ def main(argv=None):
                 model, res, params, edge_groups, face_groups, outdir=args.outdir
             )
             print(f"wrote {args.outdir}/{model.name}.avr")
+        return 0
+
+    if args.cmd == "sum":
+        # Post-hoc Sum (fcVM_sum.FCMacro): the reference reads CSR/PEEQ/
+        # von Mises from the stored result object of a finished analysis;
+        # we read them back from the run's exported .vtk.
+        from pathlib import Path
+
+        from fcvm_tpu.models.casefile import parse_sum_groups
+        from fcvm_tpu.models.meshio_io import read_vtk
+        from fcvm_tpu.ops import postproc
+        from fcvm_tpu.runtime import report as report_mod
+        from fcvm_tpu.runtime.vtk import read_point_fields
+
+        if str(args.case).lower().endswith(".fcstd"):
+            print("sum needs a TOML case file with [[sum.edge]]/[[sum.face]] "
+                  "groups", file=sys.stderr)
+            return 2
+        edge_groups, face_groups = parse_sum_groups(args.case, model.mesh)
+        if not (edge_groups or face_groups):
+            print("no [[sum.edge]]/[[sum.face]] groups in the case file",
+                  file=sys.stderr)
+            return 2
+        vtk_path = Path(args.outdir) / f"{model.name}.vtk"
+        if not vtk_path.exists():
+            print(f"{vtk_path} not found — run the analysis first",
+                  file=sys.stderr)
+            return 2
+        fields = read_point_fields(vtk_path)
+        peeq = fields["Equivalent_Plastic_Strain"]
+        csr = fields["Critical_Strain_Ratio"]
+        svm = fields["von_Mises_Stress"]
+        coords = read_vtk(vtk_path).coords  # run-time (possibly seeded) coords
+        e_names, f_names = list(edge_groups), list(face_groups)
+        e_len, (e_peeq, e_csr, e_svm) = postproc.integrate_edges(
+            [edge_groups[k] for k in e_names], coords, peeq, csr, svm
+        )
+        f_area, (f_peeq, f_csr, f_svm) = postproc.integrate_faces(
+            [face_groups[k] for k in f_names], coords, peeq, csr, svm
+        )
+        report_mod.write_avr(
+            vtk_path.with_suffix(".avr"), model.name,
+            e_names, e_len, e_peeq, e_csr, e_svm,
+            f_names, f_area, f_peeq, f_csr, f_svm,
+        )
+        print(f"wrote {vtk_path.with_suffix('.avr')}")
         return 0
 
     if args.cmd == "bench":

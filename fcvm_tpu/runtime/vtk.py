@@ -108,6 +108,58 @@ def write_vtk(
     Path(path).write_bytes(b"\n".join(lines) + b"\n")
 
 
+def read_point_fields(path) -> dict:
+    """Read the nodal fields back from a :func:`write_vtk` export.
+
+    Inverse of this module's own ASCII layout (FIELD FieldData entries +
+    VECTORS blocks).  Enables the post-hoc "Sum" workflow: the reference's
+    Sum button reads CSR/PEEQ/von Mises from the stored result object
+    (``fcVM_sum.FCMacro:80-101``); ours reads them from the exported
+    ``.vtk`` so surface averages can be computed any time after a run.
+    Field names come back with the underscores the writer substituted for
+    spaces.
+    """
+    lines = Path(path).read_bytes().split(b"\n")
+    try:
+        i = next(k for k, ln in enumerate(lines) if ln.startswith(b"POINT_DATA"))
+    except StopIteration:
+        raise ValueError(f"{path}: no POINT_DATA section") from None
+    nn = int(lines[i].split()[1])
+
+    def take(count, k):
+        vals: list = []
+        while len(vals) < count:
+            vals.extend(lines[k].split())
+            k += 1
+        return np.array(vals[:count], dtype=np.float64), k
+
+    fields: dict = {}
+    k = i + 1
+    while k < len(lines):
+        ln = lines[k].split()
+        if not ln:
+            k += 1
+            continue
+        if ln[0] == b"FIELD":
+            nf = int(ln[2])
+            k += 1
+            for _ in range(nf):
+                name, ncomp, n, _ = lines[k].split()
+                k += 1
+                arr, k = take(int(ncomp) * int(n), k)
+                if int(ncomp) > 1:
+                    arr = arr.reshape(int(n), int(ncomp))
+                fields[name.decode()] = arr
+        elif ln[0] == b"VECTORS":
+            name = ln[1].decode()
+            k += 1
+            arr, k = take(3 * nn, k)
+            fields[name] = arr.reshape(nn, 3)
+        else:
+            k += 1
+    return fields
+
+
 def export_results(
     path,
     results,

@@ -345,3 +345,31 @@ def test_cli_checkpoint_then_resume(tmp_path):
     rows1 = [ln for ln in t1 if ln.strip() and ln.lstrip()[0].isdigit()]
     rows2 = [ln for ln in t2 if ln.strip() and ln.lstrip()[0].isdigit()]
     assert rows1 and rows1[-1] == rows2[-1]
+
+
+def test_cli_posthoc_sum_matches_inrun(tmp_path):
+    """`fcvm_tpu sum` recomputes the .avr from a finished run's .vtk
+    (the reference Sum-button workflow on stored results) and must
+    reproduce the in-run report."""
+    from fcvm_tpu.__main__ import main
+
+    p = tmp_path / "case.toml"
+    p.write_text(
+        CASE
+        + """
+[[sum.face]]
+name = "loaded_face"
+where = "x > 10.0 - 1e-9"
+
+[[sum.edge]]
+name = "bottom_edge"
+where = "(y < 1e-9) & (z < 1e-9)"
+"""
+    )
+    outdir = tmp_path / "out"
+    assert main(["run", str(p), "--outdir", str(outdir)]) == 0
+    inrun = (outdir / "cli_box.avr").read_text()
+    (outdir / "cli_box.avr").unlink()
+    assert main(["sum", str(p), "--outdir", str(outdir)]) == 0
+    posthoc = (outdir / "cli_box.avr").read_text()
+    assert posthoc == inrun
