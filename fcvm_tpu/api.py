@@ -50,7 +50,11 @@ def run_analysis(
     )
     t["solve"] = time.time() - t0
 
-    if outdir is not None:
+    # Under a multi-host jax.distributed launch every process runs the same
+    # SPMD program; file outputs are written once, by process 0.
+    import jax
+
+    if outdir is not None and jax.process_index() == 0:
         out = Path(outdir)
         out.mkdir(parents=True, exist_ok=True)
         t0 = time.time()

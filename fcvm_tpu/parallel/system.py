@@ -166,6 +166,12 @@ class ShardedSystem(LocalSystem):
         )
 
     def gauss_to_user(self, a):
+        if jax.process_count() > 1:
+            # Shards on other hosts are not addressable; gather the global
+            # element axis to every process before the host-side reorder.
+            from jax.experimental import multihost_utils
+
+            a = multihost_utils.process_allgather(a, tiled=True)
         return np.asarray(a)[self._epos]
 
     def user_to_gauss(self, a):
@@ -182,8 +188,14 @@ class ShardedSystem(LocalSystem):
             f, mesh=self.dmesh, in_specs=in_specs, out_specs=out_specs
         )
 
-    def _kv_m(self, esm, u_m):
-        """Raw ``K @ v`` in the Morton node numbering (one psum)."""
+    def _kv_m(self, esm, eln_m, u_m):
+        """Raw ``K @ v`` in the Morton node numbering (one psum).
+
+        ``eln_m`` (the sharded Morton connectivity) is threaded as an
+        argument, never a closure: under an outer ``jax.jit`` a closed-over
+        partitioned array must be fetched as a host constant, which is
+        impossible when its shards live on other processes (multi-host).
+        """
         nn = self.nn_pad
 
         def local(esm_l, eln_l, u_r):
@@ -195,14 +207,14 @@ class ShardedSystem(LocalSystem):
             )
             return jax.lax.psum(y, "e")
 
-        y3 = self._smap(local, (P("e"), P("e"), P()), P())(esm, self.eln_m_s, u_m)
+        y3 = self._smap(local, (P("e"), P("e"), P()), P())(esm, eln_m, u_m)
         return y3.reshape(-1)
 
-    def _khat_m(self, esm, u_m):
+    def _khat_m(self, esm, eln_m, u_m):
         fm = self.fixmask_m
-        return fm * self._kv_m(esm, fm * u_m) + (1.0 - fm) * u_m
+        return fm * self._kv_m(esm, eln_m, fm * u_m) + (1.0 - fm) * u_m
 
-    def _khat_block_m(self, esm, w):
+    def _khat_block_m(self, esm, eln_m, w):
         """``K_hat @ W`` for a replicated (ndof_m, k) block in ONE pass.
 
         The sharded counterpart of ``ops.deflation.block_khat_matvec``:
@@ -223,19 +235,19 @@ class ShardedSystem(LocalSystem):
             return jax.lax.psum(y, "e")
 
         y3 = self._smap(local, (P("e"), P("e"), P()), P())(
-            esm, self.eln_m_s, wp
+            esm, eln_m, wp
         )
         kw = fm[:, None] * y3.reshape(-1, w.shape[1])
         return kw + (1.0 - fm)[:, None] * w
 
-    def _pinv_m(self, esm):
+    def _pinv_m(self, esm, eln_m):
         """Replicated (nn, 3, 3) block-Jacobi inverses in Morton node order."""
         nn = self.nn_pad
 
         def local(esm_l, eln_l):
             return jax.lax.psum(_nodal_diag_blocks(esm_l, eln_l, nn), "e")
 
-        nodal = self._smap(local, (P("e"), P("e")), P())(esm, self.eln_m_s)
+        nodal = self._smap(local, (P("e"), P("e")), P())(esm, eln_m)
         m3 = self.fixmask_m.reshape(nn, 3)
         mask_ij = m3[:, :, None] * m3[:, None, :]
         eye = jnp.eye(3, dtype=esm.dtype)
@@ -279,7 +291,8 @@ class ShardedSystem(LocalSystem):
                 jax.lax.psum(volume, "e"),
             )
 
-        def assemble_fn(coords, dmat_s, density_s, fixmask, u_fix):
+        def assemble_fn(coords, eln_s, eln_m, weights, dmat_s, density_s,
+                        fixmask, u_fix):
             def local(coords_r, eln_l, w_l, dmat_l):
                 dm = dmat_l if dmat_l.ndim == 3 else dmat_l
                 esm = asm.elastic_stiffness_blocks(coords_r, eln_l, dm)
@@ -288,15 +301,15 @@ class ShardedSystem(LocalSystem):
             dspec = P("e") if self.dmat.ndim == 3 else P()
             esm = self._smap(
                 local, (P(), P("e"), P("e"), dspec), P("e")
-            )(coords, self.eln_s, self.weights, dmat_s)
-            pinv = self._pinv_m(esm)
+            )(coords, eln_s, weights, dmat_s)
+            pinv = self._pinv_m(esm, eln_m)
 
             dsp = P("e") if self.density.ndim == 1 else P()
             glv_g, gp_coords, volume = self._smap(
                 partial(gp_gravity_local, grav=loads.gravity),
                 (P(), P("e"), P("e"), dsp),
                 (P(), P("e"), P()),
-            )(coords, self.eln_s, self.weights, density_s)
+            )(coords, eln_s, weights, density_s)
 
             # small-table loads: replicated (identical on every device)
             glv = glv_g
@@ -316,17 +329,17 @@ class ShardedSystem(LocalSystem):
 
             # Dirichlet RHS in Morton space, mapped back to user order
             u_fix_m = space.to_m(u_fix)
-            modf_m = -self.fixmask_m * self._kv_m(esm, u_fix_m)
+            modf_m = -self.fixmask_m * self._kv_m(esm, eln_m, u_fix_m)
             rhs_m = self.fixmask_m * space.to_m(glv) + modf_m + u_fix_m
             rhs = space.from_m(rhs_m)
             return esm, pinv, glv, rhs, gp_coords, volume, loadsums
 
         self._assemble_jit = jax.jit(assemble_fn)
 
-        def solve_fn(esm, pc, b, x0, defl):
+        def solve_fn(esm, eln_m, pc, b, x0, defl):
             # x0/defl may be None: jit caches per pytree structure, so each
             # (x0?, defl?) combination compiles its own executable once.
-            matvec = lambda u: self._khat_m(esm, u)
+            matvec = lambda u: self._khat_m(esm, eln_m, u)
             precond = deflated(lambda r: apply_precond(pc, r), defl)
             res = slv.pcg(
                 matvec, space.to_m(b), precond=precond,
@@ -337,8 +350,8 @@ class ShardedSystem(LocalSystem):
 
         self._solve_jit = jax.jit(solve_fn)
 
-        def solve_harvest_fn(esm, pc, b, x0, defl, nstore):
-            matvec = lambda u: self._khat_m(esm, u)
+        def solve_harvest_fn(esm, eln_m, pc, b, x0, defl, nstore):
+            matvec = lambda u: self._khat_m(esm, eln_m, u)
             precond = deflated(lambda r: apply_precond(pc, r), defl)
             res, h = slv.pcg_harvest(
                 matvec, space.to_m(b), precond=precond,
@@ -351,23 +364,23 @@ class ShardedSystem(LocalSystem):
             solve_harvest_fn, static_argnames=("nstore",)
         )
 
-        def build_deflation_fn(esm, zs, coef):
+        def build_deflation_fn(esm, eln_m, zs, coef):
             w = self.fixmask_m[:, None] * jnp.einsum(
                 "mn,mk->nk", zs, coef.astype(zs.dtype)
             )
-            kw = w.T @ self._khat_block_m(esm, w)
+            kw = w.T @ self._khat_block_m(esm, eln_m, w)
             return DeflationSpace(w, pinv_psd(kw))
 
         self._build_deflation_jit = jax.jit(build_deflation_fn)
 
-        def regalerkin_fn(esm, w):
-            kw = w.T @ self._khat_block_m(esm, w)
+        def regalerkin_fn(esm, eln_m, w):
+            kw = w.T @ self._khat_block_m(esm, eln_m, w)
             return DeflationSpace(w, pinv_psd(kw))
 
         self._regalerkin_jit = jax.jit(regalerkin_fn)
 
-        def stress_update_fn(coords, sig_yield, disp, du, sig_old,
-                             dmat_s, g_s, h_s, et_e, large_disp):
+        def stress_update_fn(coords, eln_s, weights, sig_yield, disp, du,
+                             sig_old, dmat_s, g_s, h_s, et_e, large_disp):
             def local(coords_r, eln_l, w_l, sy_l, disp_r, du_r, sig_old_l,
                       dmat_l, g_l, h_l):
                 coords_el = coords_r[eln_l]
@@ -392,7 +405,7 @@ class ShardedSystem(LocalSystem):
                 (P(), P("e"), P("e"), P("e"), P(), P(), P("e"),
                  mspec, mspec, mspec),
                 (P("e"), P("e"), P("e"), P()),
-            )(coords, self.eln_s, self.weights, sig_yield, disp, du, sig_old,
+            )(coords, eln_s, weights, sig_yield, disp, du, sig_old,
               dmat_s, g_s, h_s)
             return sig_new, sig_test, pgp, qin3.reshape(-1)
 
@@ -400,11 +413,12 @@ class ShardedSystem(LocalSystem):
             stress_update_fn, static_argnames=("large_disp",)
         )
 
-        def residual_fn(coords, sig_yield, disp_new, du, sig_old, glv,
-                        lbd1, qnorm, dmat_s, g_s, h_s, et_e, large_disp):
+        def residual_fn(coords, eln_s, weights, sig_yield, disp_new, du,
+                        sig_old, glv, lbd1, qnorm, dmat_s, g_s, h_s, et_e,
+                        large_disp):
             sig_new, sig_test, pgp, qin = stress_update_fn(
-                coords, sig_yield, disp_new, du, sig_old, dmat_s, g_s, h_s,
-                et_e, large_disp,
+                coords, eln_s, weights, sig_yield, disp_new, du, sig_old,
+                dmat_s, g_s, h_s, et_e, large_disp,
             )
             r = self.fixmask * (lbd1 * glv - qin)
             error = jnp.linalg.norm(r) / qnorm
@@ -412,9 +426,9 @@ class ShardedSystem(LocalSystem):
 
         self._residual_jit = jax.jit(residual_fn, static_argnames=("large_disp",))
 
-        def tangent_fn(coords, sig_old, pgp, disp_new, du, pc,
-                       dmat_s, g_s, h_s, density_s, u_fix, ue0=None,
-                       w=None, solve_predictor=True):
+        def tangent_fn(coords, eln_s, eln_m, weights, sig_old, pgp,
+                       disp_new, du, pc, dmat_s, g_s, h_s, density_s,
+                       u_fix, ue0=None, w=None, solve_predictor=True):
             coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
 
             def local(coords_r, eln_l, w_l, sig_l, pgp_l, dmat_l, g_l, h_l):
@@ -428,8 +442,7 @@ class ShardedSystem(LocalSystem):
                 local,
                 (P(), P("e"), P("e"), P("e"), P("e"), mspec, mspec, mspec),
                 P("e"),
-            )(coords_def, self.eln_s, self.weights, sig_old, pgp, dmat_s, g_s,
-              h_s)
+            )(coords_def, eln_s, weights, sig_old, pgp, dmat_s, g_s, h_s)
 
             # follower loads: gravity on deformed coordinates (element
             # partition), pressure on the stretched surface + original-
@@ -440,7 +453,7 @@ class ShardedSystem(LocalSystem):
                 partial(gp_gravity_local, grav=loads.gravity),
                 (P(), P("e"), P("e"), dsp),
                 (P(), P("e"), P()),
-            )(coords_def, self.eln_s, self.weights, density_s)
+            )(coords_def, eln_s, weights, density_s)
             glv_t = glv3
             glv_t = glv_t + asm.pressure_face_loads(
                 coords_def, loads.pressure_faces, loads.pressures, ndof_pad
@@ -455,7 +468,7 @@ class ShardedSystem(LocalSystem):
                 loads.vertices, loads.vertex_forces, ndof_pad, dtype
             )
 
-            pinv_t = self._pinv_m(esm_t)
+            pinv_t = self._pinv_m(esm_t, eln_m)
             if isinstance(pc, TwoLevelPrecond):
                 if pc.smooth_inv is not None:
                     pc_t = pc
@@ -465,7 +478,7 @@ class ShardedSystem(LocalSystem):
                 pc_t = pinv_t
 
             u_fix_m = space.to_m(u_fix)
-            modf_m = -self.fixmask_m * self._kv_m(esm_t, u_fix_m)
+            modf_m = -self.fixmask_m * self._kv_m(esm_t, eln_m, u_fix_m)
             rhs_m = self.fixmask_m * space.to_m(glv_t) + modf_m + u_fix_m
             if not solve_predictor:
                 # return the assembled predictor rhs so the driver can run
@@ -476,9 +489,9 @@ class ShardedSystem(LocalSystem):
             defl = None
             if w is not None:
                 # re-Galerkin the load-harvested basis on the fresh tangent
-                kw = w.T @ self._khat_block_m(esm_t, w)
+                kw = w.T @ self._khat_block_m(esm_t, eln_m, w)
                 defl = DeflationSpace(w, pinv_psd(kw))
-            matvec = lambda u: self._khat_m(esm_t, u)
+            matvec = lambda u: self._khat_m(esm_t, eln_m, u)
             precond = deflated(lambda r: apply_precond(pc_t, r), defl)
             res = slv.pcg(
                 matvec, rhs_m, precond=precond,
@@ -491,7 +504,8 @@ class ShardedSystem(LocalSystem):
             tangent_fn, static_argnames=("solve_predictor",)
         )
 
-        def internal_force_fn(coords, sig_gp, disp, large_disp):
+        def internal_force_fn(coords, eln_s, weights, sig_gp, disp,
+                              large_disp):
             def local(coords_r, eln_l, w_l, sig_l, disp_r):
                 coords_el = coords_r[eln_l]
                 if large_disp:
@@ -507,7 +521,7 @@ class ShardedSystem(LocalSystem):
 
             qin3 = self._smap(
                 local, (P(), P("e"), P("e"), P("e"), P()), P()
-            )(coords, self.eln_s, self.weights, sig_gp, disp)
+            )(coords, eln_s, weights, sig_gp, disp)
             return qin3.reshape(-1)
 
         self._internal_force_jit = jax.jit(
@@ -521,7 +535,8 @@ class ShardedSystem(LocalSystem):
             jnp.asarray(np.asarray(coords), dtype=self.dtype), self._sh_r
         )
         return self._assemble_jit(
-            coords_dev, self.dmat_s, self.density_s, self.fixmask, self.u_fix
+            coords_dev, self.eln_s, self.eln_m_s, self.weights,
+            self.dmat_s, self.density_s, self.fixmask, self.u_fix,
         )
 
     def make_pc(self, esm, pinv, coords_dev):
@@ -535,7 +550,7 @@ class ShardedSystem(LocalSystem):
         )
 
         @partial(jax.jit, static_argnames=("cs",))
-        def acc(esm_s, qbc, cs):
+        def acc(esm_s, eln_m, qbc, cs):
             def local(esm_l, eln_l, qbc_r):
                 ncl = qbc_r.shape[0] // cs
                 nm = qbc_r.shape[2]
@@ -548,10 +563,10 @@ class ShardedSystem(LocalSystem):
                 )
 
             return self._smap(local, (P("e"), P("e"), P()), P())(
-                esm_s, self.eln_m_s, qbc
+                esm_s, eln_m, qbc
             )
 
-        kc = acc(esm, qmat_bc, cluster_size)
+        kc = acc(esm, self.eln_m_s, qmat_bc, cluster_size)
         coarse_inv = None
         for ridge in (3.0e-4, 3.0e-3, 3.0e-2, 3.0e-1):
             coarse_inv = coarse_invert(kc, jnp.asarray(ridge, esm.dtype))
@@ -568,24 +583,27 @@ class ShardedSystem(LocalSystem):
         return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, self.fixmask_m, None)
 
     def solve(self, esm, pc, b, x0=None, defl=None):
-        return self._solve_jit(esm, pc, b, x0, defl)
+        return self._solve_jit(esm, self.eln_m_s, pc, b, x0, defl)
 
     # -- Ritz-deflation recycling (sharded; see ops.deflation) ---------------
 
     def solve_harvest(self, esm, pc, b, x0=None, defl=None, nstore=64):
-        return self._solve_harvest_jit(esm, pc, b, x0, defl, nstore=nstore)
+        return self._solve_harvest_jit(
+            esm, self.eln_m_s, pc, b, x0, defl, nstore=nstore
+        )
 
     def build_deflation(self, esm, zs, coef):
-        return self._build_deflation_jit(esm, zs, jnp.asarray(coef))
+        return self._build_deflation_jit(esm, self.eln_m_s, zs, jnp.asarray(coef))
 
     def make_deflation(self, esm, w):
-        return self._regalerkin_jit(esm, w)
+        return self._regalerkin_jit(esm, self.eln_m_s, w)
 
     def residual(self, coords, sig_yield, disp_new, du, sig_old, glv,
                  lbd1, qnorm, et_e, large_disp):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._residual_jit(
-            coords, sig_yield, disp_new, du, sig_old, glv,
+            coords, self.eln_s, self.weights, sig_yield, disp_new, du,
+            sig_old, glv,
             jnp.asarray(lbd1, self.dtype), jnp.asarray(qnorm, self.dtype),
             self.dmat_s, self.g_s, h, jnp.asarray(et_e, self.dtype),
             large_disp,
@@ -595,7 +613,8 @@ class ShardedSystem(LocalSystem):
                         ue0=None, w=None, solve_predictor=True):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._tangent_jit(
-            coords, sig_old, pgp, disp_new, du, pc,
+            coords, self.eln_s, self.eln_m_s, self.weights, sig_old, pgp,
+            disp_new, du, pc,
             self.dmat_s, self.g_s, h, self.density_s, self.u_fix, ue0,
             w, solve_predictor=solve_predictor,
         )
@@ -604,12 +623,15 @@ class ShardedSystem(LocalSystem):
                       large_disp):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._stress_update_jit(
-            coords, sig_yield, disp, du, sig_old, self.dmat_s, self.g_s, h,
+            coords, self.eln_s, self.weights, sig_yield, disp, du, sig_old,
+            self.dmat_s, self.g_s, h,
             jnp.asarray(et_e, self.dtype), large_disp,
         )
 
     def internal_force(self, coords, sig_gp, disp, large_disp):
-        return self._internal_force_jit(coords, sig_gp, disp, large_disp)
+        return self._internal_force_jit(
+            coords, self.eln_s, self.weights, sig_gp, disp, large_disp
+        )
 
     def buckling(self, coords, sig_el_gp, k=2):
         """Sharded (K, -G) pencil eigensolve: element blocks, multi-vector
@@ -649,9 +671,10 @@ class ShardedSystem(LocalSystem):
         fm = self.fixmask_m
 
         def multi_mv(identity_on_fixed, negate=False):
-            # blocks are a jit ARGUMENT (not a closure — see the local
-            # tier's _multi_matvec: remote-compile payload limit)
-            def mv(blocks, u):
+            # blocks and the sharded connectivity are jit ARGUMENTS (not
+            # closures — remote-compile payload limit on the local tier,
+            # non-addressable-shard constants on multi-host)
+            def mv(blocks, eln_m, u):
                 def local(blocks_l, eln_l, u_r):
                     up = (fm[:, None] * u_r).reshape(nn_pad, 3, -1)[eln_l]
                     ne_l = eln_l.shape[0]
@@ -666,7 +689,7 @@ class ShardedSystem(LocalSystem):
                     return jax.lax.psum(y, "e")
 
                 y3 = self._smap(local, (P("e"), P("e"), P()), P())(
-                    blocks, self.eln_m_s, u
+                    blocks, eln_m, u
                 )
                 y = fm[:, None] * y3.reshape(ndof_pad, -1)
                 if identity_on_fixed:
@@ -677,10 +700,10 @@ class ShardedSystem(LocalSystem):
 
         _kmv = multi_mv(True)
         _mg = multi_mv(False, negate=True)
-        kmv = lambda u: _kmv(esm, u)
-        minus_g = lambda u: _mg(nsm, u)
+        kmv = lambda u: _kmv(esm, self.eln_m_s, u)
+        minus_g = lambda u: _mg(nsm, self.eln_m_s, u)
 
-        pinv = self._pinv_m(esm)
+        pinv = self._pinv_m(esm, self.eln_m_s)
         pc = self.make_pc(esm, pinv, coords_dev)
         rtol = min(self.rtol, 1.0e-10)
         # stagnation exit instead of a floored rtol — see
@@ -701,13 +724,13 @@ class ShardedSystem(LocalSystem):
             cfg, ndof_pad, jnp.dtype(dtype).itemsize
         )
 
-        # esm/pc as jit ARGUMENTS, not closures (see the local tier)
-        def _kinv(esm_a, pc_a, w, defl, x0_basis, x0_scale):
+        # esm/eln/pc as jit ARGUMENTS, not closures (see the local tier)
+        def _kinv(esm_a, eln_m, pc_a, w, defl, x0_basis, x0_scale):
             prec = defl_ops.deflated(lambda r: apply_precond(pc_a, r), defl)
 
             def solve_col(b, x0c):
                 return slv.pcg(
-                    lambda u: self._khat_m(esm_a, u),
+                    lambda u: self._khat_m(esm_a, eln_m, u),
                     b, precond=prec, x0=x0c, rtol=rtol, maxiter=self.maxiter,
                     stall=stall,
                 ).x
@@ -721,9 +744,9 @@ class ShardedSystem(LocalSystem):
 
         _kinv_jit = jax.jit(_kinv)
 
-        def _harvest(esm_a, pc_a, b):
+        def _harvest(esm_a, eln_m, pc_a, b):
             return slv.pcg_harvest(
-                lambda u: self._khat_m(esm_a, u), b,
+                lambda u: self._khat_m(esm_a, eln_m, u), b,
                 precond=lambda r: apply_precond(pc_a, r),
                 rtol=rtol, maxiter=self.maxiter, nstore=nstore, stall=stall,
             )
@@ -731,8 +754,10 @@ class ShardedSystem(LocalSystem):
         _harvest_jit = jax.jit(_harvest)
 
         k_inverse = make_recycled_k_inverse(
-            lambda w, defl, xb, xs: _kinv_jit(esm, pc, w, defl, xb, xs),
-            lambda b: _harvest_jit(esm, pc, b),
+            lambda w, defl, xb, xs: _kinv_jit(
+                esm, self.eln_m_s, pc, w, defl, xb, xs
+            ),
+            lambda b: _harvest_jit(esm, self.eln_m_s, pc, b),
             lambda zs, coef: self.build_deflation(esm, zs, coef),
             k_defl, cfg.deflation_min_iters, cfg.deflation,
         )

@@ -161,6 +161,10 @@ def solve_collapse(
     dtype = cfg.resolve_dtype()
     log = progress or (lambda s: None)
     timers = PhaseTimers()
+    if checkpoint_path and jax.process_index() != 0:
+        # multi-host SPMD: every process computes identical state; only
+        # process 0 touches the checkpoint directory
+        checkpoint_path = None
 
     large_disp = params.large_disp
     relax = 1.0 if large_disp else params.relax

@@ -294,9 +294,9 @@ def test_sharded_block_matvec_matches_columnwise():
     esm, pinv, glv, rhs, gpc, vol, ls = be.assemble(model.mesh.coords)
     rng = np.random.default_rng(7)
     w = jnp.asarray(rng.normal(size=(be.ndof_pad, 5)))
-    kw = np.asarray(be._khat_block_m(esm, w))
+    kw = np.asarray(be._khat_block_m(esm, be.eln_m_s, w))
     cols = np.stack(
-        [np.asarray(be._khat_m(esm, w[:, j])) for j in range(5)], axis=1
+        [np.asarray(be._khat_m(esm, be.eln_m_s, w[:, j])) for j in range(5)], axis=1
     )
     np.testing.assert_allclose(kw, cols, rtol=1e-12, atol=1e-9)
 
