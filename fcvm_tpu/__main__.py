@@ -56,6 +56,19 @@ def main(argv=None):
             "--gif", action="store_true",
             help="also write the orbital clip-view GIF",
         )
+        p.add_argument(
+            "--distributed", action="store_true",
+            help="multi-host SPMD: call jax.distributed.initialize() so the "
+            "device mesh spans every process (launch the same command on "
+            "each host; on TPU pods the coordinator is auto-detected)",
+        )
+        p.add_argument(
+            "--coordinator", default=None, metavar="HOST:PORT",
+            help="with --distributed off TPU pods: coordinator address "
+            "(also needs --num-processes / --process-id)",
+        )
+        p.add_argument("--num-processes", type=int, default=None)
+        p.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
 
     import jax
@@ -64,6 +77,18 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+
+    if args.distributed:
+        # Platform config above must precede backend/distributed init.
+        kw = {}
+        if args.coordinator is not None:
+            kw = dict(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+                cluster_detection_method="deactivate",
+            )
+        jax.distributed.initialize(**kw)
 
     import fcvm_tpu
     from fcvm_tpu.models.casefile import load_case
@@ -82,6 +107,9 @@ def main(argv=None):
         params.nstep = args.steps
     if args.devices:
         fcvm_tpu.get_config().n_devices = args.devices
+    elif args.distributed:
+        # multi-host default: shard over every device of the global mesh
+        fcvm_tpu.get_config().n_devices = jax.device_count()
 
     if args.cmd == "info":
         m = model.mesh
@@ -106,15 +134,17 @@ def main(argv=None):
         return 0
 
     if args.cmd == "run":
+        # under --distributed every process solves; only rank 0 narrates
+        say = print if jax.process_index() == 0 else (lambda *a, **k: None)
         res = fcvm_tpu.run_analysis(
             model, params, outdir=args.outdir,
             checkpoint=args.checkpoint, resume_from=args.resume,
-            progress=print,
+            progress=say,
         )
         h = res.history
-        print(f"final load level: {h.lbd[-1]:.5f}  max |u|: {max(h.un):.5e}  "
-              f"PEEQ max: {h.peeqmax[-1]:.4e}  CSR max: {h.csr[-1]:.4e}")
-        if args.gif:
+        say(f"final load level: {h.lbd[-1]:.5f}  max |u|: {max(h.un):.5e}  "
+            f"PEEQ max: {h.peeqmax[-1]:.4e}  CSR max: {h.csr[-1]:.4e}")
+        if args.gif and jax.process_index() == 0:
             from fcvm_tpu.runtime.viz import save_orbit_gif
             from fcvm_tpu.runtime.vtk import _elements_per_node
             from fcvm_tpu.ops import postproc
@@ -130,18 +160,18 @@ def main(argv=None):
                 __import__("numpy").asarray(res.coords),
                 model.mesh.elnodes, csr_n,
             )
-        print(f"wrote {args.outdir}/{model.name}.out .vtk .png")
+        say(f"wrote {args.outdir}/{model.name}.out .vtk .png")
         from fcvm_tpu.models.casefile import parse_sum_groups
 
         if str(args.case).lower().endswith(".fcstd"):
             edge_groups, face_groups = {}, {}
         else:
             edge_groups, face_groups = parse_sum_groups(args.case, model.mesh)
-        if edge_groups or face_groups:
+        if (edge_groups or face_groups) and jax.process_index() == 0:
             fcvm_tpu.run_sum(
                 model, res, params, edge_groups, face_groups, outdir=args.outdir
             )
-            print(f"wrote {args.outdir}/{model.name}.avr")
+            say(f"wrote {args.outdir}/{model.name}.avr")
         return 0
 
     if args.cmd == "sum":

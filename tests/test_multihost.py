@@ -100,6 +100,84 @@ def _run_reference_singleprocess():
     }
 
 
+CLI_CASE = """
+name = "mh_cli"
+[mesh.generator]
+kind = "box"
+nx = 2
+lx = 10.0
+
+[material]
+e = 210000.0
+nu = 0.3
+
+[control]
+sig_yield = 60.0
+nstep = 2
+error_max = 1e-8
+et_e = 0.1
+target_lf = 99.0
+
+[[bc]]
+where = "x < 1e-9"
+ux = 0.0
+uy = 0.0
+uz = 0.0
+
+[[load.face]]
+where = "x > 10.0 - 1e-9"
+traction = [50.0, 0.0, 0.0]
+"""
+
+
+def test_cli_distributed_two_processes(tmp_path):
+    """`python -m fcvm_tpu run --distributed` across two OS processes.
+
+    The user-facing multi-host launch: the same CLI command on every host,
+    rank resolved from --process-id.  Process 0 writes the output bundle,
+    other ranks stay silent and write nothing.
+    """
+    case = tmp_path / "case.toml"
+    case.write_text(CLI_CASE)
+    outdirs = [tmp_path / "out0", tmp_path / "out1"]
+    port = _free_port()
+    nproc, n_local = 2, 2
+    procs = []
+    for pid in range(nproc):
+        env = dict(os.environ)
+        env["XLA_FLAGS"] = (
+            env.get("XLA_FLAGS", "")
+            .replace("--xla_force_host_platform_device_count=8", "")
+            + f" --xla_force_host_platform_device_count={n_local}"
+        ).strip()
+        env.pop("PYTHONPATH", None)
+        procs.append(
+            subprocess.Popen(
+                [
+                    sys.executable, "-m", "fcvm_tpu", "run", str(case),
+                    "--outdir", str(outdirs[pid]), "--cpu", "--x64",
+                    "--distributed",
+                    "--coordinator", f"127.0.0.1:{port}",
+                    "--num-processes", str(nproc),
+                    "--process-id", str(pid),
+                ],
+                env=env,
+                cwd=REPO,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+        )
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {pid} failed:\n{out[-6000:]}"
+    assert "final load level" in outs[0]
+    assert (outdirs[0] / "mh_cli.out").exists()
+    # rank 1 narrates nothing and writes nothing
+    assert "final load level" not in outs[1]
+    assert not (outdirs[1] / "mh_cli.out").exists()
+
+
 def test_two_process_gloo_matches_single_process(tmp_path):
     port = _free_port()
     outfile = str(tmp_path / "hist0.json")
