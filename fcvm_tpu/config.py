@@ -116,6 +116,15 @@ class FcvmConfig:
     # the undeflated 56 — re-harvesting at 48 costs one undeflated solve
     # and restores the ~25% per-solve saving.
     deflation_refresh_iters: int = 48
+    # GNL tangent-predictor load-space recycling (the ``lstate`` machinery
+    # in runtime/driver.py).  Separate switch from the residual-space
+    # recycling above because the predictor is ALSO warm-started from the
+    # previous predictor solution, and on the real TPU at 499k dof the warm
+    # start alone already reaches the deflated iteration count
+    # (tools/gnl_refresh_probe.py: cold 88 iters/1387 ms, warm 21/499,
+    # warm+W 21/720 — the load space adds re-Galerkin + W-traffic cost and
+    # zero iterations).  Env: FCVM_LOAD_DEFLATION=0 disables.
+    load_deflation: bool = True
     # The buckling eigensolve re-solves ONE fixed operator for m columns x
     # up to 60 sweeps at rtol <= 1e-10, so its harvest wants to go much
     # deeper than the driver's 64-slot buffer (a 64-step Lanczos prefix of
@@ -174,6 +183,10 @@ if os.environ.get("FCVM_CG_RTOL"):
     _config.cg_rtol = float(os.environ["FCVM_CG_RTOL"])
 if os.environ.get("FCVM_DEFLATION"):
     _config.deflation = os.environ["FCVM_DEFLATION"] not in ("0", "off", "false")
+if os.environ.get("FCVM_LOAD_DEFLATION"):
+    _config.load_deflation = os.environ["FCVM_LOAD_DEFLATION"] not in (
+        "0", "off", "false"
+    )
 if os.environ.get("FCVM_ARC"):
     _config.arc_length = os.environ["FCVM_ARC"]
 if os.environ.get("FCVM_DTYPE"):

@@ -233,6 +233,9 @@ def solve_collapse(
         and cfg.solver == "cg"
         and getattr(backend, "supports_deflation", False)
     )
+    # predictor load-space recycling: separately switchable (the warm start
+    # already covers the predictor — see config.load_deflation)
+    use_ldefl = use_deflation and cfg.load_deflation
     # arc-length flavor: reference-faithful linearized Riks (default) or
     # the spherical Crisfield constraint (traverses snapback folds)
     riks_fn = (sysm.riks_update_crisfield if cfg.arc_length == "crisfield"
@@ -538,13 +541,13 @@ def solve_collapse(
                         # predictor — don't pay a CG solve in-jit just to
                         # discard it
                         want_cg = cfg.solver != "scipy"
-                        # (use_deflation already implies the cg solver)
-                        lharvest = (use_deflation and lstate["w"] is None
+                        # (use_ldefl already implies the cg solver)
+                        lharvest = (use_ldefl and lstate["w"] is None
                                     and lstate["armed"])
                         esm_t, pc_t, glv, out, itp = backend.tangent_refresh(
                             coords, sig_old, pgp, disp_new, du, lin.pc, et_e,
                             ue0=ue if want_cg else None,
-                            w=lstate["w"] if use_deflation else None,
+                            w=lstate["w"] if use_ldefl else None,
                             solve_predictor=want_cg and not lharvest,
                         )
                         if lharvest:

@@ -163,3 +163,34 @@ def test_driver_deflation_gate_skips_small_solves():
         np.asarray(res_on.history.lbd), np.asarray(res_off.history.lbd),
         atol=1e-12,
     )
+
+
+def test_driver_load_deflation_switch_preserves_physics():
+    """The predictor load-space recycling (GNL tangent path) is separately
+    switchable: with ``load_deflation`` off the predictor runs on its warm
+    start alone (the TPU-measured equal-iteration policy,
+    tools/gnl_refresh_probe.py) and the converged physics is unchanged."""
+    mesh, model = uniaxial_model(2)
+    params = ControlParams(nstep=6, sig_yield=SY0, et_e=0.1,
+                           error_max=1e-8, target_lf=2.8,
+                           gnl="GNLY", max_imp=0.0)
+    cfg = cfgmod.get_config()
+    old_min = cfg.deflation_min_iters
+    cfg.deflation_min_iters = 5
+    logs_on, logs_off = [], []
+    try:
+        res_on = solve_collapse(model, params, progress=logs_on.append)
+        cfg.load_deflation = False
+        res_off = solve_collapse(model, params, progress=logs_off.append)
+    finally:
+        cfg.deflation_min_iters = old_min
+        cfg.load_deflation = True
+    assert any("load-deflation space" in l for l in logs_on)
+    assert not any("load-deflation space" in l for l in logs_off)
+    np.testing.assert_allclose(
+        np.asarray(res_on.history.lbd), np.asarray(res_off.history.lbd),
+        atol=5e-7,
+    )
+    np.testing.assert_allclose(
+        res_on.disp_total, res_off.disp_total, atol=1e-8
+    )
