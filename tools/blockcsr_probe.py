@@ -122,7 +122,6 @@ def main():
     )
     esm_m = jax.block_until_ready(esm[space.eperm])
     eldofs = asm_ops.element_dof_ids(space.elnodes_m)
-    kv_ref = asm_ops.make_matvec(esm_m, eldofs, nd_pad, plan=space.plan_m)
 
     t0 = time.perf_counter()
     buckets, invperm_np = build_blockcsr(
@@ -137,16 +136,22 @@ def main():
     invperm = jnp.asarray(invperm_np)
     nzero = nn_pad - sum(b[0].shape[0] for b in buckets)
 
-    def kv_csr(u):
+    # big operands (element blocks 425 MB, CSR blocks ~170 MB) are jit
+    # ARGUMENTS — a closure over them trips the axon remote-compile payload
+    # limit (HTTP 413); the small index tables stay closures
+    def f_ref(esm_a, u):
+        return asm_ops.make_matvec(esm_a, eldofs, nd_pad, plan=space.plan_m)(u)
+
+    def f_csr(blks_a, u):
         x3 = u.reshape(nn_pad, 3)
         outs = [
             jnp.einsum("ndab,ndb->na", bb, x3[nb])
-            for nb, bb in zip(nbrs, blks)
+            for nb, bb in zip(nbrs, blks_a)
         ]
         outs.append(jnp.zeros((nzero, 3), u.dtype))
         return jnp.concatenate(outs)[invperm].reshape(-1)
 
-    def kv_gather_floor(u):
+    def f_gather_floor(_, u):
         # index traffic only: same gathers, no block math
         x3 = u.reshape(nn_pad, 3)
         outs = [x3[nb].sum(axis=1) for nb in nbrs]
@@ -156,8 +161,8 @@ def main():
     # correctness
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(nd_pad), dtype)
-    y_ref = jax.block_until_ready(jax.jit(kv_ref)(x))
-    y_csr = jax.block_until_ready(jax.jit(kv_csr)(x))
+    y_ref = jax.block_until_ready(jax.jit(f_ref)(esm_m, x))
+    y_csr = jax.block_until_ready(jax.jit(f_csr)(blks, x))
     err = float(jnp.max(jnp.abs(y_csr - y_ref)) / jnp.max(jnp.abs(y_ref)))
     log(f"correctness: rel max err {err:.2e}")
     assert err < 5e-5, "block-CSR disagrees with the element operator"
@@ -166,25 +171,25 @@ def main():
     ITERS = 50
 
     def chained(f):
-        def run(u):
+        def run(p, u):
             def body(_, v):
-                w = f(v)
+                w = f(p, v)
                 return w * jax.lax.rsqrt(jnp.vdot(w, w) + 1e-30)
             return jax.lax.fori_loop(0, ITERS, body, u)
         return jax.jit(run)
 
-    for name, f in (
-        ("element+ScatterPlan", kv_ref),
-        ("block-CSR", kv_csr),
-        ("block-CSR gather floor", kv_gather_floor),
+    for name, f, p in (
+        ("element+ScatterPlan", f_ref, esm_m),
+        ("block-CSR", f_csr, blks),
+        ("block-CSR gather floor", f_gather_floor, blks),
     ):
         run = chained(f)
-        _ = float(run(x).sum())  # compile
+        _ = float(run(p, x).sum())  # compile
         times = []
         for k in range(3):
             xk = x * (1.0 + 1e-6 * (k + 1))
             t0 = time.perf_counter()
-            _ = float(run(xk).sum())
+            _ = float(run(p, xk).sum())
             times.append(time.perf_counter() - t0)
         t = min(times) / ITERS
         log(f"{name:26s}: {t * 1e3:7.2f} ms/matvec")
