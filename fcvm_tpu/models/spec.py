@@ -69,6 +69,37 @@ class Mesh:
         m = predicate(self.coords[:, 0], self.coords[:, 1], self.coords[:, 2])
         return np.where(m)[0].astype(np.int32)
 
+    def validate(self):
+        """Fail fast on meshes the solver cannot produce physics for.
+
+        The reference inherits mesh sanity from FreeCAD/SMESH and crashes
+        deep inside numba on a bad one; here a broken import (wrong node
+        order, duplicated nodes, inside-out connectivity) is reported at
+        ingest with the offending element ids.  Checks: connectivity in
+        range, and positive corner-tet volume ``det[x1-x0, x2-x0, x3-x0]``
+        for every element (the tet10 Gauss detJ has the same sign for
+        straight-sided elements).
+        """
+        if self.elnodes.size == 0:
+            raise ValueError("mesh has no elements")
+        if self.elnodes.min() < 0 or self.elnodes.max() >= self.n_nodes:
+            raise ValueError(
+                "mesh connectivity references node "
+                f"{int(self.elnodes.max())} but only {self.n_nodes} nodes "
+                "exist (or a negative id)"
+            )
+        x = self.coords[self.elnodes[:, :4]]  # (ne, 4, 3) corner nodes
+        e = x[:, 1:] - x[:, :1]  # (ne, 3, 3) edge vectors
+        vol6 = np.linalg.det(e)
+        bad = np.where(vol6 <= 0.0)[0]
+        if len(bad):
+            raise ValueError(
+                f"{len(bad)} inverted/degenerate tet element(s), e.g. ids "
+                f"{bad[:8].tolist()} (corner volume <= 0) — check node "
+                "ordering (Gmsh vs CalculiX midside conventions) or "
+                "duplicated nodes"
+            )
+
     def boundary_faces(self) -> np.ndarray:
         """All exterior tri6 faces, outward-ordered, as (nf, 6) node ids.
 

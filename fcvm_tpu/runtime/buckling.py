@@ -369,6 +369,7 @@ def linear_buckling(model, params, k: int = 2):
     from fcvm_tpu.config import enable_compilation_cache
 
     enable_compilation_cache()
+    model.mesh.validate()  # fail fast, not deep inside a jit
     dtype = cfg.resolve_dtype()
     mesh = model.mesh
     coords = jnp.asarray(mesh.coords, dtype=dtype)

@@ -158,6 +158,7 @@ def solve_collapse(
     from fcvm_tpu.config import enable_compilation_cache
 
     enable_compilation_cache()  # compile once per kernel, ever (see config)
+    model.mesh.validate()  # fail fast, not deep inside a jit
     dtype = cfg.resolve_dtype()
     log = progress or (lambda s: None)
     timers = PhaseTimers()

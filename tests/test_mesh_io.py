@@ -129,3 +129,20 @@ def test_vtk_reader_on_own_export(tmp_path, mesh):
             "ij,ij->i", np.cross(c[:, 1] - c[:, 0], c[:, 2] - c[:, 0]),
             c[:, 3] - c[:, 0])) / 6.0)
     np.testing.assert_allclose(vol(got), vol(mesh), rtol=1e-9)
+
+
+def test_mesh_validate_catches_inverted_and_out_of_range():
+    mesh = meshgen.box_tet10(1, 1, 1, 1.0, 1.0, 1.0)
+    mesh.validate()  # a healthy generated mesh passes
+
+    # swap two corner nodes of element 0 -> negative corner volume
+    bad = Mesh(mesh.coords.copy(), mesh.elnodes.copy())
+    bad.elnodes[0, [0, 1]] = bad.elnodes[0, [1, 0]]
+    with pytest.raises(ValueError, match="inverted"):
+        bad.validate()
+
+    # connectivity out of range
+    oob = Mesh(mesh.coords.copy(), mesh.elnodes.copy())
+    oob.elnodes[0, 0] = mesh.n_nodes + 5
+    with pytest.raises(ValueError, match="connectivity"):
+        oob.validate()
