@@ -197,25 +197,7 @@ def solve_collapse(
         with timers.phase("assemble"):
             return backend.assemble(coords)
 
-    def solve(lin: _LinearState, b, x0=None):
-        t0 = time.perf_counter()
-        if cfg.solver == "scipy":
-            x = jnp.asarray(
-                np.asarray(lin.direct(backend).solve(b)), dtype=dtype
-            )
-            cg_stats["solves"] += 1
-            cg_stats["time"] += time.perf_counter() - t0
-            return x, 0.0
-        res = backend.solve(lin.esm, lin.pc, b, x0=x0, defl=lin.defl)
-        # start the scalar D2H transfers before the completion sync so they
-        # ride along with it instead of costing an extra tunnel round-trip
-        # each (~10 ms; at small-mesh sizes that is ~10% of a solve)
-        res.iters.copy_to_host_async()
-        x = res.x.block_until_ready()
-        iters = int(res.iters)
-        cg_stats["solves"] += 1
-        cg_stats["iters"] += iters
-        cg_stats["time"] += time.perf_counter() - t0
+    def _solve_policy(lin: _LinearState, iters: int):
         if lin.defl is not None and iters >= cfg.deflation_refresh_iters:
             # plastic-front motion / tangent drift made the retained Ritz
             # space stale — drop it so the next correction solve
@@ -227,6 +209,48 @@ def solve_collapse(
             # harvest (hysteresis: a below-threshold harvest disarms it so
             # easy solves don't pay the harvest fetch every iteration)
             defl_state["armed"] = True
+
+    def solve(lin: _LinearState, b, x0=None, defer=False):
+        """Linear solve; ``defer=True`` returns ``(x, settle)`` without a
+        device sync.
+
+        A synchronous ``block_until_ready`` here leaves the device idle for
+        1-2 tunnel round-trips (~25 ms each) before the caller dispatches
+        the Riks update + residual that consume ``x`` — measured at 2.1x
+        the whole load step at 28k dof (bench.py, step-granular policy
+        fetch).  The NR loop instead defers: it dispatches the dependent
+        work immediately and calls ``settle()`` at its own mandatory
+        convergence sync, where the solve's iteration count is already on
+        host (the D2H copy started below) and the recycling policy acts
+        with identical effect (it only ever influences the NEXT solve).
+        Deferred solves' ``cg_stats["time"]`` spans until settle, i.e.
+        includes the pipelined Riks+residual — see the end-of-run log.
+        """
+        t0 = time.perf_counter()
+        if cfg.solver == "scipy":
+            x = jnp.asarray(
+                np.asarray(lin.direct(backend).solve(b)), dtype=dtype
+            )
+            cg_stats["solves"] += 1
+            cg_stats["time"] += time.perf_counter() - t0
+            return x, (lambda: None) if defer else 0.0
+        res = backend.solve(lin.esm, lin.pc, b, x0=x0, defl=lin.defl)
+        # start the scalar D2H transfers before the completion sync so they
+        # ride along with it instead of costing an extra tunnel round-trip
+        # each (~10 ms; at small-mesh sizes that is ~10% of a solve)
+        res.iters.copy_to_host_async()
+
+        def settle():
+            iters = int(res.iters)
+            cg_stats["solves"] += 1
+            cg_stats["iters"] += iters
+            cg_stats["time"] += time.perf_counter() - t0
+            _solve_policy(lin, iters)
+
+        if defer:
+            return res.x, settle
+        x = res.x.block_until_ready()
+        settle()
         return x, float(res.relres)
 
     use_deflation = (
@@ -610,8 +634,13 @@ def solve_collapse(
                     if (use_deflation and lin.defl is None
                             and defl_state["armed"]):
                         due, _ = harvesting_solve(lin, relax * r)
+                        settle_solve = None
                     else:
-                        due, _ = solve(lin, relax * r)
+                        # no device sync here: the Riks update + residual
+                        # below are dispatched while the solve still runs;
+                        # settle() fires at the convergence fetch, where
+                        # the iters scalar is already on host (see solve())
+                        due, settle_solve = solve(lin, relax * r, defer=True)
                     du, lbd1, _ = riks_fn(a, ue, due, du, lbd[step], lbd[step + 1])
                     # overlap the lambda fetch with the residual dispatch:
                     # do_residual takes the device scalar directly (same
@@ -622,6 +651,8 @@ def solve_collapse(
                     sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd1)
                     lbd[step + 1] = float(lbd1)
                     error = float(error_dev)
+                    if settle_solve is not None:
+                        settle_solve()
                     log(f"Iteration: {iterat}, Error: {error:.2e}")
 
                     if iterat > params.iterat_max:
@@ -704,6 +735,10 @@ def solve_collapse(
     if cg_stats["predictor_solves"]:
         log(f"tangent predictor solves: {cg_stats['predictor_solves']}, "
             f"iterations: {cg_stats['predictor_iters']}")
+    # NR correction solves are settled at the convergence sync, so their
+    # share of this total includes the pipelined Riks+residual dispatch
+    # (the reference's synchronous factor(r) metric, fcVM.py:1620-1624,
+    # has no overlap to account for)
     log(f"total time evaluating K_inv * r: {cg_stats['time']:.3f}s")
     if cg_stats["solves"]:
         log(f"average time per solve: {cg_stats['time'] / cg_stats['solves']:.4f}s")
