@@ -34,8 +34,38 @@ from fcvm_tpu.ops import solver as slv
 # Per-sweep host-loop helpers as cached jits: eager array ops cost
 # ~0.2-0.5 s EACH through the axon remote dispatch (docs/PERFORMANCE.md),
 # and the subspace iteration runs up to 60 sweeps.
-_qr_q = jax.jit(lambda z: jnp.linalg.qr(z)[0])
-_proj = jax.jit(lambda q, w: q.T @ w)
+#
+# The QR and Gram projections MUST run at full f32 matmul precision: at
+# the TPU default (bf16 MXU passes) the projected Q^T K Q picks up enough
+# error to go indefinite, and the host generalized eigh then fails with
+# "leading minor of B is not positive definite" (observed on the Euler
+# column at f32; same trap as the coarse inverse, docs/PERFORMANCE.md
+# "TPU matmul-precision trap").  These are (m, ndof) x (ndof, m) ops once
+# per sweep — the precision cost is negligible next to the column solves.
+
+
+class EigensolveBreakdownError(RuntimeError):
+    """The subspace iteration lost the pencil to arithmetic breakdown.
+
+    Raised when the Rayleigh-Ritz projections come back non-finite (a
+    diverged f32 inner solve poisons the block) or the projected
+    B = Q^T K Q stays indefinite through the ridge ladder.  Callers with
+    an f32 operand set should retry the eigensolve in float64
+    (:func:`linear_buckling` does this automatically)."""
+
+
+def _qr_q_impl(z):
+    with jax.default_matmul_precision("highest"):
+        return jnp.linalg.qr(z)[0]
+
+
+def _proj_impl(q, w):
+    with jax.default_matmul_precision("highest"):
+        return q.T @ w
+
+
+_qr_q = jax.jit(_qr_q_impl)
+_proj = jax.jit(_proj_impl)
 _mix = jax.jit(lambda q, c: q @ c)
 
 
@@ -327,9 +357,31 @@ def pencil_subspace(
         )
         a_small = np.asarray(a_small)
         b_small = np.asarray(b_small)
+        if not (np.isfinite(a_small).all() and np.isfinite(b_small).all()):
+            raise EigensolveBreakdownError(
+                "non-finite Rayleigh-Ritz projection (a diverged inner "
+                f"solve poisoned the subspace block) at dtype {dtype}"
+            )
         b_small = 0.5 * (b_small + b_small.T)
         a_small = 0.5 * (a_small + a_small.T)
-        theta, c = scipy.linalg.eigh(a_small, b_small)
+        # Residual f32 rounding (the big K q matvec stays at production
+        # precision) can still leave B = Q^T K Q marginally indefinite;
+        # escalate a relative ridge rather than crash — the ridge only
+        # biases the Ritz values by O(ridge/diag), far below the f32
+        # eigenvalue noise floor that made it necessary.
+        scale = max(float(np.mean(np.abs(np.diag(b_small)))), 1e-300)
+        for ridge in (0.0, 1e-6, 1e-4, 1e-2):
+            try:
+                theta, c = scipy.linalg.eigh(
+                    a_small, b_small + (ridge * scale) * np.eye(len(b_small))
+                )
+                break
+            except np.linalg.LinAlgError as err:
+                if ridge == 1e-2:
+                    raise EigensolveBreakdownError(
+                        "projected Q^T K Q stayed indefinite through the "
+                        f"ridge ladder at dtype {dtype}: {err}"
+                    ) from err
         order = np.argsort(theta)[::-1]
         theta = theta[order]
         c = c[:, order]
@@ -360,7 +412,40 @@ def linear_buckling(model, params, k: int = 2):
 
     Runs the reference's pre-stress pipeline: elastic solve under the full
     load, elastic stress recovery, then the pencil eigensolve.
+
+    f32 robustness: on slender ill-conditioned pencils the f32 inner
+    solves can diverge past the stagnation exit and poison the subspace
+    block (observed on the Euler-column example on TPU).  When the
+    eigensolve breaks down at f32, the whole pipeline is retried once in
+    float64 — the eigensolve is a setup-time operation whose accuracy
+    target (reference factors to ~1e-5, `Bar buckling.out:5`) is below
+    the f32 noise floor anyway, and the f64 retry is XLA-emulated on TPU
+    (no host factorization).  The process dtype is pinned first so
+    enabling x64 for the retry cannot flip a later f32 analysis to f64.
     """
+    import warnings
+
+    cfg = get_config()
+    try:
+        return _linear_buckling_impl(model, params, k)
+    except EigensolveBreakdownError as err:
+        if cfg.resolve_dtype() != jnp.float32:
+            raise
+        warnings.warn(
+            f"f32 buckling eigensolve broke down ({err}); "
+            "retrying the pipeline in float64"
+        )
+        prev_dtype = cfg.dtype if cfg.dtype is not None else "float32"
+        jax.config.update("jax_enable_x64", True)
+        cfg.dtype = "float64"
+        try:
+            lam, vecs = _linear_buckling_impl(model, params, k)
+        finally:
+            cfg.dtype = prev_dtype
+        return lam, vecs
+
+
+def _linear_buckling_impl(model, params, k: int = 2):
     from fcvm_tpu.ops.stress_update import update_stress_load
     from fcvm_tpu.runtime import system as sysm
     from fcvm_tpu.utils.indexing import pad_ndof, pad_vector

@@ -437,3 +437,38 @@ def test_cruciform_imperfect_collapse_below_plastic_limit():
     np.testing.assert_allclose(
         np.abs(res.coords - res.coords_old).max(), 0.4, rtol=1e-9
     )
+
+
+def test_f32_eigensolve_breakdown_fails_over_to_f64(monkeypatch):
+    """linear_buckling retries the pipeline in f64 on an f32 breakdown.
+
+    Observed on the real TPU: the slender Euler-column pencil's projected
+    Q^T K Q stays indefinite through the ridge ladder at f32 (the f32
+    noise floor exceeds the small-eigenvalue block).  The wrapper must
+    retry once in float64 and restore the pinned process dtype after."""
+    import pytest
+
+    from fcvm_tpu.config import get_config
+    from fcvm_tpu.runtime import buckling as bk
+
+    cfg = get_config()
+    seen = []
+
+    def fake_impl(model, params, k=2):
+        seen.append(str(cfg.resolve_dtype()))
+        if len(seen) == 1:
+            raise bk.EigensolveBreakdownError("forced breakdown")
+        return np.array([1.5, 2.5]), np.zeros((12, 2))
+
+    monkeypatch.setattr(bk, "_linear_buckling_impl", fake_impl)
+    prev = cfg.dtype
+    cfg.dtype = "float32"
+    try:
+        with pytest.warns(UserWarning, match="retrying the pipeline in float64"):
+            lam, _ = bk.linear_buckling(object(), object())
+        np.testing.assert_allclose(lam, [1.5, 2.5])
+        assert seen == ["float32", "float64"]
+        # the retry must not leak f64 into the rest of the process
+        assert cfg.dtype == "float32"
+    finally:
+        cfg.dtype = prev
