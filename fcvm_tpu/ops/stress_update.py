@@ -44,6 +44,28 @@ def _element_stress_update(
     coords_el, u_el, du_el, sig_old_el, sig_yield_el, dmat, h, g, large_disp
 ):
     """One element: returns (sig_new (4,6), sig_test (4,6), pgp (4,), elv (30,))."""
+    # Full f32 matmul precision is REQUIRED here (third instance of the
+    # TPU trap, docs/PERFORMANCE.md): at the MXU default (bf16 passes) the
+    # internal force B^T sigma carries O(1e-3) relative error, which is a
+    # floor on the Newton residual ||r||/||q|| — observed on hardware as
+    # an error plateau at ~1e-3 that restarts cannot break (the
+    # imperfect-column example at error_max 1e-5 exhausted all 4 restarts
+    # and produced an empty history; CPU f32, whose f32 matmuls are exact,
+    # converges the same case to 1e-5 in <=5 iterations).  Residual
+    # ACCURACY sets the achievable convergence; the CG operator's bf16
+    # passes only affect the rate, so assembly/matvec stay at the fast
+    # default.  The context is trace-time and also covers the
+    # tet10_element_geometry matmuls below.
+    with jax.default_matmul_precision("highest"):
+        return _element_stress_update_hp(
+            coords_el, u_el, du_el, sig_old_el, sig_yield_el, dmat, h, g,
+            large_disp,
+        )
+
+
+def _element_stress_update_hp(
+    coords_el, u_el, du_el, sig_old_el, sig_yield_el, dmat, h, g, large_disp
+):
     coords_eff = coords_el + u_el if large_disp else coords_el
     det, dshpg, bmat = el.tet10_element_geometry(coords_eff)  # (4,), (4,3,10), (4,6,30)
     w = jnp.asarray(el.W10, dtype=coords_el.dtype)
@@ -155,10 +177,13 @@ def internal_force_from_stress(
     coords_el = coords[elnodes]
     if large_disp:
         coords_el = coords_el + disp.reshape(-1, 3)[elnodes]
-    det, _, bmat = jax.vmap(el.tet10_element_geometry)(coords_el)
-    w = jnp.asarray(el.W10, dtype=coords.dtype)
-    scale = w[None, :] * jnp.abs(det)  # (ne, 4)
-    elv = jnp.einsum("egkn,egk,eg->en", bmat, sig_gp, scale)
+    # full precision for the same reason as _element_stress_update: this
+    # feeds the reaction-force record, not an iterative correction
+    with jax.default_matmul_precision("highest"):
+        det, _, bmat = jax.vmap(el.tet10_element_geometry)(coords_el)
+        w = jnp.asarray(el.W10, dtype=coords.dtype)
+        scale = w[None, :] * jnp.abs(det)  # (ne, 4)
+        elv = jnp.einsum("egkn,egk,eg->en", bmat, sig_gp, scale)
     qin3 = jax.ops.segment_sum(
         elv.reshape(-1, 3), elnodes.reshape(-1), num_segments=ndof // 3
     )
