@@ -198,7 +198,17 @@ def solve_collapse(
             return backend.assemble(coords)
 
     def _solve_policy(lin: _LinearState, iters: int):
-        if lin.defl is not None and iters >= cfg.deflation_refresh_iters:
+        # "Stale" is judged against BOTH the absolute threshold and the
+        # harvest solve's own iteration count: on hard problems whose
+        # baseline solves sit far above deflation_refresh_iters (slender
+        # f32 columns: harvest 163, deflated 157), an absolute-only test
+        # drops the space after every deflated solve and every second
+        # solve becomes a fresh harvest — pure thrash.  At the bench
+        # scale (harvest 56, deflated 30-44 < 48) this is identical to
+        # the absolute test.
+        stale_at = max(cfg.deflation_refresh_iters,
+                       defl_state.get("harvest_iters", 0))
+        if lin.defl is not None and iters >= stale_at:
             # plastic-front motion / tangent drift made the retained Ritz
             # space stale — drop it so the next correction solve
             # re-harvests from the current residual
@@ -305,6 +315,7 @@ def solve_collapse(
         cg_stats["solves"] += 1
         cg_stats["iters"] += int(iters_h)
         lin.defl = None
+        defl_state["harvest_iters"] = int(iters_h)  # staleness reference
         if int(iters_h) < cfg.deflation_min_iters:
             defl_state["armed"] = False
         else:
