@@ -165,6 +165,7 @@ def buckling_from_arrays(
     max_outer: int = 60,
     plan=None,
     space=None,
+    _dtype_override=None,
 ):
     """Lowest ``k`` buckling factors + mode shapes.
 
@@ -174,6 +175,20 @@ def buckling_from_arrays(
       space: optional :class:`fcvm_tpu.runtime.system.SolveSpace`; the whole
         eigensolve then runs in the Morton node numbering (compact
         preconditioner clusters), with mode shapes mapped back on return.
+      _dtype_override: internal — the f64 breakdown retry (see below).
+
+    f32 robustness: if the subspace iteration breaks down
+    (:class:`EigensolveBreakdownError` — slender pencils whose projected
+    small-eigenvalue block sits below the f32 noise floor, observed on
+    the Euler-column case on real TPU), the eigensolve is retried once
+    with the already-assembled operands upcast to float64: the operand
+    ACCURACY stays f32 (they were built in f32) but the iteration
+    arithmetic runs f64, which is what restores positive-definiteness of
+    the Rayleigh-Ritz projection.  This covers the production driver's
+    buckling/imperfection path (`runtime/backend.py:buckling`) as well as
+    :func:`linear_buckling`.  The sharded backend calls
+    :func:`pencil_subspace` directly and does not yet failover (its f32
+    exposure is the virtual-CPU test mesh only).
 
     Returns:
       (eigenvalues (k,), eigenvectors (ndof, k)) as numpy arrays, sorted by
@@ -184,7 +199,9 @@ def buckling_from_arrays(
     cfg = get_config()
     m = n_sub if n_sub > 0 else max(cfg.n_eig_vectors, 2 * k, k + 4)
     ndof = fixmask.shape[0]
-    dtype = coords.dtype
+    dtype = _dtype_override if _dtype_override is not None else coords.dtype
+    # originals for the breakdown retry (the space branch rebinds these)
+    elnodes_in, fixmask_in, plan_in = elnodes, fixmask, plan
     # The eigensolve wants "as accurate as the arithmetic allows" (rtol
     # 1e-10 is below the f32 residual floor), so the inner solves use the
     # PCG stagnation exit instead of a floored tolerance: each solve runs
@@ -205,6 +222,12 @@ def buckling_from_arrays(
         plan = space.plan_m
         coords_work = space.coords_m.astype(dtype)
     eldofs = asm.element_dof_ids(elnodes)
+    if esm.dtype != dtype:
+        # breakdown retry: f32-assembled operands, f64 iteration arithmetic
+        esm = esm.astype(dtype)
+        nsm = nsm.astype(dtype)
+        fixmask = fixmask.astype(dtype)
+        coords_work = coords_work.astype(dtype)
 
     _kmv = _multi_matvec(eldofs, fixmask, identity_on_fixed=True)
     _mg = _multi_matvec(eldofs, fixmask, identity_on_fixed=False, negate=True)
@@ -293,10 +316,31 @@ def buckling_from_arrays(
             k_defl, cfg.deflation_min_iters, cfg.deflation,
         )
 
-    lam, vecs = pencil_subspace(
-        kmv, minus_g, k_inverse, ndof, dtype, k, m, outer_tol, max_outer,
-        fixmask=fixmask,
-    )
+    try:
+        lam, vecs = pencil_subspace(
+            kmv, minus_g, k_inverse, ndof, dtype, k, m, outer_tol, max_outer,
+            fixmask=fixmask,
+        )
+    except EigensolveBreakdownError as err:
+        if dtype != jnp.float32:
+            raise
+        import warnings
+
+        warnings.warn(
+            f"f32 buckling eigensolve broke down ({err}); retrying the "
+            "iteration in float64 on the f32-assembled operands"
+        )
+        if cfg.dtype is None:
+            # pin the implicit f32 so enabling x64 below cannot flip a
+            # later dtype-unspecified analysis in this process to f64
+            cfg.dtype = "float32"
+        jax.config.update("jax_enable_x64", True)
+        return buckling_from_arrays(
+            coords, elnodes_in, dmat, sig_gp, fixmask_in, k=k, rtol=rtol,
+            maxiter=maxiter, n_sub=n_sub, outer_tol=outer_tol,
+            max_outer=max_outer, plan=plan_in, space=space,
+            _dtype_override=jnp.float64,
+        )
     if space is not None:
         vecs = vecs.reshape(-1, 3, k)[np.asarray(space.npos)].reshape(-1, k)
     return lam, vecs
