@@ -76,9 +76,13 @@ class Mesh:
         deep inside numba on a bad one; here a broken import (wrong node
         order, duplicated nodes, inside-out connectivity) is reported at
         ingest with the offending element ids.  Checks: connectivity in
-        range, and positive corner-tet volume ``det[x1-x0, x2-x0, x3-x0]``
-        for every element (the tet10 Gauss detJ has the same sign for
-        straight-sided elements).
+        range, non-degenerate corner-tet volume
+        ``det[x1-x0, x2-x0, x3-x0]`` relative to the element's own edge
+        scale, and *consistent* orientation.  A uniformly mirrored mesh
+        (every volume negative) is accepted with a warning: the kernels
+        integrate ``|det J|`` exactly like the reference's ``abs(xsj)``
+        (``fcVM.py:756``), so such meshes solve correctly — only a sign
+        mix within one mesh indicates a real connectivity error.
         """
         if self.elnodes.size == 0:
             raise ValueError("mesh has no elements")
@@ -91,13 +95,32 @@ class Mesh:
         x = self.coords[self.elnodes[:, :4]]  # (ne, 4, 3) corner nodes
         e = x[:, 1:] - x[:, :1]  # (ne, 3, 3) edge vectors
         vol6 = np.linalg.det(e)
-        bad = np.where(vol6 <= 0.0)[0]
-        if len(bad):
+        # degeneracy is judged against each element's own edge scale, not a
+        # global tolerance (meshes come in arbitrary units)
+        h = np.abs(e).max(axis=(1, 2))
+        degenerate = np.where(np.abs(vol6) <= 1e-12 * h**3)[0]
+        if len(degenerate):
             raise ValueError(
-                f"{len(bad)} inverted/degenerate tet element(s), e.g. ids "
-                f"{bad[:8].tolist()} (corner volume <= 0) — check node "
-                "ordering (Gmsh vs CalculiX midside conventions) or "
-                "duplicated nodes"
+                f"{len(degenerate)} degenerate tet element(s), e.g. ids "
+                f"{degenerate[:8].tolist()} (corner volume ~ 0) — check for "
+                "duplicated nodes or collapsed elements"
+            )
+        neg = int((vol6 < 0.0).sum())
+        if 0 < neg < len(vol6):
+            bad = np.where(vol6 < 0.0)[0]
+            raise ValueError(
+                f"{neg} of {len(vol6)} tet element(s) have inverted "
+                f"orientation, e.g. ids {bad[:8].tolist()} (corner volume "
+                "< 0 while others are > 0) — check node ordering (Gmsh vs "
+                "CalculiX midside conventions)"
+            )
+        if neg == len(vol6):
+            import warnings
+
+            warnings.warn(
+                "mesh is uniformly mirror-oriented (every corner volume "
+                "negative); solving anyway — the kernels integrate |det J| "
+                "(reference parity, fcVM.py:756)"
             )
 
     def boundary_faces(self) -> np.ndarray:

@@ -334,13 +334,22 @@ def buckling_from_arrays(
             # pin the implicit f32 so enabling x64 below cannot flip a
             # later dtype-unspecified analysis in this process to f64
             cfg.dtype = "float32"
+        x64_prev = jax.config.read("jax_enable_x64")
         jax.config.update("jax_enable_x64", True)
-        return buckling_from_arrays(
-            coords, elnodes_in, dmat, sig_gp, fixmask_in, k=k, rtol=rtol,
-            maxiter=maxiter, n_sub=n_sub, outer_tol=outer_tol,
-            max_outer=max_outer, plan=plan_in, space=space,
-            _dtype_override=jnp.float64,
-        )
+        try:
+            # the retry returns numpy arrays, so all f64 device work is
+            # complete before the flag is restored below
+            return buckling_from_arrays(
+                coords, elnodes_in, dmat, sig_gp, fixmask_in, k=k, rtol=rtol,
+                maxiter=maxiter, n_sub=n_sub, outer_tol=outer_tol,
+                max_outer=max_outer, plan=plan_in, space=space,
+                _dtype_override=jnp.float64,
+            )
+        finally:
+            if not x64_prev:
+                # restore so later dtype-unspecified conversions in the same
+                # process (e.g. the continuing collapse driver) stay 32-bit
+                jax.config.update("jax_enable_x64", False)
     if space is not None:
         vecs = vecs.reshape(-1, 3, k)[np.asarray(space.npos)].reshape(-1, k)
     return lam, vecs
@@ -480,12 +489,16 @@ def linear_buckling(model, params, k: int = 2):
             "retrying the pipeline in float64"
         )
         prev_dtype = cfg.dtype if cfg.dtype is not None else "float32"
+        x64_prev = jax.config.read("jax_enable_x64")
         jax.config.update("jax_enable_x64", True)
         cfg.dtype = "float64"
         try:
+            # returns numpy arrays: all f64 device work completes in here
             lam, vecs = _linear_buckling_impl(model, params, k)
         finally:
             cfg.dtype = prev_dtype
+            if not x64_prev:
+                jax.config.update("jax_enable_x64", False)
         return lam, vecs
 
 

@@ -191,7 +191,8 @@ def solve_collapse(
     has_movdof = backend.has_movdof
 
     cg_stats = {"solves": 0, "iters": 0, "time": 0.0, "tangent_time": 0.0,
-                "predictor_solves": 0, "predictor_iters": 0}
+                "predictor_solves": 0, "predictor_iters": 0,
+                "deferred_solves": 0}
 
     def assemble(coords):
         with timers.phase("assemble"):
@@ -255,6 +256,8 @@ def solve_collapse(
             cg_stats["solves"] += 1
             cg_stats["iters"] += iters
             cg_stats["time"] += time.perf_counter() - t0
+            if defer:
+                cg_stats["deferred_solves"] += 1
             _solve_policy(lin, iters)
 
         if defer:
@@ -652,18 +655,24 @@ def solve_collapse(
                         # settle() fires at the convergence fetch, where
                         # the iters scalar is already on host (see solve())
                         due, settle_solve = solve(lin, relax * r, defer=True)
-                    du, lbd1, _ = riks_fn(a, ue, due, du, lbd[step], lbd[step + 1])
-                    # overlap the lambda fetch with the residual dispatch:
-                    # do_residual takes the device scalar directly (same
-                    # executable — jnp.asarray of a scalar either way) and
-                    # the host reads both values after one completion sync
-                    if hasattr(lbd1, "copy_to_host_async"):
-                        lbd1.copy_to_host_async()
-                    sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd1)
-                    lbd[step + 1] = float(lbd1)
-                    error = float(error_dev)
-                    if settle_solve is not None:
-                        settle_solve()
+                    # the settle runs in a finally so an exception between
+                    # dispatch and the convergence fetch (monitor callbacks,
+                    # device errors) cannot silently drop the solve from
+                    # cg_stats or skip the recycling policy for it
+                    try:
+                        du, lbd1, _ = riks_fn(a, ue, due, du, lbd[step], lbd[step + 1])
+                        # overlap the lambda fetch with the residual dispatch:
+                        # do_residual takes the device scalar directly (same
+                        # executable — jnp.asarray of a scalar either way) and
+                        # the host reads both values after one completion sync
+                        if hasattr(lbd1, "copy_to_host_async"):
+                            lbd1.copy_to_host_async()
+                        sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd1)
+                        lbd[step + 1] = float(lbd1)
+                        error = float(error_dev)
+                    finally:
+                        if settle_solve is not None:
+                            settle_solve()
                     log(f"Iteration: {iterat}, Error: {error:.2e}")
 
                     if iterat > params.iterat_max:
@@ -727,6 +736,18 @@ def solve_collapse(
                         dl *= scale_up
                         du = du * scale_up
                     record_step(qin)
+                    # Decay the harvest-based staleness bar once per
+                    # converged step: the operator that harvest measured
+                    # drifts with the plastic front, so a one-off hard
+                    # harvest (e.g. 163 iters in a slender f32 regime) must
+                    # not pin the bar for the rest of the run — if the
+                    # problem eases, the bar sinks back toward
+                    # deflation_refresh_iters and a re-harvest fires.
+                    if defl_state.get("harvest_iters", 0) > cfg.deflation_refresh_iters:
+                        defl_state["harvest_iters"] = max(
+                            cfg.deflation_refresh_iters,
+                            int(0.9 * defl_state["harvest_iters"]),
+                        )
                     if not iriks:
                         break
 
@@ -750,7 +771,13 @@ def solve_collapse(
     # share of this total includes the pipelined Riks+residual dispatch
     # (the reference's synchronous factor(r) metric, fcVM.py:1620-1624,
     # has no overlap to account for)
-    log(f"total time evaluating K_inv * r: {cg_stats['time']:.3f}s")
+    defer_note = (
+        f" ({cg_stats['deferred_solves']} deferred solves' spans include "
+        "the pipelined Riks+residual)"
+        if cg_stats["deferred_solves"]
+        else ""
+    )
+    log(f"total time evaluating K_inv * r: {cg_stats['time']:.3f}s{defer_note}")
     if cg_stats["solves"]:
         log(f"average time per solve: {cg_stats['time'] / cg_stats['solves']:.4f}s")
 

@@ -146,3 +146,25 @@ def test_mesh_validate_catches_inverted_and_out_of_range():
     oob.elnodes[0, 0] = mesh.n_nodes + 5
     with pytest.raises(ValueError, match="connectivity"):
         oob.validate()
+
+
+def test_mesh_validate_mirrored_mesh_warns_but_passes():
+    """A uniformly mirror-oriented mesh solves correctly (|det J| kernels,
+    reference parity fcVM.py:756) — validate() must warn, not reject."""
+    mesh = meshgen.box_tet10(1, 1, 1, 1.0, 1.0, 1.0)
+    coords = mesh.coords.copy()
+    coords[:, 0] *= -1.0  # mirror: every corner volume flips sign
+    mirrored = Mesh(coords, mesh.elnodes.copy())
+    with pytest.warns(UserWarning, match="mirror"):
+        mirrored.validate()
+
+
+def test_mesh_validate_degenerate_element_raises():
+    mesh = meshgen.box_tet10(1, 1, 1, 1.0, 1.0, 1.0)
+    coords = mesh.coords.copy()
+    # collapse one element's corner 1 onto its corner 0: zero volume
+    e0 = mesh.elnodes[0]
+    coords[e0[1]] = coords[e0[0]]
+    degen = Mesh(coords, mesh.elnodes.copy())
+    with pytest.raises(ValueError, match="degenerate"):
+        degen.validate()
