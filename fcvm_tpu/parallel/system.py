@@ -5,8 +5,7 @@ Riks loop — elastic/tangent assembly, two-level-preconditioned CG, GNL
 stress updates, restarts, displacement control — over an element partition
 on a ``jax.sharding.Mesh``, not just a demo step (the round-1 gap).
 
-Design (see also :mod:`fcvm_tpu.parallel.sharding`, whose building blocks
-this generalizes):
+Design:
 
 * **Elements are the sharded axis**, in Morton (solve-space) order so each
   shard owns a spatially compact subdomain and the preconditioner clusters
@@ -52,7 +51,7 @@ from fcvm_tpu.ops.precond import (
     _coarse_accumulate,
     _qmat_bc_jit,
     apply_precond,
-    coarse_invert,
+    invert_coarse_with_ladder,
 )
 from fcvm_tpu.ops.stress_update import _element_stress_update
 from fcvm_tpu.runtime.backend import LocalSystem
@@ -567,19 +566,7 @@ class ShardedSystem(LocalSystem):
             )
 
         kc = acc(esm, self.eln_m_s, qmat_bc, cluster_size)
-        coarse_inv = None
-        for ridge in (3.0e-4, 3.0e-3, 3.0e-2, 3.0e-1):
-            coarse_inv = coarse_invert(kc, jnp.asarray(ridge, esm.dtype))
-            if bool(jnp.all(jnp.isfinite(coarse_inv))):
-                break
-        else:
-            import warnings
-
-            warnings.warn(
-                "sharded two-level coarse inverse non-finite at every ridge; "
-                "continuing with the fine-level smoother only"
-            )
-            coarse_inv = jnp.zeros_like(coarse_inv)
+        coarse_inv = invert_coarse_with_ladder(kc, esm.dtype, label="sharded ")
         return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, self.fixmask_m, None)
 
     def solve(self, esm, pc, b, x0=None, defl=None):

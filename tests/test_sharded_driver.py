@@ -404,3 +404,85 @@ def test_sharded_crisfield_arc_matches_single_device():
         cfg.arc_length = old_arc
     assert float(np.max(r8.peeq_gp)) > 1e-6
     _assert_history_match(r1, r8)
+
+
+def test_sharded_system_ops_match_local():
+    """Granular backend-op equivalence, ported from the retired
+    ``parallel/sharding`` demo tests onto the production backend: assembly
+    blocks, BC matvec, stress update and internal force from
+    ``ShardedSystem`` match ``LocalSystem`` bit-for-tolerance in f64."""
+    import jax.numpy as jnp
+
+    from fcvm_tpu.ops import assembly as asm
+    from fcvm_tpu.parallel.system import ShardedSystem
+    from fcvm_tpu.runtime.backend import LocalSystem
+
+    model = _box_model(n=2)
+    cfg = get_config()
+    loc = LocalSystem(model, cfg, jnp.float64)
+    old = cfg.n_devices
+    cfg.n_devices = 8
+    try:
+        sh = ShardedSystem(model, cfg, jnp.float64)
+    finally:
+        cfg.n_devices = old
+
+    coords = model.mesh.coords
+    ne = model.mesh.n_elements
+    esm_l, pinv_l, glv_l, rhs_l, gpc_l, vol_l, ls_l = loc.assemble(coords)
+    esm_s, pinv_s, glv_s, rhs_s, gpc_s, vol_s, ls_s = sh.assemble(coords)
+
+    # element blocks: sharded blocks are Morton-ordered + ghost-padded
+    np.testing.assert_allclose(
+        sh.gauss_to_user(esm_s), np.asarray(esm_l), rtol=1e-10, atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(glv_s), np.asarray(glv_l), rtol=1e-10, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(rhs_s), np.asarray(rhs_l), rtol=1e-10, atol=1e-8
+    )
+    np.testing.assert_allclose(float(vol_s), float(vol_l), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(ls_s), np.asarray(ls_l), rtol=1e-10, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        sh.gauss_to_user(gpc_s), np.asarray(gpc_l), rtol=1e-12, atol=1e-12
+    )
+
+    # Dirichlet-projected matvec: one psum over the element partition must
+    # equal the single-device gather/matmul/scatter operator
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.normal(size=loc.ndof_pad))
+    kv_local = asm.make_bc_matvec(
+        esm_l, asm.element_dof_ids(loc.elnodes), loc.fixmask, loc.plan
+    )
+    y_l = np.asarray(kv_local(u))
+    y_s = np.asarray(sh.space.from_m(sh._khat_m(esm_s, sh.eln_m_s, sh.space.to_m(u))))
+    np.testing.assert_allclose(y_s, y_l, rtol=1e-10, atol=1e-8)
+
+    # GNL stress update + internal force on a random plastic-ish state
+    disp = jnp.asarray(rng.normal(size=loc.ndof_pad) * 1e-3)
+    du = jnp.asarray(rng.normal(size=loc.ndof_pad) * 1e-4)
+    sig_old_np = rng.normal(size=(ne, 4, 6)) * 50.0
+    sy = 240.0
+    coords_dev = jnp.asarray(coords)
+    sn_l, st_l, pgp_l, qin_l = loc.stress_update(
+        coords_dev, loc.gauss_full(sy), disp, du, jnp.asarray(sig_old_np),
+        0.1, True,
+    )
+    sn_s, st_s, pgp_s, qin_s = sh.stress_update(
+        coords_dev, sh.gauss_full(sy), disp, du, sh.user_to_gauss(sig_old_np),
+        0.1, True,
+    )
+    np.testing.assert_allclose(
+        sh.gauss_to_user(sn_s), np.asarray(sn_l), rtol=1e-10, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(qin_s), np.asarray(qin_l), rtol=1e-9, atol=1e-8
+    )
+    np.testing.assert_array_equal(sh.gauss_to_user(pgp_s), np.asarray(pgp_l))
+
+    qf_l = np.asarray(loc.internal_force(coords_dev, sn_l, disp, True))
+    qf_s = np.asarray(sh.internal_force(coords_dev, sn_s, disp, True))
+    np.testing.assert_allclose(qf_s, qf_l, rtol=1e-9, atol=1e-8)
