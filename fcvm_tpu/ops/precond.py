@@ -41,6 +41,57 @@ import jax.numpy as jnp
 from fcvm_tpu.ops import assembly as asm
 
 
+# Observability for the coarse-build degradation paths (ridge-ladder
+# escalation, zero-coarse fallback).  Both are graceful — the solver stays
+# correct — but the fallback costs 4-7x CG iterations, so callers (the
+# collapse driver) surface these counters in cg_stats and the run log
+# instead of relying on a one-shot Python warning nobody reads.
+COARSE_BUILD_STATS = {
+    "builds": 0,
+    "ridge_escalations": 0,  # builds that needed a ridge above the first
+    "zero_coarse_fallbacks": 0,  # builds that gave up (fine smoother only)
+    "last_escalations": 0,  # ladder steps the most recent build climbed
+    "last_fallback": False,
+}
+
+_RIDGE_LADDER = (3.0e-4, 3.0e-3, 3.0e-2, 3.0e-1)
+
+
+def invert_coarse_with_ladder(kc, dtype, label=""):
+    """Dense coarse inverse with the escalating ridge ladder.
+
+    The f32 Galerkin accumulation cancels heavily (rigid modes nearly
+    annihilate K rows), so the scaled coarse matrix can come out slightly
+    indefinite and break the on-device Cholesky (observed min eig -6e-4 at
+    28k dofs on v5e).  Escalate the ridge until the inverse is finite —
+    host-side retry, no jit recompile (ridge is a traced scalar).  If every
+    ridge fails, fall back to a zero coarse correction (fine smoother only)
+    and record it in :data:`COARSE_BUILD_STATS` so the driver can be loud
+    about the degradation.
+    """
+    stats = COARSE_BUILD_STATS
+    stats["builds"] += 1
+    coarse_inv = None
+    for i, ridge in enumerate(_RIDGE_LADDER):
+        coarse_inv = coarse_invert(kc, jnp.asarray(ridge, dtype))
+        if bool(jnp.all(jnp.isfinite(coarse_inv))):
+            stats["last_escalations"] = i
+            stats["last_fallback"] = False
+            if i:
+                stats["ridge_escalations"] += 1
+            return coarse_inv
+    import warnings
+
+    stats["last_escalations"] = len(_RIDGE_LADDER)
+    stats["last_fallback"] = True
+    stats["zero_coarse_fallbacks"] += 1
+    warnings.warn(
+        f"{label}two-level coarse inverse non-finite at every ridge; "
+        "continuing with the fine-level smoother only"
+    )
+    return jnp.zeros_like(coarse_inv)
+
+
 class TwoLevelPrecond(NamedTuple):
     pinv: jnp.ndarray  # (nn, 3, 3) block-Jacobi inverses
     qmat: jnp.ndarray  # (nn_pad, 3, nm) cluster mode basis per node
@@ -208,25 +259,8 @@ def build_two_level(
     qmat_bc = _qmat_bc_jit(coords, fixmask, cluster_size, n_modes)
     ncl = qmat_bc.shape[0] // cluster_size
 
-    # The f32 Galerkin accumulation cancels heavily (rigid modes nearly
-    # annihilate K rows), so the scaled coarse matrix can come out slightly
-    # indefinite and break the on-device Cholesky (observed min eig -6e-4 at
-    # 28k dofs on v5e).  Escalate the ridge until the inverse is finite —
-    # host-side retry, no jit recompile (ridge is a traced scalar).
     kc = _coarse_accumulate_jit(esm, elnodes, qmat_bc, cluster_size)
-    coarse_inv = None
-    for ridge in (3.0e-4, 3.0e-3, 3.0e-2, 3.0e-1):
-        coarse_inv = coarse_invert(kc, jnp.asarray(ridge, esm.dtype))
-        if bool(jnp.all(jnp.isfinite(coarse_inv))):
-            break
-    else:
-        import warnings
-
-        warnings.warn(
-            "two-level coarse inverse non-finite at every ridge; "
-            "continuing with the fine-level smoother only"
-        )
-        coarse_inv = jnp.zeros_like(coarse_inv)
+    coarse_inv = invert_coarse_with_ladder(kc, esm.dtype)
 
     smooth_inv = None
     from fcvm_tpu.config import get_config

@@ -192,7 +192,11 @@ def solve_collapse(
 
     cg_stats = {"solves": 0, "iters": 0, "time": 0.0, "tangent_time": 0.0,
                 "predictor_solves": 0, "predictor_iters": 0,
-                "deferred_solves": 0}
+                "deferred_solves": 0,
+                # coarse-build degradation counters (ops.precond ladder):
+                # a zero-coarse fallback costs 4-7x CG iterations, so it
+                # must be loud in the run log, not just a Python warning
+                "coarse_ridge_escalations": 0, "coarse_zero_fallbacks": 0}
 
     def assemble(coords):
         with timers.phase("assemble"):
@@ -336,10 +340,30 @@ def solve_collapse(
         return x, float(relres_h)
 
     def make_pc(esm, pinv, coords_dev):
+        from fcvm_tpu.ops.precond import COARSE_BUILD_STATS as cbs
+
+        before = (cbs["ridge_escalations"], cbs["zero_coarse_fallbacks"])
         if cfg.precond == "two_level":
             with timers.phase("precond_build"):
-                return backend.make_pc(esm, pinv, coords_dev)
-        return backend.make_pc(esm, pinv, coords_dev)
+                pc = backend.make_pc(esm, pinv, coords_dev)
+        else:
+            pc = backend.make_pc(esm, pinv, coords_dev)
+        esc = cbs["ridge_escalations"] - before[0]
+        fb = cbs["zero_coarse_fallbacks"] - before[1]
+        cg_stats["coarse_ridge_escalations"] += esc
+        cg_stats["coarse_zero_fallbacks"] += fb
+        if fb:
+            log(
+                "WARNING: two-level coarse inverse non-finite at every "
+                "ridge — continuing with the fine-level smoother ONLY "
+                "(expect a 4-7x CG-iteration regression)"
+            )
+        elif esc:
+            log(
+                "two-level coarse build needed "
+                f"{cbs['last_escalations']} ridge escalation(s)"
+            )
+        return pc
 
     coords = jnp.asarray(coords_np, dtype=dtype)
     esm, pinv, glv, rhs, gp_coords, volume, loadsums = assemble(coords_np)
