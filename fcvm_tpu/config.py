@@ -133,6 +133,14 @@ class FcvmConfig:
     # buffer is capped to ~1 GiB at large ndof inside buckling_from_arrays.
     buckling_deflation_nstore: int = 512
     buckling_deflation_k: int = 64
+    # Buckling BC treatment: "eliminate" (default) removes fixed dofs
+    # exactly (identity rows in K_hat, zero rows in G_hat); "penalty"
+    # reproduces the reference's x100 fixed-diagonal penalty on the FULL
+    # (uneliminated) pencil (fcVM.py:1051-1062) for exact committed-corpus
+    # factor parity — the committed Bar-buckling factors [0.43472, 0.43473]
+    # differ from exact elimination by ~3e-4 precisely because of this
+    # penalty.  Env: FCVM_BUCKLING_BC.
+    buckling_bc: str = "eliminate"
     # Arc-length control of the nonlinear driver: "riks" = the reference's
     # linearized load correction + norm scale-back (fcVM.py:1414-1434;
     # parity default — stalls at snapback folds, where the scale-back
@@ -189,6 +197,8 @@ if os.environ.get("FCVM_LOAD_DEFLATION"):
     )
 if os.environ.get("FCVM_ARC"):
     _config.arc_length = os.environ["FCVM_ARC"]
+if os.environ.get("FCVM_BUCKLING_BC"):
+    _config.buckling_bc = os.environ["FCVM_BUCKLING_BC"]
 if os.environ.get("FCVM_DTYPE"):
     # Precision tier: FCVM_DTYPE=float64 runs the whole solve in f64 — on
     # TPU via XLA's software-emulated f64 (no f64 MXU; the dense coarse

@@ -13,11 +13,14 @@ same PCG used by the nonlinear driver.
 
 Boundary conditions (documented divergence): the reference multiplies fixed
 diagonal entries of the full ``stms`` by 100 as a penalty
-(``fcVM.py:1051-1062``); we eliminate fixed dofs exactly
+(``fcVM.py:1051-1062``); we eliminate fixed dofs exactly by default
 (identity rows in K_hat, zero rows in G_hat), which is the limit the penalty
-approximates.  Eigenvectors are normalized in the (-G) metric, matching
-ARPACK's M-normalization, with the max-magnitude entry made positive for
-determinism.
+approximates — committed corpus factors differ by ~3e-4 because of this.
+``config.buckling_bc = "penalty"`` (env ``FCVM_BUCKLING_BC=penalty``)
+opts into an exact reproduction of the reference's penalized full pencil
+for committed-corpus parity at print precision.  Eigenvectors are
+normalized in the (-G) metric, matching ARPACK's M-normalization, with the
+max-magnitude entry made positive for determinism.
 """
 
 from __future__ import annotations
@@ -124,6 +127,143 @@ def make_recycled_k_inverse(kinv, harvest, build_space, k_defl, min_iters,
     return k_inverse
 
 
+def _multi_matvec_penalty(eldofs, ndof):
+    """Jitted full (uneliminated) block operator plus a diagonal addition:
+    ``(blocks, dvec, (ndof, m)) -> K_full u + dvec * u``.
+
+    The reference-parity penalty mode (``config.buckling_bc = "penalty"``)
+    assembles the pencil WITHOUT Dirichlet elimination and stiffens the
+    fixed K diagonals x100 instead (``fcVM.py:1051-1062``); ``dvec`` carries
+    the 99x extra diagonal plus identity on structurally empty rows
+    (dof-alignment padding)."""
+
+    @jax.jit
+    def mv(blocks, dvec, u):
+        ue = u[eldofs]  # (ne, 30, m)
+        fe = jnp.einsum("eij,ejm->eim", blocks, ue)
+        y = jax.ops.segment_sum(
+            fe.reshape(-1, u.shape[1]), eldofs.reshape(-1), num_segments=ndof
+        )
+        return y + dvec[:, None] * u
+
+    return mv
+
+
+@jax.jit
+def _assembled_diagonal(esm, eldofs, ndof_arr):
+    """(ndof,) assembled diagonal of the element blocks (no BC handling)."""
+    d = jnp.einsum("eii->ei", esm)
+    return jax.ops.segment_sum(
+        d.reshape(-1), eldofs.reshape(-1), num_segments=ndof_arr.shape[0]
+    )
+
+
+@jax.jit
+def _penalty_block_jacobi(esm, elnodes, dvec):
+    """Inverse 3x3 nodal blocks of the PENALIZED full stiffness (no
+    elimination): assembled nodal diagonal blocks + ``dvec`` on the
+    diagonal.  Preconditioner for the penalty-mode inner CG."""
+    from fcvm_tpu.utils.linalg3 import inv3_spd
+
+    ne = esm.shape[0]
+    nn = dvec.shape[0] // 3
+    blocks5 = esm.reshape(ne, 10, 3, 10, 3)
+    idx = jnp.arange(10)
+    diag = blocks5[:, idx, :, idx, :]  # (10, ne, 3, 3)
+    node_ids = elnodes.T.reshape(-1)
+    nodal = jax.ops.segment_sum(
+        diag.reshape(-1, 3, 3), node_ids, num_segments=nn
+    )
+    d3 = dvec.reshape(nn, 3)
+    eye = jnp.eye(3, dtype=esm.dtype)
+    nodal = nodal + eye[None] * d3[:, :, None]
+    return inv3_spd(nodal)
+
+
+def _assemble_penalty_csc(esm, eldofs, dvec, ndof):
+    """Full (uneliminated) scipy CSC of the penalized stiffness: all element
+    entries plus ``dvec`` on the diagonal.  Host direct tier of the
+    penalty-BC buckling mode (reference analogue: ``fcVM.py:1207-1211``)."""
+    import scipy.sparse as sp
+
+    esm = np.asarray(esm)
+    eldofs = np.asarray(eldofs)
+    rows = np.repeat(eldofs, 30, axis=1).reshape(-1)
+    cols = np.tile(eldofs, (1, 30)).reshape(-1)
+    k = sp.coo_matrix((esm.reshape(-1), (rows, cols)), shape=(ndof, ndof))
+    dvec = np.asarray(dvec)
+    idx = np.arange(ndof)
+    return (k + sp.coo_matrix((dvec, (idx, idx)), shape=(ndof, ndof))).tocsc()
+
+
+def _penalty_operators(esm, nsm, eldofs, elnodes, fixmask, ndof, dtype, cfg,
+                       rtol, maxiter, stall):
+    """(kmv, minus_g, k_inverse) for the reference-parity penalty-BC pencil.
+
+    Reproduces ``fcVM.py:1051-1062``: the FULL stiffness/geometric matrices
+    (no Dirichlet elimination) with fixed K diagonals multiplied x100 and G
+    unpenalized.  The committed corpus factors (e.g. Bar buckling
+    [0.43472, 0.43473], ``output files/Bar buckling.out:5``) carry this
+    penalty's ~3e-4 bias relative to exact elimination; this mode exists to
+    match them at print precision (``config.buckling_bc = "penalty"``).
+    Deflation recycling is skipped — the mode targets small parity meshes.
+    """
+    mvp = _multi_matvec_penalty(eldofs, ndof)
+    diag = _assembled_diagonal(esm, eldofs, jnp.zeros(ndof, dtype=dtype))
+    fixind = 1.0 - fixmask
+    empty = (diag == 0).astype(dtype)  # dof-alignment padding rows
+    dvec_k = 99.0 * diag * fixind + empty
+    zero_d = jnp.zeros_like(dvec_k)
+    nsm_neg = -nsm
+    kmv = lambda u: mvp(esm, dvec_k, u)
+    minus_g = lambda u: mvp(nsm_neg, zero_d, u)
+
+    if cfg.solver == "scipy":
+        from scipy.sparse.linalg import splu
+
+        lu = splu(_assemble_penalty_csc(esm, eldofs, dvec_k, ndof))
+
+        def k_inverse(w, x0_basis=None, x0_scale=None):
+            cols = [lu.solve(np.asarray(w[:, i])) for i in range(w.shape[1])]
+            return jnp.asarray(np.stack(cols, axis=1), dtype=dtype)
+
+    else:
+        pinv = _penalty_block_jacobi(esm, elnodes, dvec_k)
+
+        def _kinv(esm_a, pinv_a, dvec_a, w, x0_basis, x0_scale):
+            def kv(u):
+                ue = u[eldofs]
+                fe = jnp.einsum("eij,ej->ei", esm_a, ue)
+                y = jax.ops.segment_sum(
+                    fe.reshape(-1), eldofs.reshape(-1), num_segments=ndof
+                )
+                return y + dvec_a * u
+
+            prec = lambda r: asm.apply_block_precond(pinv_a, r)
+
+            def solve_col(b, x0c):
+                return slv.pcg(
+                    kv, b, precond=prec, x0=x0c, rtol=rtol,
+                    maxiter=maxiter, stall=stall,
+                ).x
+
+            if x0_basis is None:
+                return jax.vmap(
+                    lambda b: solve_col(b, None), in_axes=1, out_axes=1
+                )(w)
+            x0 = x0_basis * x0_scale[None, :]
+            return jax.vmap(solve_col, in_axes=(1, 1), out_axes=1)(w, x0)
+
+        _kinv_jit = jax.jit(_kinv)
+
+        def k_inverse(w, x0_basis=None, x0_scale=None):
+            xs = (None if x0_scale is None
+                  else jnp.asarray(x0_scale, dtype=dtype))
+            return _kinv_jit(esm, pinv, dvec_k, w, x0_basis, xs)
+
+    return kmv, minus_g, k_inverse
+
+
 def _multi_matvec(eldofs, fixmask, identity_on_fixed, negate=False):
     """Jitted ``(blocks, (ndof, m)) -> (ndof, m)`` block operator with
     Dirichlet projection.
@@ -211,6 +351,14 @@ def buckling_from_arrays(
     # either, every f32 inner solve burns maxiter.
     stall = 100
 
+    penalty = cfg.buckling_bc == "penalty"
+    if penalty:
+        # Reference-parity penalty BC runs in the natural dof ordering on
+        # the full (uneliminated) pencil; the Morton solve space and the
+        # scatter plan are elimination-path machinery.
+        space = None
+        plan = None
+
     esm = asm.elastic_stiffness_blocks(coords, elnodes, dmat)
     nsm = asm.geometric_stiffness_blocks(coords, elnodes, sig_gp)
     coords_work = coords
@@ -228,6 +376,41 @@ def buckling_from_arrays(
         nsm = nsm.astype(dtype)
         fixmask = fixmask.astype(dtype)
         coords_work = coords_work.astype(dtype)
+
+    if penalty:
+        kmv, minus_g, k_inverse = _penalty_operators(
+            esm, nsm, eldofs, elnodes, fixmask, ndof, dtype, cfg,
+            rtol, maxiter, stall,
+        )
+        try:
+            lam, vecs = pencil_subspace(
+                kmv, minus_g, k_inverse, ndof, dtype, k, m, outer_tol,
+                max_outer, fixmask=None,
+            )
+        except EigensolveBreakdownError:
+            if dtype != jnp.float32:
+                raise
+            import warnings
+
+            warnings.warn(
+                "f32 penalty-BC buckling eigensolve broke down; retrying "
+                "the iteration in float64 on the f32-assembled operands"
+            )
+            if cfg.dtype is None:
+                cfg.dtype = "float32"
+            x64_prev = jax.config.read("jax_enable_x64")
+            jax.config.update("jax_enable_x64", True)
+            try:
+                return buckling_from_arrays(
+                    coords, elnodes_in, dmat, sig_gp, fixmask_in, k=k,
+                    rtol=rtol, maxiter=maxiter, n_sub=n_sub,
+                    outer_tol=outer_tol, max_outer=max_outer, plan=plan_in,
+                    space=None, _dtype_override=jnp.float64,
+                )
+            finally:
+                if not x64_prev:
+                    jax.config.update("jax_enable_x64", False)
+        return lam, vecs
 
     _kmv = _multi_matvec(eldofs, fixmask, identity_on_fixed=True)
     _mg = _multi_matvec(eldofs, fixmask, identity_on_fixed=False, negate=True)

@@ -56,6 +56,31 @@ def test_elastic_buckling_through_driver():
     assert abs(ux - (-p * lc / (E * w * w))) < 0.05 * p * lc / (E * w * w)
 
 
+def test_penalty_bc_cg_tier_matches_direct():
+    """The penalty-BC pencil (fcVM.py:1051-1062 parity mode) must give the
+    same factors from the matrix-free PCG tier (penalty block-Jacobi
+    preconditioner, no elimination) as from the host direct tier."""
+    from fcvm_tpu.config import get_config
+
+    cfg = get_config()
+    mesh, model = _column_model(nx=6)
+    params = fcvm_tpu.ControlParams(gnl="GNLY", nstep=1)
+    old_bc, old_solver = cfg.buckling_bc, cfg.solver
+    try:
+        cfg.buckling_bc = "penalty"
+        cfg.solver = "scipy"
+        lam_direct, _ = fcvm_tpu.linear_buckling(model, params, k=2)
+        cfg.solver = "cg"
+        lam_cg, vecs_cg = fcvm_tpu.linear_buckling(model, params, k=2)
+    finally:
+        cfg.buckling_bc, cfg.solver = old_bc, old_solver
+    np.testing.assert_allclose(lam_cg, lam_direct, rtol=1e-7)
+    # penalty modes still vanish (to ~1e-2 relative) on the clamped face
+    v = np.abs(np.asarray(vecs_cg)).reshape(-1, 3, 2)
+    clamped = mesh.select_nodes(lambda x, y, z: x < 1e-9)
+    assert v[clamped].max() < 2e-2 * v.max()
+
+
 def test_imperfection_seeding_perturbs_coords():
     mesh, model = _column_model()
     params = fcvm_tpu.ControlParams(
