@@ -141,6 +141,17 @@ class FcvmConfig:
     # differ from exact elimination by ~3e-4 precisely because of this
     # penalty.  Env: FCVM_BUCKLING_BC.
     buckling_bc: str = "eliminate"
+    # Automatic precision governance of the collapse driver (the reference
+    # never needs one — its whole pipeline is f64 numpy + CHOLMOD,
+    # fcVM.py:1111-1135): when an f32 run's Newton residual stagnates at an
+    # arithmetic floor ABOVE error_max, the driver either (a) clamps the
+    # effective tolerance to ~2x the measured floor when that stays within
+    # a decade of error_max (noise-aware stepping — the restart ladder must
+    # not thrash against roundoff), or (b) reruns the whole analysis in the
+    # f64 tier when the floor is far above the requested tolerance
+    # (runtime/driver.PrecisionFloorError; same pattern as the buckling
+    # eigensolve failover).  Env: FCVM_PRECISION_FAILOVER=0 disables.
+    precision_failover: bool = True
     # Arc-length control of the nonlinear driver: "riks" = the reference's
     # linearized load correction + norm scale-back (fcVM.py:1414-1434;
     # parity default — stalls at snapback folds, where the scale-back
@@ -199,6 +210,10 @@ if os.environ.get("FCVM_ARC"):
     _config.arc_length = os.environ["FCVM_ARC"]
 if os.environ.get("FCVM_BUCKLING_BC"):
     _config.buckling_bc = os.environ["FCVM_BUCKLING_BC"]
+if os.environ.get("FCVM_PRECISION_FAILOVER"):
+    _config.precision_failover = os.environ["FCVM_PRECISION_FAILOVER"] not in (
+        "0", "off", "false"
+    )
 if os.environ.get("FCVM_DTYPE"):
     # Precision tier: FCVM_DTYPE=float64 runs the whole solve in f64 — on
     # TPU via XLA's software-emulated f64 (no f64 MXU; the dense coarse

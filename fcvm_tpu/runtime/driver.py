@@ -103,6 +103,84 @@ class AnalysisResults:
     cg_stats: dict
 
 
+class PrecisionFloorError(RuntimeError):
+    """The f32 Newton residual stagnated at an arithmetic floor above
+    ``error_max`` that is too far above the requested tolerance to clamp.
+
+    The reference has no such failure mode — its entire pipeline is f64
+    numpy + CHOLMOD (``fcVM.py:1111-1135``).  :func:`solve_collapse`
+    catches this and reruns the analysis in the f64 tier automatically
+    (``config.precision_failover``), the same pattern as the buckling
+    eigensolve's :class:`fcvm_tpu.runtime.buckling.EigensolveBreakdownError`
+    failover."""
+
+
+# f32 residual-floor detector tuning (see _FloorWatch).  The measured f32
+# floor is ~2e-7 relative with full-precision stress-update einsums
+# (PARITY.md precision budget); slender near-buckling tangents can creep
+# an order or two higher before stalling (docs/PERFORMANCE.md).
+_FLOOR_WINDOW = 4  # iterations of non-improvement that define "stagnant"
+_FLOOR_IMPROVE = 0.7  # stagnant = best error improved < 30% over the window
+_FLOOR_CLAMP_FACTOR = 10.0  # clamp only while 2*floor <= 10 * error_max
+_FLOOR_ESCALATE_CAP = 1.0e-3  # escalate only below this absolute error —
+# a stagnation ABOVE it is physics (limit-load imbalance), not roundoff,
+# and f64 would stall the same way
+
+
+class _FloorWatch:
+    """Detect the f32 residual floor in a Newton error sequence.
+
+    Genuine Newton/modified-NR convergence contracts the error at least
+    geometrically; a sequence whose best error improves by less than 30%
+    over 4 consecutive iterations while still above ``error_max`` is
+    sitting on an arithmetic floor (or a physical limit state — the
+    absolute level tells them apart, see ``_FLOOR_ESCALATE_CAP``).
+
+    ``observe(error)`` returns ``None`` (keep iterating), ``("clamp", e)``
+    (accept convergence at the noise-clamped tolerance ``e``), or
+    ``"escalate"`` (the floor is too far above ``error_max`` — rerun in
+    f64).  ``reset()`` starts a fresh step attempt (each restart re-probes:
+    smaller increments lower the floor with the residual magnitudes).
+    """
+
+    def __init__(self, error_max: float, enabled: bool):
+        self.error_max = error_max
+        self.enabled = enabled
+        self.errs: list = []
+
+    def reset(self):
+        self.errs = []
+
+    def observe(self, error: float):
+        if not self.enabled:
+            return None
+        self.errs.append(error)
+        if len(self.errs) <= _FLOOR_WINDOW:
+            return None
+        best_now = min(self.errs[-_FLOOR_WINDOW:])
+        best_before = min(self.errs[:-_FLOOR_WINDOW])
+        if best_now <= _FLOOR_IMPROVE * best_before:
+            return None  # still converging
+        if best_now <= self.error_max:
+            return None  # the exit criterion will fire on its own
+        if 2.0 * best_now <= _FLOOR_CLAMP_FACTOR * self.error_max:
+            return ("clamp", 2.0 * best_now)
+        if best_now <= _FLOOR_ESCALATE_CAP:
+            return "escalate"
+        return None  # physical stagnation — leave it to the restart ladder
+
+    def escalate_at_mrr(self) -> bool:
+        """Restarts exhausted: escalate iff the abandoned attempt's best
+        error was small (roundoff-class, below the escalate cap) yet above
+        ``error_max`` — the step was *almost* converged and f64 would
+        finish it.  Large best errors mean genuine divergence (the normal
+        end of a collapse analysis) and must NOT trigger a rerun."""
+        if not self.enabled or not self.errs:
+            return False
+        best = min(self.errs)
+        return self.error_max < best <= _FLOOR_ESCALATE_CAP
+
+
 class _LinearState:
     """Current linear operator: blocks + preconditioner (+ its CG budget).
 
@@ -125,6 +203,61 @@ class _LinearState:
 
 
 def solve_collapse(
+    model: Model,
+    params: ControlParams,
+    continuation: Optional[Callable] = None,
+    checkpoint_path: Optional[str] = None,
+    resume_from: Optional[str] = None,
+    progress: Optional[Callable[[str], None]] = None,
+    monitor: Optional[Callable] = None,
+) -> AnalysisResults:
+    """Run a full collapse analysis with automatic precision governance.
+
+    Thin wrapper over :func:`_solve_collapse_impl` (the actual driver; see
+    its docstring for the argument semantics): when an f32 run raises
+    :class:`PrecisionFloorError` — the Newton residual stagnated at the f32
+    arithmetic floor far above ``error_max`` — the whole analysis reruns in
+    the f64 tier, matching the reference's unconditionally-f64 pipeline
+    (``fcVM.py:1111-1135``).  The x64 flag and config dtype are restored
+    afterwards so later f32 analyses in the same process stay 32-bit.
+
+    Note: progress/monitor/continuation callbacks fire again during the
+    rerun, and checkpoints (if any) are overwritten from step 0.
+    """
+    import warnings
+
+    cfg = get_config()
+    try:
+        return _solve_collapse_impl(
+            model, params, continuation, checkpoint_path, resume_from,
+            progress, monitor,
+        )
+    except PrecisionFloorError as err:
+        if not cfg.precision_failover or cfg.resolve_dtype() != jnp.float32:
+            raise
+        msg = (f"f32 collapse run hit its residual floor ({err}); "
+               "rerunning the analysis in the float64 tier")
+        warnings.warn(msg)
+        if progress is not None:
+            progress(f"PRECISION FAILOVER: {msg}")
+        prev_dtype = cfg.dtype if cfg.dtype is not None else "float32"
+        x64_prev = jax.config.read("jax_enable_x64")
+        jax.config.update("jax_enable_x64", True)
+        cfg.dtype = "float64"
+        try:
+            # AnalysisResults holds only host numpy arrays, so all f64
+            # device work completes before the flags are restored
+            return _solve_collapse_impl(
+                model, params, continuation, checkpoint_path, resume_from,
+                progress, monitor,
+            )
+        finally:
+            cfg.dtype = prev_dtype
+            if not x64_prev:
+                jax.config.update("jax_enable_x64", False)
+
+
+def _solve_collapse_impl(
     model: Model,
     params: ControlParams,
     continuation: Optional[Callable] = None,
@@ -196,7 +329,15 @@ def solve_collapse(
                 # coarse-build degradation counters (ops.precond ladder):
                 # a zero-coarse fallback costs 4-7x CG iterations, so it
                 # must be loud in the run log, not just a Python warning
-                "coarse_ridge_escalations": 0, "coarse_zero_fallbacks": 0}
+                "coarse_ridge_escalations": 0, "coarse_zero_fallbacks": 0,
+                # noise-aware stepping: steps accepted at a tolerance
+                # clamped to ~2x the measured f32 residual floor
+                "floor_clamps": 0, "floor_clamp_steps": []}
+    # f32 precision governance (see _FloorWatch / PrecisionFloorError)
+    floor_watch = _FloorWatch(
+        params.error_max,
+        enabled=cfg.precision_failover and dtype == jnp.dtype(jnp.float32),
+    )
 
     def assemble(coords):
         with timers.phase("assemble"):
@@ -583,8 +724,11 @@ def solve_collapse(
                 error = float(error_dev)
                 iterat = 0
                 log(f"Iteration: {iterat}, Error: {error:.2e}")
+                eff_error_max = params.error_max
+                floor_watch.reset()
+                floor_watch.observe(error)
 
-                while error > params.error_max and not mrr:
+                while error > eff_error_max and not mrr:
                     iterat += 1
                     iterat_tot += 1
 
@@ -699,12 +843,39 @@ def solve_collapse(
                             settle_solve()
                     log(f"Iteration: {iterat}, Error: {error:.2e}")
 
+                    act = floor_watch.observe(error)
+                    if act == "escalate":
+                        raise PrecisionFloorError(
+                            f"Newton error stagnant at "
+                            f"~{min(floor_watch.errs):.2e} > error_max "
+                            f"{params.error_max:g} at step {step}"
+                        )
+                    if act is not None and act[1] > eff_error_max:
+                        eff_error_max = act[1]
+                        if step not in cg_stats["floor_clamp_steps"]:
+                            cg_stats["floor_clamps"] += 1
+                            cg_stats["floor_clamp_steps"].append(step)
+                        log(
+                            f"f32 RESIDUAL FLOOR at step {step}: error "
+                            f"stagnant above error_max "
+                            f"{params.error_max:g}; accepting this step at "
+                            f"the noise-clamped tolerance {act[1]:.2e}"
+                        )
+
                     if iterat > params.iterat_max:
                         # Divergence restart with shrinking increments
                         # (fcVM.py:1457-1484).
                         restart += 1
                         log(f"RESTART # {restart}")
                         if restart > 4:
+                            if floor_watch.escalate_at_mrr():
+                                raise PrecisionFloorError(
+                                    "restarts exhausted with the Newton "
+                                    f"error near-converged at "
+                                    f"~{min(floor_watch.errs):.2e} "
+                                    f"(> error_max {params.error_max:g}) "
+                                    f"at step {step}"
+                                )
                             log("MAXIMUM RESTARTS REACHED")
                             fail = False
                             step -= 1
@@ -725,6 +896,11 @@ def solve_collapse(
                         # error, not the converged state.
                         error = float(error_dev)
                         iterat = 0
+                        # fresh attempt: smaller increments lower the floor
+                        # with the residual magnitudes, so re-probe
+                        eff_error_max = params.error_max
+                        floor_watch.reset()
+                        floor_watch.observe(error)
 
                 if mrr:
                     break

@@ -1,0 +1,195 @@
+"""Automatic precision governance of the collapse driver.
+
+The reference never needs one — its whole pipeline is f64 numpy + CHOLMOD
+(``fcVM.py:1111-1135``; every kernel allocates ``np.float64``).  The
+rebuild's production TPU tier is f32, whose Newton residual has an
+arithmetic floor; when ``error_max`` sits below it the driver must not
+thrash the restart ladder against roundoff (reference restart logic:
+``fcVM.py:1457-1484``).  Two responses, by how far the floor overshoots:
+
+* clamp: accept steps at ~2x the measured floor when that stays within a
+  decade of ``error_max`` (noise-aware stepping);
+* escalate: rerun the whole analysis in the f64 tier (the pattern of the
+  buckling eigensolve's f64 failover, ``runtime/buckling.py``).
+"""
+
+import warnings
+
+import jax
+import numpy as np
+import pytest
+
+import fcvm_tpu
+from fcvm_tpu.config import get_config
+from fcvm_tpu.models import meshgen
+from fcvm_tpu.runtime.driver import (
+    _FLOOR_ESCALATE_CAP,
+    PrecisionFloorError,
+    _FloorWatch,
+)
+
+E, NU, L = 210000.0, 0.3, 10.0
+
+
+# ---------------------------------------------------------------------------
+# _FloorWatch unit tests (the trigger logic, CPU-only, no solves)
+# ---------------------------------------------------------------------------
+
+
+def _feed(watch, errs):
+    acts = [watch.observe(e) for e in errs]
+    return acts[-1]
+
+
+def test_floorwatch_converging_sequence_is_silent():
+    w = _FloorWatch(error_max=1e-10, enabled=True)
+    # geometric contraction never looks stagnant
+    assert _feed(w, [10.0 * 0.5**i for i in range(20)]) is None
+    assert all(w.observe(e) is None for e in (1e-6, 5e-7, 2e-7, 1e-7))
+
+
+def test_floorwatch_clamps_near_floor():
+    # floor ~1e-7, error_max 5e-8: 2*floor within a decade -> clamp
+    w = _FloorWatch(error_max=5e-8, enabled=True)
+    act = _feed(w, [1e-3, 1e-5, 3e-7, 1.2e-7, 1.1e-7, 1.0e-7, 1.05e-7,
+                    1.02e-7, 1.04e-7])
+    assert act is not None and act != "escalate"
+    kind, clamp = act
+    assert kind == "clamp"
+    np.testing.assert_allclose(clamp, 2.0e-7, rtol=0.2)
+
+
+def test_floorwatch_escalates_far_above_error_max():
+    # floor ~1e-7, error_max 1e-12: clamping would be 5 decades off -> f64
+    w = _FloorWatch(error_max=1e-12, enabled=True)
+    act = _feed(w, [1e-3, 1e-5, 3e-7, 1.2e-7, 1.1e-7, 1.0e-7, 1.05e-7,
+                    1.02e-7, 1.04e-7])
+    assert act == "escalate"
+
+
+def test_floorwatch_physical_stagnation_is_left_to_restarts():
+    # stagnation ABOVE the escalate cap is limit-load physics, not roundoff
+    level = 10.0 * _FLOOR_ESCALATE_CAP
+    w = _FloorWatch(error_max=1e-6, enabled=True)
+    assert _feed(w, [level * f for f in (3.0, 1.5, 1.1, 1.0, 0.98, 1.02, 1.0)]) is None
+
+
+def test_floorwatch_disabled_and_mrr_predicate():
+    w = _FloorWatch(error_max=1e-12, enabled=False)
+    assert _feed(w, [1e-7] * 10) is None
+    assert not w.escalate_at_mrr()
+
+    w = _FloorWatch(error_max=1e-12, enabled=True)
+    for e in (1e-4, 1e-6, 2e-7, 1.5e-7):
+        w.observe(e)
+    assert w.escalate_at_mrr()  # near-converged roundoff-class abandon
+
+    w = _FloorWatch(error_max=1e-2, enabled=True)
+    for e in (5.0, 1.0, 0.4, 0.5):  # genuine divergence at collapse
+        w.observe(e)
+    assert not w.escalate_at_mrr()
+
+
+# ---------------------------------------------------------------------------
+# Driver integration (tiny mesh, CPU; conftest pins x64 so f32 is explicit)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def f32_tier():
+    cfg = get_config()
+    old = cfg.dtype
+    cfg.dtype = "float32"
+    yield cfg
+    cfg.dtype = old
+
+
+def _tension_model():
+    mesh = meshgen.box_tet10(2, 2, 2, L, L, L)
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets([
+        (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+        (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+        (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+    ])
+    faces = mesh.faces_on(lambda x, y, z: x > L - 1e-9)
+    loads = fcvm_tpu.Loads(
+        traction_faces=faces,
+        tractions=np.tile([100.0, 0, 0], (len(faces), 1)),
+    )
+    return fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads)
+
+
+def test_noise_clamped_stepping_completes_f32(f32_tier):
+    """error_max just under the f32 floor: every step is accepted at the
+    clamped tolerance and the run completes instead of restart-thrashing."""
+    model = _tension_model()
+    params = fcvm_tpu.ControlParams(
+        sig_yield=240.0, nstep=6, error_max=5e-8, et_e=0.1,
+        target_lf=99.0, iterat_max=30,
+    )
+    res = fcvm_tpu.solve_collapse(model, params)
+    lbd = np.asarray(res.history.lbd)
+    assert res.cg_stats["floor_clamps"] >= 4
+    assert res.cg_stats["floor_clamp_steps"][0] == 0
+    # all 6 elastic steps of 1/6 completed at f32 despite the floor
+    assert len(lbd) == 7
+    np.testing.assert_allclose(lbd[-1], 1.0, rtol=1e-4)
+
+
+def test_escalation_reruns_in_f64(f32_tier):
+    """error_max far below the f32 floor: the run escalates, reruns f64,
+    converges to the requested tolerance, and restores the dtype flags."""
+    cfg = f32_tier
+    model = _tension_model()
+    params = fcvm_tpu.ControlParams(
+        sig_yield=240.0, nstep=6, error_max=1e-12, et_e=0.1,
+        target_lf=99.0, iterat_max=25,
+    )
+    lines = []
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res = fcvm_tpu.solve_collapse(model, params, progress=lines.append)
+    assert any("residual floor" in str(w.message) for w in rec)
+    assert any(l.startswith("PRECISION FAILOVER") for l in lines)
+    # flags restored so later analyses in this process stay f32
+    assert cfg.dtype == "float32"
+    assert jax.config.read("jax_enable_x64")
+    # the f64 rerun really converged to 1e-12 (impossible at f32): the
+    # result matches an explicitly-f64 run exactly
+    cfg.dtype = "float64"
+    ref = fcvm_tpu.solve_collapse(model, params)
+    cfg.dtype = "float32"
+    np.testing.assert_allclose(res.history.lbd, ref.history.lbd, rtol=1e-12)
+    np.testing.assert_allclose(res.disp_total, ref.disp_total, rtol=1e-10)
+    assert res.cg_stats["floor_clamps"] == 0  # the f64 rerun needs none
+
+
+def test_failover_disabled_raises(f32_tier):
+    """FCVM_PRECISION_FAILOVER=0: the floor error propagates to the caller
+    instead of silently rerunning."""
+    cfg = f32_tier
+    model = _tension_model()
+    params = fcvm_tpu.ControlParams(
+        sig_yield=240.0, nstep=6, error_max=1e-12, et_e=0.1,
+        target_lf=99.0, iterat_max=25,
+    )
+    old = cfg.precision_failover
+    cfg.precision_failover = False
+    try:
+        # watch disabled entirely: the reference restart ladder runs and the
+        # step is abandoned (MAXIMUM RESTARTS), reference behavior
+        res = fcvm_tpu.solve_collapse(model, params)
+        assert list(res.history.lbd) == [0.0]
+    finally:
+        cfg.precision_failover = old
+
+
+def test_f64_tier_never_watches():
+    cfg = get_config()
+    model = _tension_model()
+    params = fcvm_tpu.ControlParams(
+        sig_yield=240.0, nstep=4, error_max=1e-11, et_e=0.1, target_lf=99.0,
+    )
+    res = fcvm_tpu.solve_collapse(model, params)  # conftest x64 default
+    assert res.cg_stats["floor_clamps"] == 0
+    assert len(res.history.lbd) == 5
