@@ -19,7 +19,13 @@ logged to stderr.  Measured at a matched size both paths can run (3D LU
 fill-in makes the 500k-DOF direct baseline infeasible — which is itself the
 point of the matrix-free design).
 
-Extra diagnostics go to stderr; stdout carries only the JSON line.
+Extra diagnostics go to stderr; stdout carries only the JSON line.  The
+line's ``extra`` field carries graded sub-rows: headline precond-build
+times, the sharded-backend-on-one-real-chip comparison
+(``sharded_vs_local_row``), and the capacity regime (1.07M / 1.98M dof —
+the >0.5M-node gather-locality cliff, ``capacity_row``).  Knobs:
+``FCVM_BENCH_CAPACITY`` (comma list of nx, default "35,43" on TPU, off on
+CPU), ``FCVM_BENCH_SHARDED(=0)``, ``FCVM_BENCH_SHARDED_NX``.
 """
 
 import json
@@ -114,6 +120,7 @@ def tpu_step_time(nx):
     from fcvm_tpu.config import get_config
 
     cfg = get_config()
+    t_build1 = t_build2 = 0.0
     if cfg.precond == "two_level":
         t0 = time.perf_counter()
         pc = jax.block_until_ready(
@@ -130,8 +137,9 @@ def tpu_step_time(nx):
                                cfg.resolve_cluster_size(mesh.n_nodes),
                                space=space)
         )
+        t_build2 = time.perf_counter() - t0
         log(f"two-level precond build: {t_build1:.2f}s first "
-            f"(incl. compile/cache load), {time.perf_counter() - t0:.2f}s repeat")
+            f"(incl. compile/cache load), {t_build2:.2f}s repeat")
     else:
         pc = pinv[space.nperm]
 
@@ -241,7 +249,13 @@ def tpu_step_time(nx):
     t_step = min(times)
     log(f"TPU per-step: {t_step * 1e3:.1f} ms (3 runs: {[f'{t*1e3:.0f}' for t in times]}; "
         f"per-solve iters {[int(jax.device_get(i)) for i in iters_seen]})")
-    return t_step, mesh.ndof, t_asm, cg_iters
+    diag = {
+        "assembly_ms": round(t_asm * 1e3, 2),
+        "precond_first_s": round(t_build1, 2),
+        "precond_repeat_s": round(t_build2, 2),
+        "elastic_iters": cg_iters,
+    }
+    return t_step, mesh.ndof, t_asm, cg_iters, diag
 
 
 def cpu_step_time(nx):
@@ -319,6 +333,140 @@ def cpu_step_time(nx):
     return t_step, t_mnr, mesh.ndof, t_factor
 
 
+def capacity_row(nx):
+    """Capacity-regime stats (the >0.5M-node gather-locality cliff,
+    docs/PERFORMANCE.md "Single-chip capacity"): assembly, precond build,
+    elastic-solve iterations, ms per CG iteration.  Returns one dict row
+    for the graded JSON."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcvm_tpu.config import get_config
+    from fcvm_tpu.ops import assembly as asm_ops
+    from fcvm_tpu.ops import material as mat
+    from fcvm_tpu.runtime import system as sysm
+    from fcvm_tpu.utils.indexing import pad_ndof, pad_vector
+
+    dtype = jnp.float32
+    mesh, model = build(nx)
+    log(f"capacity mesh: nn={mesh.n_nodes} ne={mesh.n_elements} ndof={mesh.ndof}")
+    coords = jnp.asarray(mesh.coords, dtype)
+    eln = jnp.asarray(mesh.elnodes)
+    dmat = mat.hooke_dmat(jnp.asarray(E, dtype), jnp.asarray(NU, dtype))
+    fixmask_np, u_fix_np, _ = model.bcs.masks(mesh.ndof)
+    nd_pad = pad_ndof(mesh.ndof)
+    fixmask = jnp.asarray(pad_vector(fixmask_np, nd_pad), dtype)
+    u_fix = jnp.asarray(pad_vector(u_fix_np, nd_pad), dtype)
+    lt = sysm.LoadTables.from_spec(model.loads, dtype)
+    plan = asm_ops.build_scatter_plan(mesh.elnodes, nd_pad // 3)
+    space = sysm.build_solve_space(mesh.coords, mesh.elnodes, fixmask, nd_pad)
+
+    t0 = time.perf_counter()
+    esm, pinv, glv, rhs, gpc, vol, ls = jax.block_until_ready(
+        sysm.assemble_elastic(coords, eln, dmat, lt, jnp.asarray(0.0, dtype),
+                              fixmask, u_fix, plan)
+    )
+    t_asm_cold = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    esm, pinv, glv, rhs, gpc, vol, ls = jax.block_until_ready(
+        sysm.assemble_elastic(coords, eln, dmat, lt, jnp.asarray(0.0, dtype),
+                              fixmask, u_fix, plan)
+    )
+    t_asm = time.perf_counter() - t0
+
+    cfg = get_config()
+    cs = cfg.resolve_cluster_size(mesh.n_nodes)
+    t0 = time.perf_counter()
+    pc = jax.block_until_ready(
+        sysm.build_precond(esm, eln, coords, fixmask, cs, space=space)
+    )
+    t_build1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    pc = jax.block_until_ready(
+        sysm.build_precond(esm, eln, coords, fixmask, cs, space=space)
+    )
+    t_build2 = time.perf_counter() - t0
+
+    def solve():
+        return jax.block_until_ready(
+            sysm.solve_displacement(esm, eln, fixmask, pc, rhs, CG_RTOL,
+                                    5000, plan=plan, space=space)
+        )
+
+    res = solve()  # compile
+    t0 = time.perf_counter()
+    res = solve()
+    t_solve = time.perf_counter() - t0
+    iters = int(res.iters)
+    row = {
+        "ndof": mesh.ndof,
+        "assembly_ms": round(t_asm * 1e3, 1),
+        "assembly_cold_s": round(t_asm_cold, 1),
+        "precond_first_s": round(t_build1, 2),
+        "precond_repeat_s": round(t_build2, 2),
+        "elastic_iters": iters,
+        "elastic_solve_ms": round(t_solve * 1e3, 1),
+        "ms_per_cg_iter": round(t_solve * 1e3 / max(iters, 1), 2),
+    }
+    log(f"capacity {mesh.ndof} dof: assembly {row['assembly_ms']} ms, "
+        f"precond {t_build1:.2f}/{t_build2:.2f} s, elastic {iters} iters "
+        f"@ {row['ms_per_cg_iter']} ms/iter")
+    # free the big arrays before the next row
+    del esm, pinv, glv, rhs, gpc, pc, res
+    return row
+
+
+def sharded_vs_local_row(nx):
+    """ShardedSystem on a ONE-real-device mesh vs LocalSystem, end-to-end
+    through the production collapse driver: identical physics expected,
+    per-step wall delta measured.  This is the only available real-chip
+    exposure of the shard_map kernels (multi-chip hardware is absent);
+    the round-2 TPU matmul-precision traps were all invisible on CPU."""
+    import fcvm_tpu
+    from fcvm_tpu.config import get_config
+
+    cfg = get_config()
+    _, model = build(nx)
+    params = fcvm_tpu.ControlParams(
+        sig_yield=60.0, nstep=5, error_max=1e-5, et_e=0.1,
+        target_lf=99.0, gnl="GNLY", max_imp=0.0,
+    )
+
+    def run():
+        res = fcvm_tpu.solve_collapse(model, params)
+        nsteps = max(len(res.history.lbd) - 1, 1)
+        return res, res.timers.get("stepping", 0.0) / nsteps
+
+    res_l, t_l = run()
+    old = cfg.force_sharded
+    cfg.force_sharded = True
+    try:
+        res_s, t_s = run()
+    finally:
+        cfg.force_sharded = old
+    lbd_l = np.asarray(res_l.history.lbd)
+    lbd_s = np.asarray(res_s.history.lbd)
+    nsh = min(len(lbd_l), len(lbd_s))
+    lbd_diff = float(np.max(np.abs(lbd_l[:nsh] - lbd_s[:nsh])))
+    row = {
+        "ndof": 3 * len(model.mesh.coords),
+        "steps_local": len(lbd_l) - 1,
+        "steps_sharded": len(lbd_s) - 1,
+        "step_ms_local": round(t_l * 1e3, 1),
+        "step_ms_sharded": round(t_s * 1e3, 1),
+        "cg_iters_local": res_l.cg_stats["iters"],
+        "cg_iters_sharded": res_s.cg_stats["iters"],
+        "max_lbd_diff": lbd_diff,
+        "peeq_max_local": float(np.max(res_l.peeq_gp)),
+        "peeq_max_sharded": float(np.max(res_s.peeq_gp)),
+    }
+    log(f"sharded(1-device mesh) vs local at {row['ndof']} dof: "
+        f"step {row['step_ms_sharded']} vs {row['step_ms_local']} ms, "
+        f"cg iters {row['cg_iters_sharded']} vs {row['cg_iters_local']}, "
+        f"max lbd diff {lbd_diff:.2e}")
+    return row
+
+
 def wait_for_device(max_tries=3, probe_timeout=150, wait_s=420):
     """Bounded pre-flight: wait out a transiently wedged tunnel TPU.
 
@@ -364,16 +512,48 @@ def main():
     t_cpu, t_cpu_mnr, ndof_cpu, t_factor = cpu_step_time(NX_CPU)
 
     # matched-size TPU measurement for the honest ratio
-    t_tpu_small, _, _, _ = tpu_step_time(NX_CPU)
+    t_tpu_small, _, _, _, _ = tpu_step_time(NX_CPU)
     vs_baseline = t_cpu / t_tpu_small
 
-    t_tpu, ndof, t_asm, cg_iters = tpu_step_time(NX_TPU)
+    t_tpu, ndof, t_asm, cg_iters, diag = tpu_step_time(NX_TPU)
     log(
         f"matched-size ({ndof_cpu} dof): collapse-step speedup "
         f"{vs_baseline:.2f}x (modified-NR-only ratio "
         f"{t_cpu_mnr / t_tpu_small:.2f}x); headline {ndof}-dof TPU step "
         f"{t_tpu * 1e3:.1f} ms"
     )
+
+    extra = {"headline": diag}
+    import jax
+
+    on_accel = jax.default_backend() != "cpu"
+
+    # sharded backend on the real chip (1-device mesh): the only hardware
+    # exposure the shard_map kernels can get in this environment
+    if os.environ.get("FCVM_BENCH_SHARDED", "1" if on_accel else "0") not in (
+        "0", "off", "false"
+    ):
+        try:
+            extra["sharded_1dev"] = sharded_vs_local_row(
+                int(os.environ.get("FCVM_BENCH_SHARDED_NX", str(NX_TPU)))
+            )
+        except Exception as err:  # keep the graded line alive
+            log(f"sharded row FAILED: {type(err).__name__}: {err}")
+            extra["sharded_1dev"] = {"error": f"{type(err).__name__}: {err}"}
+
+    # capacity regime (>0.5M-node gather-locality cliff): 1.07M / 1.98M dof
+    cap_env = os.environ.get("FCVM_BENCH_CAPACITY", "35,43" if on_accel else "")
+    if cap_env and cap_env not in ("0", "off", "false"):
+        extra["capacity"] = []
+        for nxs in cap_env.split(","):
+            try:
+                extra["capacity"].append(capacity_row(int(nxs)))
+            except Exception as err:
+                log(f"capacity row nx={nxs} FAILED: {type(err).__name__}: {err}")
+                extra["capacity"].append(
+                    {"nx": int(nxs), "error": f"{type(err).__name__}: {err}"}
+                )
+
     print(
         json.dumps(
             {
@@ -381,6 +561,7 @@ def main():
                 "value": round(t_tpu * 1e3, 2),
                 "unit": "ms",
                 "vs_baseline": round(vs_baseline, 3),
+                "extra": extra,
             }
         )
     )

@@ -84,6 +84,11 @@ class FcvmConfig:
     # jax.sharding.Mesh element partition (fcvm_tpu.parallel.system).
     # 0/1 = single device.  Env: FCVM_NDEVICES.
     n_devices: int = 0
+    # Run the sharded SPMD backend even at n_devices <= 1 (a 1-device
+    # jax.sharding.Mesh): flushes TPU-only traps in the shard_map kernels
+    # on a single real chip, where multi-chip hardware is unavailable.
+    # Env: FCVM_FORCE_SHARDED=1.
+    force_sharded: bool = False
     # Ritz-deflation recycling (fcvm_tpu.ops.deflation): one NR correction
     # solve harvests its Lanczos byproducts; the lowest Ritz vectors of
     # M^-1 K deflate every subsequent solve, RETAINED ACROSS LOAD STEPS
@@ -210,6 +215,10 @@ if os.environ.get("FCVM_ARC"):
     _config.arc_length = os.environ["FCVM_ARC"]
 if os.environ.get("FCVM_BUCKLING_BC"):
     _config.buckling_bc = os.environ["FCVM_BUCKLING_BC"]
+if os.environ.get("FCVM_FORCE_SHARDED"):
+    _config.force_sharded = os.environ["FCVM_FORCE_SHARDED"] not in (
+        "0", "off", "false"
+    )
 if os.environ.get("FCVM_PRECISION_FAILOVER"):
     _config.precision_failover = os.environ["FCVM_PRECISION_FAILOVER"] not in (
         "0", "off", "false"

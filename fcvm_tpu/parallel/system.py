@@ -82,7 +82,10 @@ class ShardedSystem(LocalSystem):
 
     def __init__(self, model, cfg, dtype):
         super().__init__(model, cfg, dtype)
-        n = int(cfg.n_devices)
+        # n=1 is a valid degenerate mesh (cfg.force_sharded): the SPMD
+        # kernels run on one real chip, which is the only way to expose
+        # TPU-only traps in them when multi-chip hardware is unavailable
+        n = max(1, int(cfg.n_devices))
         devs = jax.devices()
         if len(devs) < n:
             raise RuntimeError(

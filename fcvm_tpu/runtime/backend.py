@@ -214,8 +214,13 @@ class LocalSystem:
 
 
 def make_backend(model, cfg, dtype):
-    """Backend factory: sharded when ``cfg.n_devices > 1``, local otherwise."""
-    if getattr(cfg, "n_devices", 0) and cfg.n_devices > 1:
+    """Backend factory: sharded when ``cfg.n_devices > 1`` (or
+    ``cfg.force_sharded``, which runs the SPMD path on a 1-device mesh —
+    single-real-chip validation of the shard_map kernels), local otherwise.
+    """
+    if (getattr(cfg, "n_devices", 0) and cfg.n_devices > 1) or getattr(
+        cfg, "force_sharded", False
+    ):
         from fcvm_tpu.parallel.system import ShardedSystem
 
         return ShardedSystem(model, cfg, dtype)

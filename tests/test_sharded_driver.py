@@ -98,6 +98,30 @@ def test_sharded_plastic_gnl_collapse_matches_single_device():
     _assert_history_match(r1, r8)
 
 
+def test_force_sharded_one_device_mesh_matches_local():
+    """cfg.force_sharded runs ShardedSystem on a 1-device mesh — the
+    single-real-chip validation path for the shard_map kernels (multi-chip
+    hardware is unavailable; bench.py uses this on the v5e)."""
+    cfg = get_config()
+    params = ControlParams(
+        sig_yield=60.0, nstep=5, error_max=1e-11, et_e=0.1,
+        target_lf=99.0, gnl="GNLY", max_imp=0.0,
+    )
+    r1 = _run(_box_model(), params, 0)
+    old = cfg.force_sharded
+    cfg.force_sharded = True
+    try:
+        from fcvm_tpu.runtime.backend import make_backend
+
+        backend = make_backend(_box_model(), cfg, np.float64)
+        assert type(backend).__name__ == "ShardedSystem"
+        assert backend.n_shards == 1
+        rs = _run(_box_model(), params, 0)
+    finally:
+        cfg.force_sharded = old
+    _assert_history_match(r1, rs)
+
+
 def test_sharded_geometric_linear_plastic_matches_single_device():
     params = ControlParams(
         sig_yield=60.0, nstep=5, error_max=1e-11, et_e=0.1, target_lf=99.0,
