@@ -89,6 +89,17 @@ class FcvmConfig:
     # on a single real chip, where multi-chip hardware is unavailable.
     # Env: FCVM_FORCE_SHARDED=1.
     force_sharded: bool = False
+    # Node-partitioned CG for the sharded backend: the whole PCG loop runs
+    # inside shard_map on Morton ROW SLICES of the node vectors (one
+    # all_gather in + one psum_scatter out per matvec — same total bytes
+    # as the replicated design's single psum), so the preconditioner apply
+    # and vector algebra divide by n instead of replicating.  The comm
+    # model (docs/PERFORMANCE.md "Communication model") puts the replicated
+    # design's Amdahl share at ~60% of an 8-chip iteration; this removes
+    # it.  Default off: replication is simpler and collective-equal, and
+    # multi-chip hardware to measure the win is unavailable.
+    # Env: FCVM_NODE_PARTITION=1.
+    node_partition: bool = False
     # Ritz-deflation recycling (fcvm_tpu.ops.deflation): one NR correction
     # solve harvests its Lanczos byproducts; the lowest Ritz vectors of
     # M^-1 K deflate every subsequent solve, RETAINED ACROSS LOAD STEPS
@@ -217,6 +228,10 @@ if os.environ.get("FCVM_BUCKLING_BC"):
     _config.buckling_bc = os.environ["FCVM_BUCKLING_BC"]
 if os.environ.get("FCVM_FORCE_SHARDED"):
     _config.force_sharded = os.environ["FCVM_FORCE_SHARDED"] not in (
+        "0", "off", "false"
+    )
+if os.environ.get("FCVM_NODE_PARTITION"):
+    _config.node_partition = os.environ["FCVM_NODE_PARTITION"] not in (
         "0", "off", "false"
     )
 if os.environ.get("FCVM_PRECISION_FAILOVER"):

@@ -50,6 +50,7 @@ def pcg(
     atol: float = 0.0,
     maxiter: int = 1000,
     stall: int = 0,
+    dot: Optional[Callable] = None,
 ) -> CGResult:
     """Preconditioned conjugate gradients (jit/vmap/shard_map friendly).
 
@@ -66,13 +67,22 @@ def pcg(
     tolerance that is 100x sloppier than the arithmetic can deliver
     (measured: a 6e-6 f32 rtol floor cost 8% eigenvalue error on the
     Euler-column example; the true f32 floor gives ~1%).
+
+    ``dot`` overrides the inner product (default ``jnp.vdot``); the
+    node-partitioned sharded solver passes a psum-reduced local dot so the
+    whole loop can run inside ``shard_map`` on row slices.
     """
     if precond is None:
         precond = lambda r: r
     if x0 is None:
         x0 = jnp.zeros_like(b)
+    if dot is None:
+        dot = jnp.vdot
+        norm = jnp.linalg.norm
+    else:
+        norm = lambda v: jnp.sqrt(dot(v, v))
 
-    bnorm = jnp.linalg.norm(b)
+    bnorm = norm(b)
     tol = jnp.maximum(rtol * bnorm, atol)
     stall_lim = int(stall) if stall and stall > 0 else int(maxiter) + 1
     # the stagnation exit only arms once the solve is in the converging
@@ -83,8 +93,8 @@ def pcg(
     r0 = b - matvec(x0)
     z0 = precond(r0)
     p0 = z0
-    rz0 = jnp.vdot(r0, z0)
-    rn0 = jnp.linalg.norm(r0)
+    rz0 = dot(r0, z0)
+    rn0 = norm(r0)
 
     def cond(state):
         _, _, _, _, k, rnorm, _, since = state
@@ -97,15 +107,15 @@ def pcg(
     def body(state):
         x, r, p, rz, k, _, best, since = state
         ap = matvec(p)
-        pap = jnp.vdot(p, ap)
+        pap = dot(p, ap)
         alpha = rz / jnp.where(pap == 0.0, 1.0, pap)
         x = x + alpha * p
         r = r - alpha * ap
         z = precond(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = dot(r, z)
         beta = rz_new / jnp.where(rz == 0.0, 1.0, rz)
         p = z + beta * p
-        rnorm = jnp.linalg.norm(r)
+        rnorm = norm(r)
         improved = rnorm < 0.999 * best
         since = jnp.where(improved, 0, since + 1)
         best = jnp.minimum(best, rnorm)

@@ -352,6 +352,118 @@ class ShardedSystem(LocalSystem):
 
         self._solve_jit = jax.jit(solve_fn)
 
+        def solve_np_fn(esm, eln_m, pc, b, x0, defl):
+            """Node-partitioned CG (``config.node_partition``): the WHOLE
+            PCG loop runs inside one shard_map on Morton row slices of the
+            node vectors.  Per iteration: one all_gather of the search
+            direction (matvec input) + one psum_scatter of the element
+            contributions back to owned rows — the same total bytes as the
+            replicated design's single full psum — while the block-Jacobi
+            apply, the coarse restriction/prolongation, the deflation
+            correction and all vector algebra divide by n instead of
+            replicating (the ~60%-at-8-chips Amdahl term of the replicated
+            design; docs/PERFORMANCE.md "Communication model").  The dense
+            coarse solve and the (ncl, nm)/(k,) reductions stay replicated
+            (~50 KB psums).  Dot products are psum-reduced local dots
+            (``slv.pcg(dot=...)``)."""
+            nn = self.nn_pad
+            fm3 = self.fixmask_m.reshape(nn, 3)
+            two_level = isinstance(pc, TwoLevelPrecond)
+            if two_level:
+                nm = pc.qmat.shape[2]
+                ncl = pc.coarse_inv.shape[0] // nm
+                cs = pc.qmat.shape[0] // ncl
+                cid = jnp.arange(nn, dtype=jnp.int32) // cs
+            b3 = space.to_m(b).reshape(nn, 3)
+
+            args = [esm, eln_m, fm3, b3]
+            specs = [P("e"), P("e"), P("e"), P("e")]
+            args += [pc.pinv if two_level else pc]
+            specs += [P("e")]
+            if two_level:
+                # rows past nn_pad are zero-masked padding (qmat_bc_jit);
+                # slicing them off aligns the row partition with the vectors
+                args += [pc.qmat[:nn], cid, pc.coarse_inv]
+                specs += [P("e"), P("e"), P()]
+            if defl is not None:
+                args += [defl.w.reshape(nn, 3, -1), defl.kw_inv]
+                specs += [P("e"), P()]
+            if x0 is not None:
+                args += [space.to_m(x0).reshape(nn, 3)]
+                specs += [P("e")]
+
+            def local(*a):
+                it = iter(a)
+                esm_l, eln_l, fm_l, b_l = (next(it) for _ in range(4))
+                pinv_l = next(it)
+                if two_level:
+                    qmat_l, cid_l, cinv = (next(it) for _ in range(3))
+                if defl is not None:
+                    w_l, kwi = next(it), next(it)
+                x0_l = next(it) if x0 is not None else None
+
+                def pdot(u, v):
+                    return jax.lax.psum(jnp.vdot(u, v), "e")
+
+                def mv(u_flat):
+                    u3 = fm_l * u_flat.reshape(-1, 3)
+                    u3g = jax.lax.all_gather(u3, "e", axis=0, tiled=True)
+                    ne_l = eln_l.shape[0]
+                    fe = jnp.einsum(
+                        "eij,ej->ei", esm_l, u3g[eln_l].reshape(ne_l, 30)
+                    )
+                    y = jax.ops.segment_sum(
+                        fe.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn
+                    )
+                    y_own = jax.lax.psum_scatter(
+                        y, "e", scatter_dimension=0, tiled=True
+                    )
+                    y_own = fm_l * y_own + (1.0 - fm_l) * u_flat.reshape(-1, 3)
+                    return y_own.reshape(-1)
+
+                def prec(r_flat):
+                    r3 = r_flat.reshape(-1, 3)
+                    z3 = jnp.einsum("nab,nb->na", pinv_l, r3)
+                    if two_level:
+                        rm = fm_l * r3
+                        rc = jax.lax.psum(
+                            jax.ops.segment_sum(
+                                jnp.einsum("nak,na->nk", qmat_l, rm),
+                                cid_l, num_segments=ncl,
+                            ),
+                            "e",
+                        )  # (ncl, nm) replicated (~50 KB)
+                        zc = cinv @ rc.T.reshape(-1)  # mode-major layout
+                        zc_cl = zc.reshape(nm, ncl).T
+                        z3 = z3 + jnp.einsum(
+                            "nak,nk->na", qmat_l, zc_cl[cid_l]
+                        ) * fm_l
+                    z = z3.reshape(-1)
+                    if defl is not None:
+                        wr = jax.lax.psum(
+                            jnp.einsum("nak,na->k", w_l, r3), "e"
+                        )
+                        z = z + (
+                            w_l.reshape(-1, w_l.shape[2]) @ (kwi @ wr)
+                        )
+                    return z
+
+                res = slv.pcg(
+                    mv, b_l.reshape(-1), precond=prec,
+                    x0=None if x0_l is None else x0_l.reshape(-1),
+                    rtol=self.rtol, maxiter=self.maxiter, dot=pdot,
+                )
+                return res.x.reshape(-1, 3), res.iters, res.relres
+
+            x3, iters, relres = self._smap(
+                local, tuple(specs), (P("e"), P(), P())
+            )(*args)
+            return slv.CGResult(
+                space.from_m(x3.reshape(-1)), iters, relres
+            )
+
+        self._solve_np_jit = jax.jit(solve_np_fn)
+
         def solve_harvest_fn(esm, eln_m, pc, b, x0, defl, nstore):
             matvec = lambda u: self._khat_m(esm, eln_m, u)
             precond = deflated(lambda r: apply_precond(pc, r), defl)
@@ -573,6 +685,14 @@ class ShardedSystem(LocalSystem):
         return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, self.fixmask_m, None)
 
     def solve(self, esm, pc, b, x0=None, defl=None):
+        if (
+            getattr(self.cfg, "node_partition", False)
+            and self.nn_pad % self.n_shards == 0
+            and not (
+                isinstance(pc, TwoLevelPrecond) and pc.smooth_inv is not None
+            )
+        ):
+            return self._solve_np_jit(esm, self.eln_m_s, pc, b, x0, defl)
         return self._solve_jit(esm, self.eln_m_s, pc, b, x0, defl)
 
     # -- Ritz-deflation recycling (sharded; see ops.deflation) ---------------

@@ -430,6 +430,84 @@ def test_sharded_crisfield_arc_matches_single_device():
     _assert_history_match(r1, r8)
 
 
+def test_node_partition_solve_matches_replicated():
+    """config.node_partition: the in-shard_map row-sliced PCG (all_gather +
+    psum_scatter per matvec, psum-reduced dots, sharded preconditioner and
+    deflation applies) reproduces the replicated-vector solve bit-for-
+    tolerance — plain, warm-started, and deflated."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcvm_tpu.ops import deflation as defl_ops
+    from fcvm_tpu.parallel.system import ShardedSystem
+
+    model = _box_model(n=3)
+    cfg = get_config()
+    old = cfg.n_devices
+    cfg.n_devices = 8
+    try:
+        sh = ShardedSystem(model, cfg, jnp.float64)
+    finally:
+        cfg.n_devices = old
+    esm, pinv, glv, rhs, _, _, _ = sh.assemble(model.mesh.coords)
+    pc = sh.make_pc(esm, pinv, jnp.asarray(model.mesh.coords))
+
+    res_rep = sh._solve_jit(esm, sh.eln_m_s, pc, rhs, None, None)
+    res_h, h = sh.solve_harvest(esm, pc, rhs, nstore=64)
+    coef = defl_ops.ritz_coefficients(
+        *jax.device_get((h.alphas, h.betas, h.rzs)), int(res_h.iters), 16
+    )
+    defl = sh.build_deflation(esm, h.zs, jnp.asarray(coef))
+    res_rep_d = sh._solve_jit(esm, sh.eln_m_s, pc, rhs, None, defl)
+
+    old_np, old_n = cfg.node_partition, cfg.n_devices
+    cfg.node_partition, cfg.n_devices = True, 8
+    try:
+        res_np = sh.solve(esm, pc, rhs)
+        res_np_x0 = sh.solve(esm, pc, rhs, x0=0.9 * res_rep.x)
+        res_np_d = sh.solve(esm, pc, rhs, defl=defl)
+    finally:
+        cfg.node_partition, cfg.n_devices = old_np, old_n
+
+    assert int(res_np.iters) == int(res_rep.iters)
+    np.testing.assert_allclose(
+        np.asarray(res_np.x), np.asarray(res_rep.x), rtol=1e-12, atol=1e-15
+    )
+    assert int(res_np_d.iters) == int(res_rep_d.iters)
+    np.testing.assert_allclose(
+        np.asarray(res_np_d.x), np.asarray(res_rep_d.x),
+        rtol=1e-12, atol=1e-15,
+    )
+    assert int(res_np_x0.iters) < int(res_np.iters)  # warm start helps
+    assert float(res_np_x0.relres) <= sh.rtol  # converged to criterion
+    scale = float(np.max(np.abs(np.asarray(res_rep.x))))
+    # different iteration paths agree only to the rtol-level solve accuracy
+    np.testing.assert_allclose(
+        np.asarray(res_np_x0.x), np.asarray(res_rep.x),
+        rtol=1e-3, atol=sh.rtol * scale,
+    )
+
+
+def test_node_partition_driver_matches_local():
+    """Full collapse through the driver with the node-partitioned solver:
+    history matches the single-device run (the replicated tiers' own
+    equivalence bar)."""
+    cfg = get_config()
+    params = ControlParams(
+        sig_yield=60.0, nstep=5, error_max=1e-11, et_e=0.1,
+        target_lf=99.0, gnl="GNLY", max_imp=0.0,
+    )
+    r1 = _run(_box_model(), params, 0)
+    old = cfg.node_partition
+    cfg.node_partition = True
+    try:
+        rnp = _run(_box_model(), params, 8)
+    finally:
+        cfg.node_partition = old
+    assert float(np.max(rnp.peeq_gp)) > 1e-6
+    _assert_history_match(r1, rnp)
+
+
 def test_sharded_system_ops_match_local():
     """Granular backend-op equivalence, ported from the retired
     ``parallel/sharding`` demo tests onto the production backend: assembly
