@@ -104,6 +104,21 @@ def tpu_step_time(nx):
     plan = asm_ops.build_scatter_plan(mesh.elnodes, nd_pad // 3)
     space = sysm.build_solve_space(mesh.coords, mesh.elnodes, fixmask, nd_pad)
 
+    from fcvm_tpu.config import get_config
+
+    cfg = get_config()
+    if cfg.precond == "two_level" and cfg.prewarm:
+        # background AOT prewarm, exactly as the production driver
+        # (LocalSystem.__init__): overlaps the multi-MB executable cache
+        # loads with the assembly below instead of paying them inside the
+        # first precond build
+        from fcvm_tpu.runtime.prewarm import start_precond_prewarm
+
+        start_precond_prewarm(
+            mesh.n_nodes, mesh.n_elements, nd_pad,
+            cfg.resolve_cluster_size(mesh.n_nodes), cfg.coarse_modes, dtype,
+        )
+
     t0 = time.perf_counter()
     esm, pinv, glv, rhs, gpc, vol, ls = jax.block_until_ready(
         sysm.assemble_elastic(coords, eln, dmat, lt, jnp.asarray(0.0, dtype), fixmask, u_fix, plan)
@@ -117,9 +132,6 @@ def tpu_step_time(nx):
     log(f"assembly: cold {t_asm_cold:.2f}s steady {t_asm * 1e3:.2f}ms "
         f"({mesh.ndof / t_asm / 1e6:.1f} MDOF/s)")
 
-    from fcvm_tpu.config import get_config
-
-    cfg = get_config()
     t_build1 = t_build2 = 0.0
     if cfg.precond == "two_level":
         t0 = time.perf_counter()

@@ -168,6 +168,14 @@ class FcvmConfig:
     # (runtime/driver.PrecisionFloorError; same pattern as the buckling
     # eigensolve failover).  Env: FCVM_PRECISION_FAILOVER=0 disables.
     precision_failover: bool = True
+    # Background AOT prewarm of the two-level preconditioner executables
+    # (runtime/prewarm.py): a fresh process's FIRST build is dominated by
+    # loading multi-MB compiled executables through the remote-TPU tunnel
+    # (~9.6 s for the 21 MB fused dense Cholesky inverse ALONE, on a
+    # persistent-cache HIT); a daemon thread AOT-compiles them from shape
+    # structs (no device memory) so the loads overlap host setup and the
+    # first assembly.  Env: FCVM_PREWARM=0 disables.
+    prewarm: bool = True
     # Arc-length control of the nonlinear driver: "riks" = the reference's
     # linearized load correction + norm scale-back (fcVM.py:1414-1434;
     # parity default — stalls at snapback folds, where the scale-back
@@ -234,6 +242,8 @@ if os.environ.get("FCVM_NODE_PARTITION"):
     _config.node_partition = os.environ["FCVM_NODE_PARTITION"] not in (
         "0", "off", "false"
     )
+if os.environ.get("FCVM_PREWARM"):
+    _config.prewarm = os.environ["FCVM_PREWARM"] not in ("0", "off", "false")
 if os.environ.get("FCVM_PRECISION_FAILOVER"):
     _config.precision_failover = os.environ["FCVM_PRECISION_FAILOVER"] not in (
         "0", "off", "false"
@@ -273,7 +283,12 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     if jax.config.jax_compilation_cache_dir != cache_dir:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        # 0.0: persist even sub-half-second compiles.  The blocked-Schur
+        # coarse inverse runs ~7 EAGER ops (slices/concats/finite-check)
+        # whose tiny executables compile in 0.3-0.5 s each through the
+        # remote tunnel; below-threshold they were re-compiled by every
+        # fresh process (~2-3 s of the first preconditioner build).
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return cache_dir
 
 

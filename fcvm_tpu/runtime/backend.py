@@ -79,6 +79,18 @@ class LocalSystem:
         )
         self.rtol = cfg.cg_rtol
         self.maxiter = cfg.resolve_cg_maxiter(mesh.ndof)
+        if cfg.precond == "two_level" and getattr(cfg, "prewarm", True):
+            # start loading the build executables NOW (background AOT, no
+            # device memory) — the multi-MB cache loads then overlap the
+            # remaining host setup and the first assembly instead of
+            # serializing inside the first build_precond call
+            from fcvm_tpu.runtime.prewarm import start_precond_prewarm
+
+            self.prewarm_thread = start_precond_prewarm(
+                mesh.n_nodes, mesh.n_elements, self.ndof_pad,
+                cfg.resolve_cluster_size(mesh.n_nodes), cfg.coarse_modes,
+                dtype,
+            )
 
     # -- Gauss-state helpers -------------------------------------------------
 
