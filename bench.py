@@ -98,26 +98,30 @@ def tpu_step_time(nx):
     dmat = mat.hooke_dmat(e, nu)
     fixmask_np, u_fix_np, _ = model.bcs.masks(mesh.ndof)
     nd_pad = pad_ndof(mesh.ndof)
+
+    from fcvm_tpu.config import get_config
+    from fcvm_tpu.runtime.prewarm import (
+        start_precond_prewarm,
+        start_transfer_opener,
+    )
+
+    # exactly as the production driver (LocalSystem.__init__): open the
+    # device->host path (lazy first-fetch session claim, 15-130 s) and
+    # AOT-prewarm the precond-build executables (multi-MB cache loads) on
+    # daemon threads, overlapping the setup + first assembly below
+    cfg = get_config()
+    start_transfer_opener(log=log)
+    if cfg.precond == "two_level" and cfg.prewarm:
+        start_precond_prewarm(
+            mesh.n_nodes, mesh.n_elements, nd_pad,
+            cfg.resolve_cluster_size(mesh.n_nodes), cfg.coarse_modes, dtype,
+        )
+
     fixmask = jnp.asarray(pad_vector(fixmask_np, nd_pad), dtype)
     u_fix = jnp.asarray(pad_vector(u_fix_np, nd_pad), dtype)
     lt = sysm.LoadTables.from_spec(model.loads, dtype)
     plan = asm_ops.build_scatter_plan(mesh.elnodes, nd_pad // 3)
     space = sysm.build_solve_space(mesh.coords, mesh.elnodes, fixmask, nd_pad)
-
-    from fcvm_tpu.config import get_config
-
-    cfg = get_config()
-    if cfg.precond == "two_level" and cfg.prewarm:
-        # background AOT prewarm, exactly as the production driver
-        # (LocalSystem.__init__): overlaps the multi-MB executable cache
-        # loads with the assembly below instead of paying them inside the
-        # first precond build
-        from fcvm_tpu.runtime.prewarm import start_precond_prewarm
-
-        start_precond_prewarm(
-            mesh.n_nodes, mesh.n_elements, nd_pad,
-            cfg.resolve_cluster_size(mesh.n_nodes), cfg.coarse_modes, dtype,
-        )
 
     t0 = time.perf_counter()
     esm, pinv, glv, rhs, gpc, vol, ls = jax.block_until_ready(

@@ -50,6 +50,26 @@ class LocalSystem:
         self.ne = mesh.n_elements
         self.ndof = mesh.ndof
         self.ndof_pad = pad_ndof(mesh.ndof)
+        from fcvm_tpu.runtime.prewarm import (
+            start_precond_prewarm,
+            start_transfer_opener,
+        )
+
+        # open the device->host path now: its lazy first-fetch session
+        # claim (15-130 s through the remote tunnel) then overlaps all
+        # of the setup below instead of the driver's first convergence
+        # fetch
+        start_transfer_opener()
+        if cfg.precond == "two_level" and getattr(cfg, "prewarm", True):
+            # start loading the preconditioner-build executables too
+            # (background AOT, no device memory) — the multi-MB cache
+            # loads overlap the setup and the first assembly instead of
+            # serializing inside the first build_precond call
+            self.prewarm_thread = start_precond_prewarm(
+                mesh.n_nodes, mesh.n_elements, self.ndof_pad,
+                cfg.resolve_cluster_size(mesh.n_nodes), cfg.coarse_modes,
+                dtype,
+            )
 
         if model.materials_by_element is not None:
             mbe = model.materials_by_element
@@ -79,18 +99,6 @@ class LocalSystem:
         )
         self.rtol = cfg.cg_rtol
         self.maxiter = cfg.resolve_cg_maxiter(mesh.ndof)
-        if cfg.precond == "two_level" and getattr(cfg, "prewarm", True):
-            # start loading the build executables NOW (background AOT, no
-            # device memory) — the multi-MB cache loads then overlap the
-            # remaining host setup and the first assembly instead of
-            # serializing inside the first build_precond call
-            from fcvm_tpu.runtime.prewarm import start_precond_prewarm
-
-            self.prewarm_thread = start_precond_prewarm(
-                mesh.n_nodes, mesh.n_elements, self.ndof_pad,
-                cfg.resolve_cluster_size(mesh.n_nodes), cfg.coarse_modes,
-                dtype,
-            )
 
     # -- Gauss-state helpers -------------------------------------------------
 
