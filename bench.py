@@ -483,7 +483,7 @@ def sharded_vs_local_row(nx):
     return row
 
 
-def wait_for_device(max_tries=3, probe_timeout=150, wait_s=420):
+def wait_for_device(max_tries=3, probe_timeout=600, wait_s=420):
     """Bounded pre-flight: wait out a transiently wedged tunnel TPU.
 
     The remote device can stay unresponsive for 10-40 min after any failed
@@ -491,7 +491,13 @@ def wait_for_device(max_tries=3, probe_timeout=150, wait_s=420):
     during a wedge fails outright.  Probe with a *subprocess* trivial jit —
     it must run before this process initializes any JAX backend, because
     two concurrent TPU clients crash the device — and sleep between
-    attempts (worst case ~21 min, then proceed and let the real run try).
+    attempts (worst case ~50 min, then proceed and let the real run try).
+
+    probe_timeout must cover the tunnel's lazy device-session claim, which
+    the probe's result fetch pays: 15-130 s typical, 450 s observed under
+    contention (runtime/prewarm.start_transfer_opener).  Killing the probe
+    mid-claim is itself a device action that wedges the tunnel — a short
+    timeout here turns a slow claim into a self-inflicted wedge loop.
     """
     import subprocess
 
