@@ -168,6 +168,24 @@ class FcvmConfig:
     # (runtime/driver.PrecisionFloorError; same pattern as the buckling
     # eigensolve failover).  Env: FCVM_PRECISION_FAILOVER=0 disables.
     precision_failover: bool = True
+    # CG-operator einsum precision (ops/assembly.resolve_matvec_precision):
+    # TPU f32 einsums default to bf16 MXU passes whose ~1e-3-class noise
+    # bounds what the Newton loop can reach through the correction solves —
+    # measured to leave Embankment (81k dof, error_max 1e-2) DIVERGING on
+    # TPU where CPU f32 converges every step.  "auto" = full f32 precision
+    # (3 MXU passes, ~3x einsum cost — noise next to the gathers at small
+    # scale) below matvec_hp_max_dof, fast default above; "highest" /
+    # "default" force.  Resolved at trace time from the static operator
+    # size.  Env: FCVM_MATVEC_PRECISION, FCVM_MATVEC_HP_MAX_DOF.
+    matvec_precision: str = "auto"
+    matvec_hp_max_dof: int = 200_000
+    # Element-block formation / geometry einsum precision
+    # (ops/assembly.formation_precision): "highest" (default — the MXU
+    # bf16 default leaves the formed operator inconsistent with the
+    # full-precision internal-force route at ~1e-2 on badly-scaled
+    # meshes; measured to diverge the Embankment f32 replay) or
+    # "default" for A/B measurement.  Env: FCVM_FORMATION_PRECISION.
+    formation_precision: str = "highest"
     # Background AOT prewarm of the two-level preconditioner executables
     # (runtime/prewarm.py): a fresh process's FIRST build is dominated by
     # loading multi-MB compiled executables through the remote-TPU tunnel
@@ -242,6 +260,12 @@ if os.environ.get("FCVM_NODE_PARTITION"):
     _config.node_partition = os.environ["FCVM_NODE_PARTITION"] not in (
         "0", "off", "false"
     )
+if os.environ.get("FCVM_MATVEC_PRECISION"):
+    _config.matvec_precision = os.environ["FCVM_MATVEC_PRECISION"]
+if os.environ.get("FCVM_FORMATION_PRECISION"):
+    _config.formation_precision = os.environ["FCVM_FORMATION_PRECISION"]
+if os.environ.get("FCVM_MATVEC_HP_MAX_DOF"):
+    _config.matvec_hp_max_dof = int(os.environ["FCVM_MATVEC_HP_MAX_DOF"])
 if os.environ.get("FCVM_PREWARM"):
     _config.prewarm = os.environ["FCVM_PREWARM"] not in ("0", "off", "false")
 if os.environ.get("FCVM_PRECISION_FAILOVER"):

@@ -29,6 +29,21 @@ from fcvm_tpu.ops import material as mat
 from fcvm_tpu.utils.linalg3 import det3, inv3_spd
 
 
+def formation_precision():
+    """Einsum precision for element-block formation and geometry.
+
+    Default HIGHEST: at the MXU bf16 default the formed blocks disagree
+    with the full-precision stress-route internal force at ~1e-2 on
+    badly-scaled meshes (measured: the Embankment soil replay diverges).
+    ``config.formation_precision = "default"`` restores the fast path for
+    A/B measurement.  Resolved at trace time.
+    """
+    from fcvm_tpu.config import get_config
+
+    mode = getattr(get_config(), "formation_precision", "highest")
+    return None if mode == "default" else jax.lax.Precision.HIGHEST
+
+
 def element_dof_ids(elnodes: jnp.ndarray) -> jnp.ndarray:
     """(ne, 30) global dof indices from 0-based connectivity (ne, 10)."""
     return (3 * elnodes[:, :, None] + jnp.arange(3)[None, None, :]).reshape(
@@ -45,9 +60,17 @@ def _single_elastic_esm(coords_el, dmat):
     det, _, bmat = el.tet10_element_geometry(coords_el)
     w = jnp.asarray(el.W10, dtype=coords_el.dtype)
     scale = w * jnp.abs(det)  # (4,)
-    # esm = sum_g B_g^T D B_g * w_g |J_g|  -- batched MXU matmuls
-    db = jnp.einsum("kl,gln->gkn", dmat, bmat)
-    return jnp.einsum("gkm,gkn,g->mn", bmat, db, scale)
+    # esm = sum_g B_g^T D B_g * w_g |J_g|  -- batched MXU matmuls.
+    # HIGHEST precision: at the MXU bf16 default the formed blocks carry
+    # enough relative error on badly-scaled meshes that K@du disagrees
+    # with the (full-precision) stress-route internal force at ~1e-2 —
+    # measured on the Embankment soil replay (TPU f32 step-0 residual
+    # 1.46e-2 vs 9.8e-7 on CPU f32's exact matmuls), where it left
+    # modified-NR diverging.  Formation runs once per tangent refresh,
+    # so the 3-pass cost is per-step, not per-CG-iteration.
+    hp = formation_precision()
+    db = jnp.einsum("kl,gln->gkn", dmat, bmat, precision=hp)
+    return jnp.einsum("gkm,gkn,g->mn", bmat, db, scale, precision=hp)
 
 
 # Above this element count, per-element block builders switch to chunked
@@ -106,8 +129,10 @@ def _single_tangent_esm(coords_el, dmat, sig_el, pgp_el, g3fac):
     fac = jnp.where(pgp_el, g3fac / svm**2, 0.0)  # (4,)
     # D_g = D - fac_g * s_g s_g^T
     dmat_g = dmat[None] - fac[:, None, None] * dev[:, :, None] * dev[:, None, :]
-    db = jnp.einsum("gkl,gln->gkn", dmat_g, bmat)
-    return jnp.einsum("gkm,gkn,g->mn", bmat, db, scale)
+    # HIGHEST precision: see _single_elastic_esm (measured Embankment trap)
+    hp = formation_precision()
+    db = jnp.einsum("gkl,gln->gkn", dmat_g, bmat, precision=hp)
+    return jnp.einsum("gkm,gkn,g->mn", bmat, db, scale, precision=hp)
 
 
 @jax.jit
@@ -146,7 +171,11 @@ def _single_geometric_nsm(coords_el, sig_el):
     w = jnp.asarray(el.W10, dtype=coords_el.dtype)
     scale = w * jnp.abs(det)
     s = voigt_to_tensor(sig_el)  # (4, 3, 3)
-    m = jnp.einsum("gij,gik,gkl,g->jl", dshpg, s, dshpg, scale)  # (10, 10)
+    # HIGHEST precision: see _single_elastic_esm (measured Embankment trap)
+    m = jnp.einsum(
+        "gij,gik,gkl,g->jl", dshpg, s, dshpg, scale,
+        precision=formation_precision(),
+    )  # (10, 10)
     eye3 = jnp.eye(3, dtype=coords_el.dtype)
     return jnp.einsum("jl,bc->jblc", m, eye3).reshape(30, 30)
 
@@ -186,13 +215,17 @@ def gravity_load_and_gp_coords(coords_eff, elnodes, density, grav, ndof):
     dshp = jnp.asarray(el.DSHP10_AT_GP, dtype=coords_eff.dtype)
     shp = jnp.asarray(el.SHP10_AT_GP, dtype=coords_eff.dtype)  # (4, 10)
     w = jnp.asarray(el.W10, dtype=coords_eff.dtype)
-    xs = jnp.einsum("eki,gjk->egij", coords_el, dshp)
+    # HIGHEST precision: the load vector sets the residual normalization —
+    # bf16-default geometry here would perturb the applied loads themselves
+    # by ~1e-3 at f32 (a model error, not a solver error).  One-time cost.
+    hp = jax.lax.Precision.HIGHEST
+    xs = jnp.einsum("eki,gjk->egij", coords_el, dshp, precision=hp)
     det = det3(xs)  # (ne, 4)
     scale = w[None, :] * jnp.abs(det)  # (ne, 4)
     grav = jnp.asarray(grav, dtype=coords_eff.dtype)
     # gamma[e, j, c] = grav[c] * rho_e * sum_g shp[g, j] * scale[e, g]
     rho = density[:, None, None] if jnp.ndim(density) == 1 else density
-    gamma = jnp.einsum("eg,gj,c->ejc", scale, shp, grav) * rho
+    gamma = jnp.einsum("eg,gj,c->ejc", scale, shp, grav, precision=hp) * rho
     glv = jax.ops.segment_sum(
         gamma.reshape(-1, 3), elnodes.reshape(-1), num_segments=ndof // 3
     ).reshape(-1)
@@ -218,7 +251,10 @@ def pressure_face_loads(coords_eff, faces, pressures, ndof):
     shp = jnp.asarray(el.SHP6_AT_GP, dtype=coords_eff.dtype)  # (6g, 6n)
     w = jnp.asarray(el.W6, dtype=coords_eff.dtype)
     # load[f, n, c] = sum_g shp[g, n] * p_f * normal[f, g, c] * |xsj| * w_g
-    load = jnp.einsum("gn,f,fgc,fg,g->fnc", shp, pressures, normal, jnp.abs(xsj), w)
+    load = jnp.einsum(
+        "gn,f,fgc,fg,g->fnc", shp, pressures, normal, jnp.abs(xsj), w,
+        precision=jax.lax.Precision.HIGHEST,  # load vector: see gravity note
+    )
     dofs = (3 * faces[:, :, None] + jnp.arange(3)[None, None, :]).reshape(-1)
     return jax.ops.segment_sum(load.reshape(-1), dofs, num_segments=ndof)
 
@@ -238,7 +274,10 @@ def uniform_face_loads(coords, faces, tractions, ndof):
     xsj, _ = jax.vmap(el.tri6_surface_frame)(xlf)
     shp = jnp.asarray(el.SHP6_AT_GP, dtype=coords.dtype)
     w = jnp.asarray(el.W6, dtype=coords.dtype)
-    load = jnp.einsum("gn,fc,fg,g->fnc", shp, tractions, jnp.abs(xsj), w)
+    load = jnp.einsum(
+        "gn,fc,fg,g->fnc", shp, tractions, jnp.abs(xsj), w,
+        precision=jax.lax.Precision.HIGHEST,  # load vector: see gravity note
+    )
     dofs = (3 * faces[:, :, None] + jnp.arange(3)[None, None, :]).reshape(-1)
     return jax.ops.segment_sum(load.reshape(-1), dofs, num_segments=ndof)
 
@@ -255,7 +294,10 @@ def edge_loads(coords, edges, tractions, ndof):
     xsj = jax.vmap(el.line3_jacobian)(xle)  # (nedg, 2)
     shp = jnp.asarray(el.SHP2_AT_GP, dtype=coords.dtype)  # (2, 3)
     w = jnp.asarray(el.W2, dtype=coords.dtype)
-    load = jnp.einsum("gn,ec,eg,g->enc", shp, tractions, jnp.abs(xsj), w)
+    load = jnp.einsum(
+        "gn,ec,eg,g->enc", shp, tractions, jnp.abs(xsj), w,
+        precision=jax.lax.Precision.HIGHEST,  # load vector: see gravity note
+    )
     dofs = (3 * edges[:, :, None] + jnp.arange(3)[None, None, :]).reshape(-1)
     return jax.ops.segment_sum(load.reshape(-1), dofs, num_segments=ndof)
 
@@ -355,8 +397,42 @@ def scatter_node_rows(rows3: jnp.ndarray, plan: ScatterPlan) -> jnp.ndarray:
     return jnp.concatenate(outs)[plan.invperm]
 
 
+def resolve_matvec_precision(ndof: int):
+    """The einsum precision for a ``K @ v`` operator of this size.
+
+    TPU f32 einsums default to fast bf16 MXU passes (~1e-3-class relative
+    noise).  For the CG correction solves that noise bounds the achievable
+    Newton residual: measured on the Embankment corpus replay (81k dof,
+    ``error_max`` 1e-2) the default-precision operator leaves modified-NR
+    *diverging* geometrically (~×1.08/iter) where CPU f32 — exact f32
+    matmuls — converges every step without a restart.  Full f32 precision
+    (3 MXU passes) fixes small meshes at ~3x the einsum cost, which at
+    <~0.2M dof is noise against the gather-dominated iteration; at bench
+    scale (499k dof) the einsum is ~0.65 of 13.4 ms, so the fast path
+    stays the default there and the f64 tier (via the automatic precision
+    failover) covers the rare hard case.
+
+    ``config.matvec_precision``: "auto" (HIGHEST below
+    ``matvec_hp_max_dof``, default above), "highest", "default".
+    Resolved from static shapes at trace time.
+    """
+    from fcvm_tpu.config import get_config
+
+    cfg = get_config()
+    mode = getattr(cfg, "matvec_precision", "auto")
+    if mode == "highest":
+        return jax.lax.Precision.HIGHEST
+    if mode == "auto" and ndof <= getattr(cfg, "matvec_hp_max_dof", 200_000):
+        return jax.lax.Precision.HIGHEST
+    return None
+
+
 def make_matvec(
-    esm: jnp.ndarray, eldofs: jnp.ndarray, ndof: int, plan: Optional[ScatterPlan] = None
+    esm: jnp.ndarray,
+    eldofs: jnp.ndarray,
+    ndof: int,
+    plan: Optional[ScatterPlan] = None,
+    precision=None,
 ):
     """Raw ``K @ v`` from element blocks: gather -> block matmul -> scatter.
 
@@ -367,10 +443,16 @@ def make_matvec(
 
     With a :class:`ScatterPlan` the scatter-add becomes pure gathers,
     1.86x faster end-to-end on v5e at 500k dofs (23.3 -> 12.5 ms).
+
+    ``precision`` defaults to :func:`resolve_matvec_precision` — full f32
+    einsum precision on small meshes, where the bf16 MXU default's noise
+    otherwise floors (or diverges) the Newton loop.
     """
     ne = esm.shape[0]
     elnodes = eldofs[:, ::3] // 3  # (ne, 10) node ids
     nn = ndof // 3
+    if precision is None:
+        precision = resolve_matvec_precision(ndof)
 
     if plan is not None:
         esm4 = esm.reshape(ne, 10, 3, 30)
@@ -378,14 +460,16 @@ def make_matvec(
         def kv(u):
             u3 = u.reshape(nn, 3)[elnodes]  # (ne, 10, 3) row gather
             # (ne, 10, 3) output: reshape to rows is free (major dims only)
-            fe = jnp.einsum("eabj,ej->eab", esm4, u3.reshape(ne, 30))
+            fe = jnp.einsum(
+                "eabj,ej->eab", esm4, u3.reshape(ne, 30), precision=precision
+            )
             return scatter_node_rows(fe.reshape(-1, 3), plan).reshape(-1)
 
         return kv
 
     def kv(u):
         u3 = u.reshape(nn, 3)[elnodes]  # (ne, 10, 3) row gather
-        fe = jnp.einsum("eij,ej->ei", esm, u3.reshape(ne, 30))
+        fe = jnp.einsum("eij,ej->ei", esm, u3.reshape(ne, 30), precision=precision)
         out3 = jax.ops.segment_sum(
             fe.reshape(-1, 3), elnodes.reshape(-1), num_segments=nn
         )

@@ -72,12 +72,22 @@ class DeflationSpace(NamedTuple):
 
 
 def deflated(precond, defl: Optional[DeflationSpace]):
-    """Wrap a preconditioner apply with the deflation correction."""
+    """Wrap a preconditioner apply with the deflation correction.
+
+    The (ndof, k) projections run at HIGHEST matmul precision: the
+    correction must cancel the slow modes it targets to better than the
+    CG tolerance, and the MXU bf16 default's ~1e-3 relative noise in
+    ``W (W^T K W)^+ W^T r`` floors the deflated solves (measured on the
+    499k-dof v5e bench after the coarse-Galerkin precision fix: deflated
+    plastic solves pinned at 42 iters vs 29-38 expected).  Cost ~2x on a
+    ~0.6 ms/iter term.
+    """
     if defl is None:
         return precond
 
     def apply(r):
-        return precond(r) + defl.w @ (defl.kw_inv @ (defl.w.T @ r))
+        with jax.default_matmul_precision("highest"):
+            return precond(r) + defl.w @ (defl.kw_inv @ (defl.w.T @ r))
 
     return apply
 
@@ -148,7 +158,8 @@ def build_w(zs, coef, fixmask):
     Fixed dofs are masked out so the correction acts on the free subspace
     only (K_hat is identity there and x0 seeds fixed dofs exactly)."""
     m = coef.shape[0]
-    w = jnp.einsum("mn,mk->nk", zs[:m], coef.astype(zs.dtype))
+    w = jnp.einsum("mn,mk->nk", zs[:m], coef.astype(zs.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     return fixmask[:, None] * w
 
 
@@ -167,7 +178,12 @@ def block_khat_matvec(esm, eldofs, fixmask, plan, w):
     wp = fixmask[:, None] * w
     u3k = wp.reshape(nn, 3, k)[elnodes]  # (ne, 10, 3, k) row gather
     esm4 = esm.reshape(ne, 10, 3, 30)
-    fe = jnp.einsum("eabj,ejk->eabk", esm4, u3k.reshape(ne, 30, k))
+    # HIGHEST: K W feeds the Galerkin matrix whose inverse must cancel the
+    # deflated modes below CG tolerance (see `deflated`); per-harvest cost
+    fe = jnp.einsum(
+        "eabj,ejk->eabk", esm4, u3k.reshape(ne, 30, k),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     if plan is not None:
         out = asm.scatter_node_rows(fe.reshape(ne * 10, 3, k), plan)
     else:
@@ -181,7 +197,8 @@ def block_khat_matvec(esm, eldofs, fixmask, plan, w):
 @jax.jit
 def galerkin(esm, eldofs, fixmask, plan, w):
     """(k, k) Galerkin matrix ``W^T K_hat W`` on the current operator."""
-    return w.T @ block_khat_matvec(esm, eldofs, fixmask, plan, w)
+    with jax.default_matmul_precision("highest"):
+        return w.T @ block_khat_matvec(esm, eldofs, fixmask, plan, w)
 
 
 def invert_galerkin(kw) -> jnp.ndarray:
@@ -227,6 +244,9 @@ def build_space(esm, eldofs, fixmask, plan, zs, coef):
     and the PSD pseudo-inverse all stay on device; the only host work per
     step is the tiny tridiagonal eigendecomposition in
     :func:`ritz_coefficients`."""
-    w = fixmask[:, None] * jnp.einsum("mn,mk->nk", zs, coef.astype(zs.dtype))
-    kw = w.T @ block_khat_matvec(esm, eldofs, fixmask, plan, w)
+    with jax.default_matmul_precision("highest"):
+        w = fixmask[:, None] * jnp.einsum(
+            "mn,mk->nk", zs, coef.astype(zs.dtype)
+        )
+        kw = w.T @ block_khat_matvec(esm, eldofs, fixmask, plan, w)
     return DeflationSpace(w, pinv_psd(kw))

@@ -11,6 +11,7 @@ loop.  Voigt ordering follows the reference throughout:
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -89,10 +90,15 @@ def tet10_geometry(coords_el: jnp.ndarray, dshp_local: jnp.ndarray):
       ``dshpg[i, j] = dN_j/dx_i`` (reference ``fcVM.py:426-460``).
     """
     # xs[i, j] = sum_k coords_el[k, i] * dshp_local[j, k]  (dx_i/dxi_j)
-    xs = jnp.einsum("ki,jk->ij", coords_el, dshp_local)
+    # HIGHEST precision (see tet10_element_geometry): geometry must be
+    # bit-consistent across the assembly and stress/residual paths
+    from fcvm_tpu.ops.assembly import formation_precision
+
+    hp = formation_precision()
+    xs = jnp.einsum("ki,jk->ij", coords_el, dshp_local, precision=hp)
     xsi, det = inv3(xs)
     # dshpg[i, j] = sum_k xsi[k, i] * dshp_local[k, j]
-    dshpg = jnp.einsum("ki,kj->ij", xsi, dshp_local)
+    dshpg = jnp.einsum("ki,kj->ij", xsi, dshp_local, precision=hp)
     return det, dshpg
 
 
@@ -124,9 +130,20 @@ def tet10_element_geometry(coords_el: jnp.ndarray):
       det: (4,), dshpg: (4, 3, 10), bmat: (4, 6, 30).
     """
     dshp = jnp.asarray(DSHP10_AT_GP, dtype=coords_el.dtype)
-    xs = jnp.einsum("ki,gjk->gij", coords_el, dshp)
+    # HIGHEST precision: the stress/residual path computes this geometry
+    # under a default_matmul_precision("highest") context while the
+    # assembly path (vmapped/chunked differently) would run it at the MXU
+    # bf16 default — giving TWO different B matrices for the same element
+    # and an operator-vs-internal-force inconsistency that floors (and on
+    # the Embankment soil replay, diverges) the f32 Newton loop at ~1e-2.
+    # Pinning HIGHEST here keeps every caller bit-consistent; the cost is
+    # per-assembly/per-residual, not per-CG-iteration.
+    from fcvm_tpu.ops.assembly import formation_precision
+
+    hp = formation_precision()
+    xs = jnp.einsum("ki,gjk->gij", coords_el, dshp, precision=hp)
     xsi, det = inv3(xs)
-    dshpg = jnp.einsum("gki,gkj->gij", xsi, dshp)
+    dshpg = jnp.einsum("gki,gkj->gij", xsi, dshp, precision=hp)
 
     d0, d1, d2 = dshpg[:, 0], dshpg[:, 1], dshpg[:, 2]  # each (4, 10)
     z = jnp.zeros_like(d0)
@@ -201,7 +218,8 @@ def tri6_surface_frame(coords_face: jnp.ndarray):
     """
     dshp = jnp.asarray(DSHP6_AT_GP, dtype=coords_face.dtype)  # (6, 2, 6)
     # xs[g, a, :] = d(x, y, z)/d(xi_a) = dshp[g, a, :] @ coords_face
-    xs = jnp.einsum("gak,ki->gai", dshp, coords_face)  # (6, 2, 3)
+    xs = jnp.einsum("gak,ki->gai", dshp, coords_face,
+                    precision=jax.lax.Precision.HIGHEST)  # (6, 2, 3)
     xp = jnp.cross(xs[:, 0], xs[:, 1])  # (6, 3) normal * |J|
     xsj = jnp.linalg.norm(xp, axis=-1)
     normal = xp / xsj[:, None]
@@ -234,5 +252,6 @@ def line3_jacobian(coords_edge: jnp.ndarray):
       xsj: (2,) (reference ``fcVM.py:554-563``).
     """
     dshp = jnp.asarray(DSHP2_AT_GP, dtype=coords_edge.dtype)  # (2, 3)
-    dx = jnp.einsum("gk,ki->gi", dshp, coords_edge)  # (2, 3)
+    dx = jnp.einsum("gk,ki->gi", dshp, coords_edge,
+                    precision=jax.lax.Precision.HIGHEST)  # (2, 3)
     return jnp.linalg.norm(dx, axis=-1)

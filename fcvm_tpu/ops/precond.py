@@ -54,7 +54,11 @@ COARSE_BUILD_STATS = {
     "last_fallback": False,
 }
 
-_RIDGE_LADDER = (3.0e-4, 3.0e-3, 3.0e-2, 3.0e-1)
+# Base ridge 3e-5 measured on the 499k-dof v5e bench operator with the
+# HIGHEST-precision Galerkin accumulate: 51 elastic CG iters vs 53 at 3e-4
+# (and 51 at 3e-6 — the knee).  The old 3e-4 base predates the accurate
+# kc; it was masking bf16 pair-block noise, not true accumulation error.
+_RIDGE_LADDER = (3.0e-5, 3.0e-4, 3.0e-3, 3.0e-2, 3.0e-1)
 
 
 def invert_coarse_with_ladder(kc, dtype, label=""):
@@ -308,7 +312,16 @@ def _coarse_accumulate(esm, elnodes, qmat_bc, cluster_size: int, kc0=None):
         qt = jnp.einsum("ciax,ij->cixja", qe, eye10).reshape(
             chunk, 10 * nm, 30
         )
-        s_blk = qt @ esm_c @ jnp.swapaxes(qt, 1, 2)  # (c, 10 nm, 10 nm)
+        # HIGHEST matmul precision: the rigid/affine modes nearly annihilate
+        # K, so the pair blocks are deep cancellations — at the MXU bf16
+        # default their ~4e-3 relative noise dominates the small coarse
+        # eigenvalues once the element blocks themselves are exact
+        # (formation_precision=highest), breaking the first-ridge Cholesky
+        # and escalating the ladder (measured on v5e at 499k dof: 59 -> 78
+        # elastic CG iters, repeat build 1.6 -> 3.0 s from the extra
+        # inverse attempts).  Build-time cost only.
+        with jax.default_matmul_precision("highest"):
+            s_blk = qt @ esm_c @ jnp.swapaxes(qt, 1, 2)  # (c, 10nm, 10nm)
         pair = (
             s_blk.reshape(chunk, 10, nm, 10, nm)
             .transpose(0, 1, 3, 2, 4)

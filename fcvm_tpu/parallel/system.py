@@ -147,6 +147,10 @@ class ShardedSystem(LocalSystem):
 
         self.nn_pad = self.ndof_pad // 3
         self.fixmask_m = self.space.fixmask_m
+        # same size-resolved matvec einsum precision as the local backend
+        # (ops/assembly.resolve_matvec_precision), so the two backends see
+        # the SAME operator on hardware at small scale
+        self.mv_prec = asm.resolve_matvec_precision(self.ndof_pad)
         self._build_jits()
 
     # -- Gauss-state helpers (backend order = Morton + shard padding) --------
@@ -203,7 +207,10 @@ class ShardedSystem(LocalSystem):
         def local(esm_l, eln_l, u_r):
             ne_l = eln_l.shape[0]
             u3 = u_r.reshape(nn, 3)[eln_l]
-            fe = jnp.einsum("eij,ej->ei", esm_l, u3.reshape(ne_l, 30))
+            fe = jnp.einsum(
+                "eij,ej->ei", esm_l, u3.reshape(ne_l, 30),
+                precision=self.mv_prec,
+            )
             y = jax.ops.segment_sum(
                 fe.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn
             )
@@ -230,7 +237,10 @@ class ShardedSystem(LocalSystem):
             ne_l = eln_l.shape[0]
             k = w_r.shape[1]
             u3k = w_r.reshape(nn, 3, k)[eln_l]  # (ne_l, 10, 3, k)
-            fe = jnp.einsum("eij,ejk->eik", esm_l, u3k.reshape(ne_l, 30, k))
+            fe = jnp.einsum(
+                "eij,ejk->eik", esm_l, u3k.reshape(ne_l, 30, k),
+                precision=self.mv_prec,
+            )
             y = jax.ops.segment_sum(
                 fe.reshape(-1, 3, k), eln_l.reshape(-1), num_segments=nn
             )
@@ -273,7 +283,10 @@ class ShardedSystem(LocalSystem):
             w = jnp.asarray(el.W10, dtype=dtype)
             from fcvm_tpu.utils.linalg3 import det3
 
-            xs = jnp.einsum("eki,gjk->egij", coords_el, dshp)
+            # HIGHEST: load-vector geometry, matching the local backend
+            # (ops/assembly.gravity_load_and_gp_coords)
+            hp = jax.lax.Precision.HIGHEST
+            xs = jnp.einsum("eki,gjk->egij", coords_el, dshp, precision=hp)
             det = det3(xs) * weights_l[:, None]
             scale = w[None, :] * jnp.abs(det)
             rho = (
@@ -281,7 +294,8 @@ class ShardedSystem(LocalSystem):
                 if jnp.ndim(density_l) == 1
                 else density_l
             )
-            gamma = jnp.einsum("eg,gj,c->ejc", scale, shp, grav) * rho
+            gamma = jnp.einsum("eg,gj,c->ejc", scale, shp, grav,
+                               precision=hp) * rho
             glv3 = jax.ops.segment_sum(
                 gamma.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn_pad
             )
@@ -410,7 +424,8 @@ class ShardedSystem(LocalSystem):
                     u3g = jax.lax.all_gather(u3, "e", axis=0, tiled=True)
                     ne_l = eln_l.shape[0]
                     fe = jnp.einsum(
-                        "eij,ej->ei", esm_l, u3g[eln_l].reshape(ne_l, 30)
+                        "eij,ej->ei", esm_l, u3g[eln_l].reshape(ne_l, 30),
+                        precision=self.mv_prec,
                     )
                     y = jax.ops.segment_sum(
                         fe.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn
@@ -627,7 +642,14 @@ class ShardedSystem(LocalSystem):
                 det, _, bmat = jax.vmap(el.tet10_element_geometry)(coords_el)
                 w = jnp.asarray(el.W10, dtype=dtype)
                 scale = w[None, :] * jnp.abs(det) * w_l[:, None]
-                elv = jnp.einsum("egkn,egk,eg->en", bmat, sig_l, scale)
+                # HIGHEST: the local route pins the internal-force einsums
+                # at full f32 precision (ops/stress_update.py); a bf16
+                # residual against a HIGHEST operator is the exact
+                # inconsistency that diverged the Embankment f32 replay
+                elv = jnp.einsum(
+                    "egkn,egk,eg->en", bmat, sig_l, scale,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
                 qin3 = jax.ops.segment_sum(
                     elv.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn_pad
                 )
@@ -791,6 +813,7 @@ class ShardedSystem(LocalSystem):
                     fe = jnp.einsum(
                         "eij,ejm->eim", blocks_l,
                         up.reshape(ne_l, 30, up.shape[-1]),
+                        precision=self.mv_prec,
                     )
                     y = jax.ops.segment_sum(
                         fe.reshape(-1, 3, fe.shape[-1]),

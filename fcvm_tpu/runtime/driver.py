@@ -125,6 +125,17 @@ _FLOOR_CLAMP_FACTOR = 10.0  # clamp only while 2*floor <= 10 * error_max
 _FLOOR_ESCALATE_CAP = 1.0e-3  # escalate only below this absolute error —
 # a stagnation ABOVE it is physics (limit-load imbalance), not roundoff,
 # and f64 would stall the same way
+_FLOOR_RISE = 1.03  # rising-tail veto: an error sitting on an arithmetic
+# floor BOUNCES around its level (it keeps returning to within a few % of
+# the window best), while a diverging Newton attempt CLIMBS away from it.
+# Clamp/escalate fire only when one of the last TWO errors is within 3%
+# of the window best; a tail that stays above is divergence in progress
+# and must go to the restart ladder, not be clamp-accepted.  (Found on
+# hardware: the Embankment f32 replay's steps 3-4 climbed 1.55e-2 ->
+# 1.72e-2 / 3.97e-2 -> 5.23e-2 inside the decade window and were wrongly
+# accepted, poisoning the run to an early end at LF 0.233 vs 0.4997
+# without governance; the 1.62e-2 mid-climb reading sits 4.5% above the
+# window best, so the veto band must be tighter than that.)
 
 
 class _FloorWatch:
@@ -139,17 +150,32 @@ class _FloorWatch:
     ``observe(error)`` returns ``None`` (keep iterating), ``("clamp", e)``
     (accept convergence at the noise-clamped tolerance ``e``), or
     ``"escalate"`` (the floor is too far above ``error_max`` — rerun in
-    f64).  ``reset()`` starts a fresh step attempt (each restart re-probes:
-    smaller increments lower the floor with the residual magnitudes).
+    f64).  ``reset(attempt)`` starts a fresh step attempt (each restart
+    re-probes: smaller increments lower the floor with the residual
+    magnitudes).
+
+    Clamp/escalate fire only from the SECOND attempt of a step on
+    (``attempt >= 1``): the restart ladder's step-shrink is a free second
+    opinion — a genuinely diverging attempt usually converges after the
+    shrink (the reference's only mechanism, ``fcVM.py:1457-1484``), while
+    an arithmetic floor stagnates again at the same level.  (Found on
+    hardware: Embankment f32's first-attempt stagnations were clamp-
+    accepted mid-divergence and poisoned the run, LF 0.233 vs 0.4997.)
+    Once a clamp HAS fired (the run is proven floor-limited at this
+    ``error_max``), later steps may clamp on their first attempt — a
+    floored plateau then doesn't pay one restart per step.
     """
 
     def __init__(self, error_max: float, enabled: bool):
         self.error_max = error_max
         self.enabled = enabled
         self.errs: list = []
+        self.attempt = 0
+        self.run_floored = False  # a clamp fired earlier in this run
 
-    def reset(self):
+    def reset(self, attempt: int = 0):
         self.errs = []
+        self.attempt = attempt
 
     def observe(self, error: float):
         if not self.enabled:
@@ -163,7 +189,12 @@ class _FloorWatch:
             return None  # still converging
         if best_now <= self.error_max:
             return None  # the exit criterion will fire on its own
+        if min(self.errs[-2:]) > _FLOOR_RISE * best_now:
+            return None  # rising tail: divergence, not a floor (see above)
+        if self.attempt < 1 and not self.run_floored:
+            return None  # first attempt: let the restart re-probe once
         if 2.0 * best_now <= _FLOOR_CLAMP_FACTOR * self.error_max:
+            self.run_floored = True
             return ("clamp", 2.0 * best_now)
         if best_now <= _FLOOR_ESCALATE_CAP:
             return "escalate"
@@ -725,7 +756,7 @@ def _solve_collapse_impl(
                 iterat = 0
                 log(f"Iteration: {iterat}, Error: {error:.2e}")
                 eff_error_max = params.error_max
-                floor_watch.reset()
+                floor_watch.reset(attempt=0)
                 floor_watch.observe(error)
 
                 while error > eff_error_max and not mrr:
@@ -897,9 +928,10 @@ def _solve_collapse_impl(
                         error = float(error_dev)
                         iterat = 0
                         # fresh attempt: smaller increments lower the floor
-                        # with the residual magnitudes, so re-probe
+                        # with the residual magnitudes, so re-probe (from
+                        # attempt 1 on the watch may clamp/escalate)
                         eff_error_max = params.error_max
-                        floor_watch.reset()
+                        floor_watch.reset(attempt=restart)
                         floor_watch.observe(error)
 
                 if mrr:

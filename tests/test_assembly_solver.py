@@ -355,3 +355,21 @@ def test_pcg_stagnation_exit_stops_at_arithmetic_floor():
     res_b = slv.pcg(mv6, b, rtol=1e-3, maxiter=5000, stall=100)
     assert int(res_a.iters) == int(res_b.iters)
     np.testing.assert_allclose(np.asarray(res_a.x), np.asarray(res_b.x))
+
+
+def test_matvec_precision_resolution(monkeypatch):
+    """resolve_matvec_precision: full f32 einsum precision below the dof
+    threshold (bf16-MXU noise there bounds the Newton loop, measured on the
+    Embankment replay), fast default above, explicit modes forced."""
+    import jax
+    from fcvm_tpu import config as cfgmod
+
+    cfg = cfgmod.get_config()
+    monkeypatch.setattr(cfg, "matvec_precision", "auto")
+    monkeypatch.setattr(cfg, "matvec_hp_max_dof", 200_000)
+    assert asm.resolve_matvec_precision(81_000) == jax.lax.Precision.HIGHEST
+    assert asm.resolve_matvec_precision(499_125) is None
+    monkeypatch.setattr(cfg, "matvec_precision", "highest")
+    assert asm.resolve_matvec_precision(499_125) == jax.lax.Precision.HIGHEST
+    monkeypatch.setattr(cfg, "matvec_precision", "default")
+    assert asm.resolve_matvec_precision(81_000) is None

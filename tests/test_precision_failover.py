@@ -50,7 +50,9 @@ def test_floorwatch_converging_sequence_is_silent():
 
 def test_floorwatch_clamps_near_floor():
     # floor ~1e-7, error_max 5e-8: 2*floor within a decade -> clamp
+    # (attempt >= 1: clamp/escalate only fire after a restart re-probe)
     w = _FloorWatch(error_max=5e-8, enabled=True)
+    w.reset(attempt=1)
     act = _feed(w, [1e-3, 1e-5, 3e-7, 1.2e-7, 1.1e-7, 1.0e-7, 1.05e-7,
                     1.02e-7, 1.04e-7])
     assert act is not None and act != "escalate"
@@ -62,9 +64,41 @@ def test_floorwatch_clamps_near_floor():
 def test_floorwatch_escalates_far_above_error_max():
     # floor ~1e-7, error_max 1e-12: clamping would be 5 decades off -> f64
     w = _FloorWatch(error_max=1e-12, enabled=True)
+    w.reset(attempt=1)
     act = _feed(w, [1e-3, 1e-5, 3e-7, 1.2e-7, 1.1e-7, 1.0e-7, 1.05e-7,
                     1.02e-7, 1.04e-7])
     assert act == "escalate"
+
+
+def test_floorwatch_first_attempt_never_fires():
+    """Attempt 0 stagnation goes to the restart ladder (the step-shrink is
+    the free second opinion); the same sequence clamps on attempt 1."""
+    seq = [1e-3, 1e-5, 3e-7, 1.2e-7, 1.1e-7, 1.0e-7, 1.05e-7, 1.02e-7,
+           1.04e-7]
+    w = _FloorWatch(error_max=5e-8, enabled=True)
+    assert all(w.observe(e) is None for e in seq)
+    w.reset(attempt=1)
+    assert _feed(w, seq)[0] == "clamp"
+
+
+def test_floorwatch_rising_tail_is_divergence_not_floor():
+    """The Embankment f32 hardware misfire: slow CLIMBS inside the decade
+    window must not be clamp-accepted — a floor bounces, divergence climbs
+    (driver.py _FLOOR_RISE). Real sequences from the run log."""
+    # step 3: [2.43, 1.75, 1.57, 1.55, 1.62, 1.72]e-2, error_max 1e-2
+    w = _FloorWatch(error_max=1e-2, enabled=True)
+    w.reset(attempt=1)
+    assert _feed(w, [2.43e-2, 1.75e-2, 1.57e-2, 1.55e-2, 1.62e-2,
+                     1.72e-2]) is None
+    # ... and continuing to climb (with a small dip) still never clamps
+    assert all(w.observe(e) is None for e in (1.70e-2, 1.78e-2, 1.9e-2))
+    # step 4: strictly climbing from the start
+    w.reset(attempt=1)
+    assert _feed(w, [3.97e-2, 4.18e-2, 4.48e-2, 4.84e-2, 5.23e-2]) is None
+    # contrast: a genuine flat floor at the same level DOES clamp
+    w.reset(attempt=1)
+    act = _feed(w, [2.43e-2, 1.60e-2, 1.57e-2, 1.55e-2, 1.58e-2, 1.56e-2])
+    assert act is not None and act[0] == "clamp"
 
 
 def test_floorwatch_physical_stagnation_is_left_to_restarts():
@@ -119,21 +153,48 @@ def _tension_model():
     return fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads)
 
 
-def test_noise_clamped_stepping_completes_f32(f32_tier):
-    """error_max just under the f32 floor: every step is accepted at the
-    clamped tolerance and the run completes instead of restart-thrashing."""
+def test_noise_floor_stepping_completes_f32(f32_tier):
+    """error_max just under the f32 floor (~1.3e-7 on this model): the run
+    must complete all steps without MRR abandonment.  With the attempt
+    gating, each floored step gets at most ONE restart re-probe (whose
+    halved increment drops the floor below error_max here, so the ladder
+    resolves it legitimately); the old behavior was >4 restarts and a dead
+    run when the floor watch was disabled."""
     model = _tension_model()
     params = fcvm_tpu.ControlParams(
         sig_yield=240.0, nstep=6, error_max=5e-8, et_e=0.1,
         target_lf=99.0, iterat_max=30,
     )
-    res = fcvm_tpu.solve_collapse(model, params)
+    lines = []
+    res = fcvm_tpu.solve_collapse(model, params, progress=lines.append)
     lbd = np.asarray(res.history.lbd)
-    assert res.cg_stats["floor_clamps"] >= 4
-    assert res.cg_stats["floor_clamp_steps"][0] == 0
-    # all 6 elastic steps of 1/6 completed at f32 despite the floor
-    assert len(lbd) == 7
-    np.testing.assert_allclose(lbd[-1], 1.0, rtol=1e-4)
+    assert len(lbd) == 7  # all 6 steps completed, no MRR
+    assert np.all(np.diff(lbd) > 0)
+    # at most one re-probe restart per step, never a thrash to MAXIMUM
+    assert not any("MAXIMUM RESTARTS" in l for l in lines)
+    restarts = sum("RESTART" in l for l in lines)
+    assert restarts <= 6
+
+
+def test_noise_clamped_stepping_completes_f32(f32_tier):
+    """error_max below even the restart-shrunk floor: the SECOND attempt of
+    the first floored step clamps (gating), and once the run is proven
+    floor-limited later steps clamp on their first attempt (run_floored
+    memory) — completing without one restart per plateau step."""
+    model = _tension_model()
+    params = fcvm_tpu.ControlParams(
+        sig_yield=240.0, nstep=6, error_max=3e-8, et_e=0.1,
+        target_lf=99.0, iterat_max=30,
+    )
+    lines = []
+    res = fcvm_tpu.solve_collapse(model, params, progress=lines.append)
+    lbd = np.asarray(res.history.lbd)
+    assert res.cg_stats["floor_clamps"] >= 3
+    assert len(lbd) == 7  # all 6 steps completed despite the floor
+    # the first clamp needed a restart re-probe; subsequent floored steps
+    # clamp without one
+    restarts = sum("RESTART" in l for l in lines)
+    assert 1 <= restarts <= 2
 
 
 def test_escalation_reruns_in_f64(f32_tier):
