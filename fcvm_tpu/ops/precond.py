@@ -125,12 +125,19 @@ class TwoLevelPrecond(NamedTuple):
         # coarse inverse lives in mode-major dof order (k * ncl + i) — that
         # layout lets the Galerkin build avoid a (ncl, ncl, nm, nm)
         # intermediate whose (8, 128) tiling costs ~21x HBM.
-        rc = jnp.einsum("nak,na->nk", self.qmat, r3p)  # (nn_pad, nm)
+        # HIGHEST precision: the coarse correction exists to cancel the
+        # smooth error modes below CG's tolerance; the MXU bf16 default
+        # re-injects them at ~1e-3 relative (same argument as the
+        # deflation apply, ops/deflation.deflated).  A/B at 499k dof on
+        # v5e: see docs/PERFORMANCE.md "Round 3: the precision cascade".
+        hp = jax.lax.Precision.HIGHEST
+        rc = jnp.einsum("nak,na->nk", self.qmat, r3p, precision=hp)
         rc = rc.reshape(ncl, cs, nm).sum(axis=1)  # (ncl, nm)
-        zc = self.coarse_inv @ rc.T.reshape(-1)  # mode-major (nm ncl,)
+        with jax.default_matmul_precision("highest"):
+            zc = self.coarse_inv @ rc.T.reshape(-1)  # mode-major (nm ncl,)
         zc_cl = zc.reshape(nm, ncl).T  # (ncl, nm)
         zc_n = jnp.repeat(zc_cl[:, None, :], cs, axis=1).reshape(nn_pad, nm)
-        z2 = jnp.einsum("nak,nk->na", self.qmat, zc_n)  # (nn_pad, 3)
+        z2 = jnp.einsum("nak,nk->na", self.qmat, zc_n, precision=hp)
         z2 = z2[: r3.shape[0]].reshape(-1) * self.fixmask
         return z + z2
 

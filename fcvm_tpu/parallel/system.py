@@ -237,9 +237,12 @@ class ShardedSystem(LocalSystem):
             ne_l = eln_l.shape[0]
             k = w_r.shape[1]
             u3k = w_r.reshape(nn, 3, k)[eln_l]  # (ne_l, 10, 3, k)
+            # HIGHEST (not mv_prec): K @ W feeds the deflation Galerkin
+            # matrix, whose inverse must cancel the deflated modes below
+            # CG tolerance — same rule as ops.deflation.block_khat_matvec
             fe = jnp.einsum(
                 "eij,ejk->eik", esm_l, u3k.reshape(ne_l, 30, k),
-                precision=self.mv_prec,
+                precision=jax.lax.Precision.HIGHEST,
             )
             y = jax.ops.segment_sum(
                 fe.reshape(-1, 3, k), eln_l.reshape(-1), num_segments=nn
@@ -437,30 +440,38 @@ class ShardedSystem(LocalSystem):
                     return y_own.reshape(-1)
 
                 def prec(r_flat):
+                    # HIGHEST on the subspace corrections (coarse +
+                    # deflation), matching TwoLevelPrecond.apply and
+                    # ops.deflation.deflated: their job is to cancel
+                    # modes below CG tolerance, which bf16 re-injects
+                    hp = jax.lax.Precision.HIGHEST
                     r3 = r_flat.reshape(-1, 3)
                     z3 = jnp.einsum("nab,nb->na", pinv_l, r3)
                     if two_level:
                         rm = fm_l * r3
                         rc = jax.lax.psum(
                             jax.ops.segment_sum(
-                                jnp.einsum("nak,na->nk", qmat_l, rm),
+                                jnp.einsum("nak,na->nk", qmat_l, rm,
+                                           precision=hp),
                                 cid_l, num_segments=ncl,
                             ),
                             "e",
                         )  # (ncl, nm) replicated (~50 KB)
-                        zc = cinv @ rc.T.reshape(-1)  # mode-major layout
+                        with jax.default_matmul_precision("highest"):
+                            zc = cinv @ rc.T.reshape(-1)  # mode-major
                         zc_cl = zc.reshape(nm, ncl).T
                         z3 = z3 + jnp.einsum(
-                            "nak,nk->na", qmat_l, zc_cl[cid_l]
+                            "nak,nk->na", qmat_l, zc_cl[cid_l], precision=hp
                         ) * fm_l
                     z = z3.reshape(-1)
                     if defl is not None:
                         wr = jax.lax.psum(
-                            jnp.einsum("nak,na->k", w_l, r3), "e"
+                            jnp.einsum("nak,na->k", w_l, r3, precision=hp), "e"
                         )
-                        z = z + (
-                            w_l.reshape(-1, w_l.shape[2]) @ (kwi @ wr)
-                        )
+                        with jax.default_matmul_precision("highest"):
+                            z = z + (
+                                w_l.reshape(-1, w_l.shape[2]) @ (kwi @ wr)
+                            )
                     return z
 
                 res = slv.pcg(
@@ -494,16 +505,19 @@ class ShardedSystem(LocalSystem):
         )
 
         def build_deflation_fn(esm, eln_m, zs, coef):
-            w = self.fixmask_m[:, None] * jnp.einsum(
-                "mn,mk->nk", zs, coef.astype(zs.dtype)
-            )
-            kw = w.T @ self._khat_block_m(esm, eln_m, w)
+            # HIGHEST: subspace-correction builds (see ops.deflation)
+            with jax.default_matmul_precision("highest"):
+                w = self.fixmask_m[:, None] * jnp.einsum(
+                    "mn,mk->nk", zs, coef.astype(zs.dtype)
+                )
+                kw = w.T @ self._khat_block_m(esm, eln_m, w)
             return DeflationSpace(w, pinv_psd(kw))
 
         self._build_deflation_jit = jax.jit(build_deflation_fn)
 
         def regalerkin_fn(esm, eln_m, w):
-            kw = w.T @ self._khat_block_m(esm, eln_m, w)
+            with jax.default_matmul_precision("highest"):
+                kw = w.T @ self._khat_block_m(esm, eln_m, w)
             return DeflationSpace(w, pinv_psd(kw))
 
         self._regalerkin_jit = jax.jit(regalerkin_fn)
@@ -618,7 +632,8 @@ class ShardedSystem(LocalSystem):
             defl = None
             if w is not None:
                 # re-Galerkin the load-harvested basis on the fresh tangent
-                kw = w.T @ self._khat_block_m(esm_t, eln_m, w)
+                with jax.default_matmul_precision("highest"):
+                    kw = w.T @ self._khat_block_m(esm_t, eln_m, w)
                 defl = DeflationSpace(w, pinv_psd(kw))
             matvec = lambda u: self._khat_m(esm_t, eln_m, u)
             precond = deflated(lambda r: apply_precond(pc_t, r), defl)

@@ -25,6 +25,8 @@ max-magnitude entry made positive for determinism.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +47,13 @@ from fcvm_tpu.ops import solver as slv
 # column at f32; same trap as the coarse inverse, docs/PERFORMANCE.md
 # "TPU matmul-precision trap").  These are (m, ndof) x (ndof, m) ops once
 # per sweep — the precision cost is negligible next to the column solves.
+
+
+# Pencil-residual acceptance bound for pencil_subspace's a-posteriori
+# validation (see the check before the (-G)-normalization).  Measured on
+# v5e: healthy f32 solves sit at <= ~1e-3 relative; the silent
+# wrong-factor failure mode sits at O(1).
+_PENCIL_RESIDUAL_TOL = 0.03
 
 
 class EigensolveBreakdownError(RuntimeError):
@@ -631,6 +640,34 @@ def pencil_subspace(
 
     lam = 1.0 / theta[:k]
     vecs = np.array(v[:, :k])
+    # A-posteriori pencil-residual validation: ||K v - lam (-G) v|| /
+    # ||K v|| per retained pair.  The Cauchy test on theta only proves the
+    # SUBSPACE stopped moving — when f32 inner solves stall at their
+    # arithmetic floor, the iteration can converge (finitely!) onto a
+    # non-eigenpair.  Measured on the slender imperfect-column case: the
+    # f32 tier's inner solves used to DIVERGE (caught by the non-finite
+    # check above); after the round-3 preconditioner precision fixes they
+    # fail gracefully instead, and the sweep settled on factors 51.9/69.3
+    # vs the true 2.23/2.24 with O(1) residuals.  A converged pair sits
+    # orders of magnitude lower (see _PENCIL_RESIDUAL_TOL).
+    kv_chk = np.asarray(kmv(jnp.asarray(vecs, dtype=dtype)))
+    gv_chk = np.asarray(minus_g(jnp.asarray(vecs, dtype=dtype)))
+    num = np.linalg.norm(kv_chk - gv_chk * lam[None, :], axis=0)
+    den = np.maximum(np.linalg.norm(kv_chk, axis=0), 1e-300)
+    rel_res = num / den
+    if os.environ.get("FCVM_DEBUG_PENCIL_RESIDUAL"):
+        print(f"pencil residuals ({np.dtype(dtype).name}): {rel_res}",
+              flush=True)
+    if np.max(rel_res) > _PENCIL_RESIDUAL_TOL:
+        msg = (f"pencil residual validation failed at dtype {dtype}: "
+               f"max ||Kv - lam(-G)v||/||Kv|| = {np.max(rel_res):.2e} "
+               f"(factors {lam}) — the subspace converged onto a "
+               "non-eigenpair (inner solves at their arithmetic floor)")
+        if dtype == jnp.float32:
+            raise EigensolveBreakdownError(msg)
+        import warnings
+
+        warnings.warn(msg)  # no higher tier to retry in
     # (-G)-metric normalization (matches ARPACK M-normalization).
     gv = np.asarray(minus_g(jnp.asarray(vecs, dtype=dtype)))
     for i in range(k):

@@ -464,6 +464,48 @@ def test_cruciform_imperfect_collapse_below_plastic_limit():
     )
 
 
+def test_pencil_residual_validation_catches_wrong_factors():
+    """pencil_subspace must reject a finitely-converged NON-eigenpair.
+
+    Observed on the real TPU (slender imperfect-column case): when the f32
+    inner solves stall at their arithmetic floor, the subspace iteration
+    satisfies its Cauchy exit on factors 51.9/69.3 vs the true 2.23/2.24 —
+    all finite, so only the a-posteriori pencil residual (measured O(1)
+    there vs ~1e-4 after the f64 retry) can route it to the failover.
+    Reproduced here with a broken k_inverse (returns the rhs unsolved)."""
+    import pytest
+
+    from fcvm_tpu.runtime import buckling as bk
+
+    rng = np.random.default_rng(0)
+    n, k, m = 24, 2, 4
+    a = rng.normal(size=(n, n))
+    kmat = a @ a.T + n * np.eye(n)
+    g = np.diag(rng.uniform(1.0, 5.0, size=n))  # SPD "geometric" matrix
+
+    kmv = lambda w: jnp.asarray(kmat, w.dtype) @ w
+    minus_g = lambda w: jnp.asarray(g, w.dtype) @ w
+    kinv_exact = lambda w, x0_basis=None, x0_scale=None: jnp.asarray(
+        np.linalg.solve(kmat, np.asarray(w, np.float64)), w.dtype
+    )
+    kinv_broken = lambda w, x0_basis=None, x0_scale=None: w  # "solves" nothing
+
+    # positive control: exact inner solves -> genuine eigenpairs, no raise
+    lam, _ = bk.pencil_subspace(
+        kmv, minus_g, kinv_exact, n, jnp.float32, k, m
+    )
+    ref = np.sort(np.abs(np.linalg.eigvals(np.linalg.solve(g, kmat))))[:k]
+    np.testing.assert_allclose(np.sort(lam), ref, rtol=1e-4)
+
+    # broken inner solves converge the sweep onto (-G)-eigenpairs, which
+    # are not pencil eigenpairs: the residual check must raise at f32...
+    with pytest.raises(bk.EigensolveBreakdownError, match="pencil residual"):
+        bk.pencil_subspace(kmv, minus_g, kinv_broken, n, jnp.float32, k, m)
+    # ...and warn (no higher tier to retry in) at f64
+    with pytest.warns(UserWarning, match="pencil residual"):
+        bk.pencil_subspace(kmv, minus_g, kinv_broken, n, jnp.float64, k, m)
+
+
 def test_f32_eigensolve_breakdown_fails_over_to_f64(monkeypatch):
     """linear_buckling retries the pipeline in f64 on an f32 breakdown.
 
