@@ -383,6 +383,11 @@ def capacity_row(nx):
                               fixmask, u_fix, plan)
     )
     t_asm_cold = time.perf_counter() - t0
+    # free the cold-pass outputs BEFORE re-assembling: at 1.98M dof the
+    # element blocks are 1.7 GB and rebinding in one statement keeps both
+    # generations live across the repeat dispatch (measured
+    # RESOURCE_EXHAUSTED right here at nx=43)
+    del esm, pinv, glv, rhs, gpc, vol, ls
     t0 = time.perf_counter()
     esm, pinv, glv, rhs, gpc, vol, ls = jax.block_until_ready(
         sysm.assemble_elastic(coords, eln, dmat, lt, jnp.asarray(0.0, dtype),
@@ -397,6 +402,7 @@ def capacity_row(nx):
         sysm.build_precond(esm, eln, coords, fixmask, cs, space=space)
     )
     t_build1 = time.perf_counter() - t0
+    del pc  # same double-generation hazard as the assembly rebind above
     t0 = time.perf_counter()
     pc = jax.block_until_ready(
         sysm.build_precond(esm, eln, coords, fixmask, cs, space=space)
@@ -569,6 +575,17 @@ def main():
         extra["capacity"] = []
         for nxs in cap_env.split(","):
             try:
+                # The 1.98M-dof row wants essentially the whole 16 GB HBM:
+                # drop the headline/sharded rows' live executables and
+                # donated buffers first (measured: RESOURCE_EXHAUSTED at
+                # nx=43 in-process without this; the row fits standalone).
+                # A clean-HBM subprocess is NOT an option — a second
+                # concurrent TPU client crashes the device.  Executables
+                # reload from the persistent compile cache in seconds.
+                import gc
+
+                gc.collect()
+                jax.clear_caches()
                 extra["capacity"].append(capacity_row(int(nxs)))
             except Exception as err:
                 log(f"capacity row nx={nxs} FAILED: {type(err).__name__}: {err}")

@@ -269,7 +269,8 @@ def deflation_x0(b, defl, space: SolveSpace | None = None):
     the slow modes can re-enter through rounding.  ``defl`` lives in the
     solve space; ``b`` and the returned ``x0`` are in user dof order."""
     bm = space.to_m(b) if space is not None else b
-    x0 = defl.w @ (defl.kw_inv @ (defl.w.T @ bm))
+    with jax.default_matmul_precision("highest"):
+        x0 = defl.w @ (defl.kw_inv @ (defl.w.T @ bm))
     return space.from_m(x0) if space is not None else x0
 
 
@@ -282,14 +283,16 @@ def regalerkin_deflation(esm, elnodes, fixmask, w, plan=None,
         DeflationSpace, block_khat_matvec, pinv_psd,
     )
 
-    if space is not None:
-        esm_m = esm[space.eperm]
-        eldofs = asm.element_dof_ids(space.elnodes_m)
-        kw = w.T @ block_khat_matvec(esm_m, eldofs, space.fixmask_m,
-                                     space.plan_m, w)
-    else:
-        eldofs = asm.element_dof_ids(elnodes)
-        kw = w.T @ block_khat_matvec(esm, eldofs, fixmask, plan, w)
+    # HIGHEST: Galerkin builds of subspace corrections (ops.deflation rule)
+    with jax.default_matmul_precision("highest"):
+        if space is not None:
+            esm_m = esm[space.eperm]
+            eldofs = asm.element_dof_ids(space.elnodes_m)
+            kw = w.T @ block_khat_matvec(esm_m, eldofs, space.fixmask_m,
+                                         space.plan_m, w)
+        else:
+            eldofs = asm.element_dof_ids(elnodes)
+            kw = w.T @ block_khat_matvec(esm, eldofs, fixmask, plan, w)
     return DeflationSpace(w, pinv_psd(kw))
 
 
@@ -421,7 +424,9 @@ def tangent_refresh(
         return esm_t, pc_t, glv_t, out, jnp.array(0, jnp.int32)
     defl = None
     if w is not None:
-        kw = w.T @ block_khat_matvec(esm_m, eldofs, fix_m, plan_m, w)
+        # HIGHEST: Galerkin build of the load-deflation correction
+        with jax.default_matmul_precision("highest"):
+            kw = w.T @ block_khat_matvec(esm_m, eldofs, fix_m, plan_m, w)
         defl = DeflationSpace(w, pinv_psd(kw))
     precond = deflated(lambda r: apply_precond(pc_t, r), defl)
     x0 = None
