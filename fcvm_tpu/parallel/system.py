@@ -911,8 +911,13 @@ class ShardedSystem(LocalSystem):
         )
 
         m = max(cfg.n_eig_vectors, 2 * k, k + 4)
+        # the sharded eigensolve has no retry ladder wired (its f32
+        # exposure is the virtual-CPU test mesh): raise at f32 so callers
+        # can escalate dtype, warn-only at f64 (the pencil-residual
+        # validation's last-tier semantics)
         lam, vecs = pencil_subspace(
-            kmv, minus_g, k_inverse, ndof_pad, dtype, k, m, fixmask=fm
+            kmv, minus_g, k_inverse, ndof_pad, dtype, k, m, fixmask=fm,
+            last_tier=dtype != jnp.float32,
         )
         vecs = vecs.reshape(-1, 3, k)[np.asarray(space.npos)].reshape(-1, k)
         return lam, vecs

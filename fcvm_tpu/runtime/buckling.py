@@ -55,6 +55,18 @@ from fcvm_tpu.ops import solver as slv
 # wrong-factor failure mode sits at O(1).
 _PENCIL_RESIDUAL_TOL = 0.03
 
+# Re-assembly failover bound: when the f64-iteration retry ALSO fails the
+# pencil-residual validation, the operands themselves are the problem —
+# on the corpus "Bar buckling" pencil (cond ~1e10) the f32-ASSEMBLED K's
+# ~1e-7 relative error swamps the small buckling eigenvalues entirely
+# (measured: even the exact-splu tier on f32 operands returns factors
+# 6.03/6.31 vs committed 0.4347 with 0.44-0.55 pencil residuals).  Final
+# tier: re-assemble everything in float64 and solve with the exact host
+# splu K^{-1} — the reference's own pipeline (``fcVM.py:1111-1135,
+# 1263-1278``).  Host factorization is only feasible at small/medium
+# meshes.
+_DIRECT_FAILOVER_MAX_DOF = 200_000
+
 
 class EigensolveBreakdownError(RuntimeError):
     """The subspace iteration lost the pencil to arithmetic breakdown.
@@ -315,6 +327,8 @@ def buckling_from_arrays(
     plan=None,
     space=None,
     _dtype_override=None,
+    _solver_override=None,
+    allow_reassembly: bool = True,
 ):
     """Lowest ``k`` buckling factors + mode shapes.
 
@@ -324,20 +338,38 @@ def buckling_from_arrays(
       space: optional :class:`fcvm_tpu.runtime.system.SolveSpace`; the whole
         eigensolve then runs in the Morton node numbering (compact
         preconditioner clusters), with mode shapes mapped back on return.
+      allow_reassembly: whether the final retry tier (f64 re-assembly +
+        host-direct splu) runs HERE.  The driver/backend path wants it
+        (its ``sig_gp`` is collapse state this function cannot recompute);
+        :func:`linear_buckling` passes False because it can do strictly
+        better — rerun the whole pipeline, including the elastic
+        pre-stress solve, in f64 (see below).
       _dtype_override: internal — the f64 breakdown retry (see below).
 
-    f32 robustness: if the subspace iteration breaks down
-    (:class:`EigensolveBreakdownError` — slender pencils whose projected
-    small-eigenvalue block sits below the f32 noise floor, observed on
-    the Euler-column case on real TPU), the eigensolve is retried once
-    with the already-assembled operands upcast to float64: the operand
-    ACCURACY stays f32 (they were built in f32) but the iteration
-    arithmetic runs f64, which is what restores positive-definiteness of
-    the Rayleigh-Ritz projection.  This covers the production driver's
-    buckling/imperfection path (`runtime/backend.py:buckling`) as well as
-    :func:`linear_buckling`.  The sharded backend calls
-    :func:`pencil_subspace` directly and does not yet failover (its f32
-    exposure is the virtual-CPU test mesh only).
+    f32 robustness — a three-tier retry ladder, each tier triggered by
+    :class:`EigensolveBreakdownError` (non-finite projections, an
+    indefinite Rayleigh-Ritz block, or the a-posteriori pencil-residual
+    validation):
+
+    1. f32 iteration on f32-assembled operands (the production tier);
+    2. f64 iteration arithmetic on the SAME f32-assembled operands —
+       restores positive-definiteness of the Rayleigh-Ritz projection
+       when the projected small-eigenvalue block sits below the f32
+       noise floor (observed on the Euler-column case on real TPU);
+    3. full f64 re-assembly + exact host splu ``K^{-1}`` (the
+       reference's own pipeline, ``fcVM.py:1111-1135, 1263-1278``) —
+       for extreme-slenderness pencils where the f32-built operands
+       themselves destroy the small buckling eigenvalues (measured on
+       the corpus "Bar buckling", cond ~1e10: even exact solves on f32
+       operands return factors 6.03/6.31 vs committed 0.4347).  Note the
+       pre-stress ``sig_gp`` is NOT recomputed here — factors come back
+       at the accuracy of the caller's stress field.
+
+    This covers the production driver's buckling/imperfection path
+    (`runtime/backend.py:buckling`) as well as :func:`linear_buckling`
+    (which replaces tier 3 with a full-pipeline f64 rerun).  The sharded
+    backend calls :func:`pencil_subspace` directly and does not yet
+    failover (its f32 exposure is the virtual-CPU test mesh only).
 
     Returns:
       (eigenvalues (k,), eigenvectors (ndof, k)) as numpy arrays, sorted by
@@ -349,6 +381,21 @@ def buckling_from_arrays(
     m = n_sub if n_sub > 0 else max(cfg.n_eig_vectors, 2 * k, k + 4)
     ndof = fixmask.shape[0]
     dtype = _dtype_override if _dtype_override is not None else coords.dtype
+    # the breakdown-retry ladder may override the solver tier (f32 PCG ->
+    # f64-iteration PCG -> f64 re-assembly + host-direct splu); cfg stays
+    # untouched.  Re-assembly is possible while the operands are still
+    # f32-built and the mesh is host-factorizable.
+    solver = _solver_override or cfg.solver
+    f32_built = np.dtype(jnp.asarray(coords).dtype) == np.float32
+    can_reassemble = (
+        allow_reassembly
+        and f32_built
+        and fixmask.shape[0] <= _DIRECT_FAILOVER_MAX_DOF
+    )
+    # allow_reassembly=False promises the CALLER catches the breakdown and
+    # reruns its whole pipeline in f64 — keep raising as long as the
+    # operands say we are still inside the original f32 pipeline.
+    caller_escalates = (not allow_reassembly) and f32_built
     # originals for the breakdown retry (the space branch rebinds these)
     elnodes_in, fixmask_in, plan_in = elnodes, fixmask, plan
     # The eigensolve wants "as accurate as the arithmetic allows" (rtol
@@ -395,6 +442,10 @@ def buckling_from_arrays(
             lam, vecs = pencil_subspace(
                 kmv, minus_g, k_inverse, ndof, dtype, k, m, outer_tol,
                 max_outer, fixmask=None,
+                # the penalty parity mode has no direct-tier retry wiring
+                # of its own: f64 is its last tier unless the caller
+                # escalates the whole pipeline
+                last_tier=not (dtype == jnp.float32 or caller_escalates),
             )
         except EigensolveBreakdownError:
             if dtype != jnp.float32:
@@ -415,6 +466,7 @@ def buckling_from_arrays(
                     rtol=rtol, maxiter=maxiter, n_sub=n_sub,
                     outer_tol=outer_tol, max_outer=max_outer, plan=plan_in,
                     space=None, _dtype_override=jnp.float64,
+                    allow_reassembly=allow_reassembly,
                 )
             finally:
                 if not x64_prev:
@@ -428,17 +480,17 @@ def buckling_from_arrays(
 
     from fcvm_tpu.ops.precond import apply_precond, build_two_level
 
-    if cfg.solver != "scipy" and cfg.precond == "two_level":
+    if solver != "scipy" and cfg.precond == "two_level":
         pc = build_two_level(
             esm, elnodes, coords_work, fixmask,
             cluster_size=cfg.resolve_cluster_size(coords.shape[0]),
             n_modes=cfg.coarse_modes,
         )
-    elif cfg.solver != "scipy":
+    elif solver != "scipy":
         pc = asm.block_jacobi_inverse_blocks(esm, elnodes, fixmask)
     else:
         pc = None  # direct tier: no iterative preconditioner needed
-    if cfg.solver == "scipy":
+    if solver == "scipy":
         # Host direct tier (the reference's Cholesky analogue,
         # ``fcVM.py:1263-1278``): exact K^{-1} makes the subspace iteration
         # robust on ill-conditioned (slender) structures where PCG would
@@ -512,36 +564,64 @@ def buckling_from_arrays(
         lam, vecs = pencil_subspace(
             kmv, minus_g, k_inverse, ndof, dtype, k, m, outer_tol, max_outer,
             fixmask=fixmask,
+            last_tier=not (
+                dtype == jnp.float32 or can_reassemble or caller_escalates
+            ),
         )
     except EigensolveBreakdownError as err:
-        if dtype != jnp.float32:
-            raise
         import warnings
 
-        warnings.warn(
-            f"f32 buckling eigensolve broke down ({err}); retrying the "
-            "iteration in float64 on the f32-assembled operands"
-        )
-        if cfg.dtype is None:
-            # pin the implicit f32 so enabling x64 below cannot flip a
-            # later dtype-unspecified analysis in this process to f64
-            cfg.dtype = "float32"
-        x64_prev = jax.config.read("jax_enable_x64")
-        jax.config.update("jax_enable_x64", True)
-        try:
-            # the retry returns numpy arrays, so all f64 device work is
-            # complete before the flag is restored below
+        if dtype == jnp.float32:
+            warnings.warn(
+                f"f32 buckling eigensolve broke down ({err}); retrying the "
+                "iteration in float64 on the f32-assembled operands"
+            )
+            if cfg.dtype is None:
+                # pin the implicit f32 so enabling x64 below cannot flip a
+                # later dtype-unspecified analysis in this process to f64
+                cfg.dtype = "float32"
+            x64_prev = jax.config.read("jax_enable_x64")
+            jax.config.update("jax_enable_x64", True)
+            try:
+                # the retry returns numpy arrays, so all f64 device work is
+                # complete before the flag is restored below
+                return buckling_from_arrays(
+                    coords, elnodes_in, dmat, sig_gp, fixmask_in, k=k,
+                    rtol=rtol, maxiter=maxiter, n_sub=n_sub,
+                    outer_tol=outer_tol, max_outer=max_outer, plan=plan_in,
+                    space=space, _dtype_override=jnp.float64,
+                    _solver_override=_solver_override,
+                    allow_reassembly=allow_reassembly,
+                )
+            finally:
+                if not x64_prev:
+                    # restore so later dtype-unspecified conversions in the
+                    # same process (e.g. the continuing collapse driver)
+                    # stay 32-bit
+                    jax.config.update("jax_enable_x64", False)
+        elif can_reassemble:
+            # f64 iteration arithmetic on f32-built operands still fails:
+            # the OPERANDS are the accuracy limit (extreme slenderness —
+            # corpus "Bar buckling", cond ~1e10; see
+            # _DIRECT_FAILOVER_MAX_DOF).  Final tier: re-assemble the
+            # pencil in float64 and solve with the exact host splu K^{-1}
+            # — the reference's own pipeline.
+            warnings.warn(
+                f"f64 iterative buckling eigensolve still invalid ({err}); "
+                "re-assembling the pencil in float64 on the host-direct "
+                "tier (exact splu K^-1)"
+            )
             return buckling_from_arrays(
-                coords, elnodes_in, dmat, sig_gp, fixmask_in, k=k, rtol=rtol,
+                jnp.asarray(coords, jnp.float64), elnodes_in,
+                jnp.asarray(dmat, jnp.float64),
+                jnp.asarray(sig_gp, jnp.float64),
+                fixmask_in, k=k, rtol=rtol,
                 maxiter=maxiter, n_sub=n_sub, outer_tol=outer_tol,
                 max_outer=max_outer, plan=plan_in, space=space,
-                _dtype_override=jnp.float64,
+                _dtype_override=jnp.float64, _solver_override="scipy",
             )
-        finally:
-            if not x64_prev:
-                # restore so later dtype-unspecified conversions in the same
-                # process (e.g. the continuing collapse driver) stay 32-bit
-                jax.config.update("jax_enable_x64", False)
+        else:
+            raise
     if space is not None:
         vecs = vecs.reshape(-1, 3, k)[np.asarray(space.npos)].reshape(-1, k)
     return lam, vecs
@@ -549,7 +629,7 @@ def buckling_from_arrays(
 
 def pencil_subspace(
     kmv, minus_g, k_inverse, ndof, dtype, k, m, outer_tol=1.0e-9,
-    max_outer=60, fixmask=None,
+    max_outer=60, fixmask=None, last_tier=False,
 ):
     """Block subspace iteration with Rayleigh-Ritz on the (K, -G) pencil.
 
@@ -663,11 +743,11 @@ def pencil_subspace(
                f"max ||Kv - lam(-G)v||/||Kv|| = {np.max(rel_res):.2e} "
                f"(factors {lam}) — the subspace converged onto a "
                "non-eigenpair (inner solves at their arithmetic floor)")
-        if dtype == jnp.float32:
+        if not last_tier:
             raise EigensolveBreakdownError(msg)
         import warnings
 
-        warnings.warn(msg)  # no higher tier to retry in
+        warnings.warn(msg)  # no further tier to retry in
     # (-G)-metric normalization (matches ARPACK M-normalization).
     gv = np.asarray(minus_g(jnp.asarray(vecs, dtype=dtype)))
     for i in range(k):
@@ -689,12 +769,20 @@ def linear_buckling(model, params, k: int = 2):
     f32 robustness: on slender ill-conditioned pencils the f32 inner
     solves can diverge past the stagnation exit and poison the subspace
     block (observed on the Euler-column example on TPU).  When the
-    eigensolve breaks down at f32, the whole pipeline is retried once in
-    float64 — the eigensolve is a setup-time operation whose accuracy
-    target (reference factors to ~1e-5, `Bar buckling.out:5`) is below
-    the f32 noise floor anyway, and the f64 retry is XLA-emulated on TPU
-    (no host factorization).  The process dtype is pinned first so
-    enabling x64 for the retry cannot flip a later f32 analysis to f64.
+    eigensolve breaks down at f32 (including the f64-iteration retry on
+    f32 operands inside :func:`buckling_from_arrays`), the whole
+    pipeline is retried once in float64 — crucially INCLUDING the
+    elastic pre-stress solve: on the corpus "Bar buckling" pencil
+    (cond ~1e10) the f32 PCG displacement error is percent-level in the
+    energy norm, and re-assembling K alone left ~1% factor error with
+    the near-degenerate pair split 3% (measured on v5e; the committed
+    pair [0.43472, 0.43473] agrees to 3e-4 only with an exact f64
+    pre-stress).  For host-factorizable meshes the retry also escalates
+    the solver to the exact host-direct tier (the reference's own
+    pipeline, ``fcVM.py:1111-1135, 1263-1278``); above that bound it
+    stays on f64 PCG (XLA-emulated on TPU).  The process dtype is
+    pinned first so enabling x64 for the retry cannot flip a later f32
+    analysis to f64.
     """
     import warnings
 
@@ -704,19 +792,28 @@ def linear_buckling(model, params, k: int = 2):
     except EigensolveBreakdownError as err:
         if cfg.resolve_dtype() != jnp.float32:
             raise
+        direct = (
+            cfg.solver != "scipy"
+            and model.mesh.ndof <= _DIRECT_FAILOVER_MAX_DOF
+        )
         warnings.warn(
             f"f32 buckling eigensolve broke down ({err}); "
             "retrying the pipeline in float64"
+            + (" on the host-direct solver tier" if direct else "")
         )
         prev_dtype = cfg.dtype if cfg.dtype is not None else "float32"
+        prev_solver = cfg.solver
         x64_prev = jax.config.read("jax_enable_x64")
         jax.config.update("jax_enable_x64", True)
         cfg.dtype = "float64"
+        if direct:
+            cfg.solver = "scipy"
         try:
             # returns numpy arrays: all f64 device work completes in here
             lam, vecs = _linear_buckling_impl(model, params, k)
         finally:
             cfg.dtype = prev_dtype
+            cfg.solver = prev_solver
             if not x64_prev:
                 jax.config.update("jax_enable_x64", False)
         return lam, vecs
@@ -785,5 +882,9 @@ def _linear_buckling_impl(model, params, k: int = 2):
         coords, elnodes, dmat, sig_el, fixmask,
         k=k, rtol=min(cfg.cg_rtol, 1.0e-10), maxiter=maxiter, plan=plan,
         space=space,
+        # tier 3 (f64 re-assembly) would keep THIS frame's f32 pre-stress;
+        # linear_buckling's own failover reruns the whole pipeline in f64
+        # instead, which is strictly more accurate
+        allow_reassembly=False,
     )
     return lam, vecs[: mesh.ndof]

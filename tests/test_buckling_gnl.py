@@ -498,12 +498,17 @@ def test_pencil_residual_validation_catches_wrong_factors():
     np.testing.assert_allclose(np.sort(lam), ref, rtol=1e-4)
 
     # broken inner solves converge the sweep onto (-G)-eigenpairs, which
-    # are not pencil eigenpairs: the residual check must raise at f32...
+    # are not pencil eigenpairs: the residual check must raise when a
+    # further retry tier exists (f32 -> f64 -> host-direct ladder)...
     with pytest.raises(bk.EigensolveBreakdownError, match="pencil residual"):
         bk.pencil_subspace(kmv, minus_g, kinv_broken, n, jnp.float32, k, m)
-    # ...and warn (no higher tier to retry in) at f64
-    with pytest.warns(UserWarning, match="pencil residual"):
+    with pytest.raises(bk.EigensolveBreakdownError, match="pencil residual"):
         bk.pencil_subspace(kmv, minus_g, kinv_broken, n, jnp.float64, k, m)
+    # ...and warn on the LAST tier (host-direct, or f64 past the
+    # direct-failover size bound)
+    with pytest.warns(UserWarning, match="pencil residual"):
+        bk.pencil_subspace(kmv, minus_g, kinv_broken, n, jnp.float64, k, m,
+                           last_tier=True)
 
 
 def test_f32_eigensolve_breakdown_fails_over_to_f64(monkeypatch):
@@ -521,21 +526,105 @@ def test_f32_eigensolve_breakdown_fails_over_to_f64(monkeypatch):
     cfg = get_config()
     seen = []
 
+    solver_seen = []
+
     def fake_impl(model, params, k=2):
         seen.append(str(cfg.resolve_dtype()))
+        solver_seen.append(cfg.solver)
         if len(seen) == 1:
             raise bk.EigensolveBreakdownError("forced breakdown")
         return np.array([1.5, 2.5]), np.zeros((12, 2))
 
     monkeypatch.setattr(bk, "_linear_buckling_impl", fake_impl)
+
+    class _FakeMesh:
+        ndof = 12
+
+    class _FakeModel:
+        mesh = _FakeMesh()
+
     prev = cfg.dtype
+    prev_solver = cfg.solver
     cfg.dtype = "float32"
     try:
         with pytest.warns(UserWarning, match="retrying the pipeline in float64"):
-            lam, _ = bk.linear_buckling(object(), object())
+            lam, _ = bk.linear_buckling(_FakeModel(), object())
         np.testing.assert_allclose(lam, [1.5, 2.5])
         assert seen == ["float32", "float64"]
-        # the retry must not leak f64 into the rest of the process
+        # host-factorizable mesh: the retry escalates to the exact direct
+        # solver tier (solver_seen records what the impl saw)
+        assert solver_seen == [prev_solver, "scipy"] or prev_solver == "scipy"
+        # the retry must not leak f64 (or the solver override) into the
+        # rest of the process
         assert cfg.dtype == "float32"
+        assert cfg.solver == prev_solver
+    finally:
+        cfg.dtype = prev
+        cfg.solver = prev_solver
+
+
+def test_reassembly_ladder_reaches_direct_tier(monkeypatch):
+    """buckling_from_arrays walks f32 -> f64 iteration -> f64 re-assembly.
+
+    Measured on the real v5e ("Bar buckling" corpus, cond ~1e10): both
+    iterative tiers fail the pencil-residual validation because the
+    f32-ASSEMBLED operands destroy the small buckling eigenvalues; only
+    the f64 re-assembly + host-direct splu tier recovers.  The fake
+    pencil solve reproduces that shape: raise while a retry tier exists,
+    return a sentinel on the last tier."""
+    import pytest
+
+    from fcvm_tpu.config import get_config
+    from fcvm_tpu.runtime import buckling as bk
+    from fcvm_tpu.ops import material as mat
+
+    mesh, _ = _column_model(nx=2)
+    coords = jnp.asarray(mesh.coords, jnp.float32)
+    elnodes = jnp.asarray(mesh.elnodes, jnp.int32)
+    dmat = mat.hooke_dmat(jnp.float32(E), jnp.float32(NU))
+    sig = jnp.zeros((mesh.n_elements, 4, 6), jnp.float32)
+    fixmask = jnp.ones(mesh.ndof, jnp.float32)
+
+    calls = []
+
+    def fake_pencil(kmv, minus_g, k_inverse, ndof, dtype, k, m,
+                    outer_tol=1.0e-9, max_outer=60, fixmask=None,
+                    last_tier=False):
+        calls.append((np.dtype(dtype).name, last_tier))
+        if not last_tier:
+            raise bk.EigensolveBreakdownError("forced: non-eigenpair")
+        return np.array([0.43, 0.44])[:k], np.zeros((ndof, k))
+
+    monkeypatch.setattr(bk, "pencil_subspace", fake_pencil)
+    cfg = get_config()
+    prev = cfg.dtype
+    import jax
+
+    x64_before = jax.config.read("jax_enable_x64")
+    try:
+        with pytest.warns(UserWarning, match="re-assembling the pencil"):
+            lam, _ = bk.buckling_from_arrays(
+                coords, elnodes, dmat, sig, fixmask, k=2
+            )
+        np.testing.assert_allclose(lam, [0.43, 0.44])
+        # three tiers: f32, f64-on-f32-operands, f64-reassembled (last)
+        assert calls == [
+            ("float32", False), ("float64", False), ("float64", True)
+        ]
+        # the x64 flag must be restored for the continuing process
+        assert jax.config.read("jax_enable_x64") == x64_before
+
+        # the API path forbids internal re-assembly (linear_buckling
+        # reruns the whole pipeline instead): the f64-iteration failure
+        # must PROPAGATE, and caller_escalates keeps last_tier False
+        calls.clear()
+        with pytest.raises(bk.EigensolveBreakdownError):
+            with pytest.warns(UserWarning, match="retrying the iteration"):
+                bk.buckling_from_arrays(
+                    coords, elnodes, dmat, sig, fixmask, k=2,
+                    allow_reassembly=False,
+                )
+        assert calls == [("float32", False), ("float64", False)]
+        assert jax.config.read("jax_enable_x64") == x64_before
     finally:
         cfg.dtype = prev

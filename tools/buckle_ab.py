@@ -33,9 +33,18 @@ if ridge:
     print("ridge ladder:", precond._RIDGE_LADDER, flush=True)
 
 import fcvm_tpu
-from fcvm_tpu.models.casefile import load_case
 
-model, params = load_case("examples/imperfect_column_collapse.toml")
+case = sys.argv[1] if len(sys.argv) > 1 else (
+    "examples/imperfect_column_collapse.toml"
+)
+if case.endswith(".FCStd"):
+    from fcvm_tpu.models.fcstd import load_reference_case
+
+    model, params = load_reference_case(case)
+else:
+    from fcvm_tpu.models.casefile import load_case
+
+    model, params = load_case(case)
 t0 = time.perf_counter()
 factors, modes = fcvm_tpu.linear_buckling(model, params, k=2)
 print("factors:", np.asarray(factors), flush=True)
