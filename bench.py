@@ -489,7 +489,7 @@ def sharded_vs_local_row(nx):
     return row
 
 
-def wait_for_device(max_tries=3, probe_timeout=600, wait_s=420):
+def wait_for_device(max_tries=3, probe_timeout=3600, wait_s=420):
     """Bounded pre-flight: wait out a transiently wedged tunnel TPU.
 
     The remote device can stay unresponsive for 10-40 min after any failed
@@ -497,13 +497,18 @@ def wait_for_device(max_tries=3, probe_timeout=600, wait_s=420):
     during a wedge fails outright.  Probe with a *subprocess* trivial jit —
     it must run before this process initializes any JAX backend, because
     two concurrent TPU clients crash the device — and sleep between
-    attempts (worst case ~50 min, then proceed and let the real run try).
+    attempts only after a clean nonzero exit (a reported device error).
 
     probe_timeout must cover the tunnel's lazy device-session claim, which
     the probe's result fetch pays: 15-130 s typical, 450 s observed under
-    contention (runtime/prewarm.start_transfer_opener).  Killing the probe
-    mid-claim is itself a device action that wedges the tunnel — a short
-    timeout here turns a slow claim into a self-inflicted wedge loop.
+    contention — and >600 s observed once (2026-08-19).  Killing the probe
+    mid-claim is itself a device action that wedges the tunnel, so a
+    too-short timeout turns a slow claim into a self-inflicted wedge loop
+    (measured: two successive 600 s probe kills kept the tunnel wedged
+    through the whole pre-flight).  The timeout is therefore
+    claim-can't-possibly-take-this-long sized and exists only as a
+    last-resort bound on a truly hung tunnel; the normal slow path is to
+    WAIT, not kill.
     """
     import subprocess
 
@@ -516,6 +521,7 @@ def wait_for_device(max_tries=3, probe_timeout=600, wait_s=420):
         "print(float(jax.jit(lambda x: (x * 2).sum())(jnp.ones(64))))"
     )
     for k in range(max_tries):
+        t0 = time.perf_counter()
         try:
             r = subprocess.run(
                 [sys.executable, "-c", code], timeout=probe_timeout,
@@ -523,13 +529,20 @@ def wait_for_device(max_tries=3, probe_timeout=600, wait_s=420):
             )
             if r.returncode == 0:
                 if k:
-                    log(f"device healthy after {k} wait(s)")
+                    log(f"device healthy after {k} retry(ies), probe took "
+                        f"{time.perf_counter() - t0:.0f}s")
                 return True
+            err_tail = (r.stderr or "").strip().splitlines()[-1:]
+            log(f"device health probe {k + 1}/{max_tries} exited "
+                f"{r.returncode} after {time.perf_counter() - t0:.0f}s"
+                + (f": {err_tail[0][:200]}" if err_tail else ""))
         except subprocess.TimeoutExpired:
-            pass
+            # the kill that just happened may itself wedge the tunnel —
+            # only reachable after a full hour of silence
+            log(f"device health probe {k + 1}/{max_tries} hung past "
+                f"{probe_timeout}s and was killed")
         if k + 1 < max_tries:
-            log(f"device health probe {k + 1}/{max_tries} failed; "
-                f"waiting {wait_s}s")
+            log(f"waiting {wait_s}s before the next probe")
             time.sleep(wait_s)
     log("device never turned healthy in the pre-flight; proceeding anyway")
     return False

@@ -6,7 +6,11 @@ elastic path (assembly -> two-level precond -> solve_displacement) and
 prints iters + relres + timings, nothing else — cheap to run across
 worktree states to bisect which change degraded the preconditioner.
 
-Usage: python tools/iters_ab.py [nx]   (default 27 -> 499k dof)
+Usage: python tools/iters_ab.py [nx] [coarse_max_dim]
+  nx: bench mesh size (default 27 -> 499k dof)
+  coarse_max_dim: override cfg.coarse_max_dim (capacity-regime A/B: the
+    default 12288 cap means 645-node clusters at 1.98M dof vs 163 at
+    499k — the suspected driver of the 51 -> 101 iteration growth)
 """
 
 import os
@@ -39,6 +43,15 @@ def log(*a):
 def main():
     nx = int(sys.argv[1]) if len(sys.argv) > 1 else 27
     dtype = jnp.float32
+    if len(sys.argv) > 2:
+        c = get_config()
+        c.coarse_max_dim = int(sys.argv[2])
+        # the cluster-count cap otherwise clamps the dim at 18000
+        c.coarse_max_clusters = max(
+            c.coarse_max_clusters, -(-c.coarse_max_dim // c.coarse_modes)
+        )
+        log(f"coarse_max_dim override: {c.coarse_max_dim} "
+            f"(max clusters {c.coarse_max_clusters})")
     mesh, model = bench.build(nx)
     log(f"mesh: nn={mesh.n_nodes} ne={mesh.n_elements} ndof={mesh.ndof}")
     coords = jnp.asarray(mesh.coords, dtype)
@@ -66,6 +79,9 @@ def main():
     )
     log(f"assembly cold: {time.perf_counter() - t0:.2f}s")
 
+    cs = cfg.resolve_cluster_size(mesh.n_nodes)
+    ncl = -(-mesh.n_nodes // cs)
+    log(f"cluster size {cs} -> {ncl} clusters, coarse dim ~{ncl * cfg.coarse_modes}")
     t0 = time.perf_counter()
     pc = jax.block_until_ready(
         sysm.build_precond(
