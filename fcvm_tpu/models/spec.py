@@ -79,10 +79,13 @@ class Mesh:
         range, non-degenerate corner-tet volume
         ``det[x1-x0, x2-x0, x3-x0]`` relative to the element's own edge
         scale, and *consistent* orientation.  A uniformly mirrored mesh
-        (every volume negative) is accepted with a warning: the kernels
-        integrate ``|det J|`` exactly like the reference's ``abs(xsj)``
-        (``fcVM.py:756``), so such meshes solve correctly — only a sign
-        mix within one mesh indicates a real connectivity error.
+        (every volume negative) is repaired in place with a warning: the
+        volume kernels integrate ``|det J|`` exactly like the reference's
+        ``abs(xsj)`` (``fcVM.py:756``), but :meth:`boundary_faces` windings
+        (and so pressure/follower-load normals) assume positive orientation,
+        so the corner 1↔2 swap (with the matching midside permutation) is
+        applied rather than merely warning.  Only a sign mix within one
+        mesh indicates a real connectivity error and still raises.
         """
         if self.elnodes.size == 0:
             raise ValueError("mesh has no elements")
@@ -119,9 +122,13 @@ class Mesh:
 
             warnings.warn(
                 "mesh is uniformly mirror-oriented (every corner volume "
-                "negative); solving anyway — the kernels integrate |det J| "
-                "(reference parity, fcVM.py:756)"
+                "negative); flipping element orientation in place so "
+                "boundary-face/pressure normals point outward (volume "
+                "kernels are orientation-free, reference parity fcVM.py:756)"
             )
+            # corners (0,2,1,3); midsides follow the edge relabeling
+            # (0-1),(1-2),(0-2),(0-3),(1-3),(2-3) -> old ids 6,5,4,7,9,8
+            self.elnodes = self.elnodes[:, [0, 2, 1, 3, 6, 5, 4, 7, 9, 8]]
 
     def boundary_faces(self) -> np.ndarray:
         """All exterior tri6 faces, outward-ordered, as (nf, 6) node ids.

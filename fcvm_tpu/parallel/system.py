@@ -72,6 +72,9 @@ class ShardedSystem(LocalSystem):
     """Element-partition SPMD backend with the LocalSystem interface."""
 
     supports_scipy = False
+    # the local-path AOT prewarm compiles executables this backend's
+    # shard_map build never calls (see runtime/backend.py)
+    prewarm_matches_build = False
     # Ritz recycling runs sharded too: the harvest stores replicated
     # preconditioned residuals (the CG vectors are replicated by design),
     # the block Galerkin K @ W goes through the same one-psum shard_map
@@ -785,7 +788,9 @@ class ShardedSystem(LocalSystem):
         operators and the inner CG run SPMD over the element partition;
         the m x m Rayleigh-Ritz math stays on host (reference analogue:
         ``fcVM.py:1199-1214``)."""
-        from fcvm_tpu.runtime.buckling import pencil_subspace
+        from fcvm_tpu.runtime.buckling import (
+            EigensolveBreakdownError, buckling_from_arrays, pencil_subspace,
+        )
 
         cfg = self.cfg
         space = self.space
@@ -911,13 +916,32 @@ class ShardedSystem(LocalSystem):
         )
 
         m = max(cfg.n_eig_vectors, 2 * k, k + 4)
-        # the sharded eigensolve has no retry ladder wired (its f32
-        # exposure is the virtual-CPU test mesh): raise at f32 so callers
-        # can escalate dtype, warn-only at f64 (the pencil-residual
-        # validation's last-tier semantics)
-        lam, vecs = pencil_subspace(
-            kmv, minus_g, k_inverse, ndof_pad, dtype, k, m, fixmask=fm,
-            last_tier=dtype != jnp.float32,
-        )
+        try:
+            # warn-only at f64 (the pencil-residual validation's last-tier
+            # semantics); raise at f32 so the ladder below can escalate
+            lam, vecs = pencil_subspace(
+                kmv, minus_g, k_inverse, ndof_pad, dtype, k, m, fixmask=fm,
+                last_tier=dtype != jnp.float32,
+            )
+        except EigensolveBreakdownError:
+            # The buckling solve runs once per analysis, so robustness
+            # beats SPMD here: route the breakdown to the local tier's
+            # full retry ladder (f64 iteration -> f64 re-assembly +
+            # host-direct splu, runtime/buckling.buckling_from_arrays)
+            # on the user-order arrays every process already holds.
+            import warnings
+
+            warnings.warn(
+                "sharded f32 buckling eigensolve broke down; escalating "
+                "through the local retry ladder (f64 iteration / "
+                "re-assembly) — the collapse analysis itself stays sharded"
+            )
+            lam, vecs = buckling_from_arrays(
+                jnp.asarray(np.asarray(coords), dtype=dtype), self.elnodes,
+                self.dmat, jnp.asarray(self.gauss_to_user(sig_el_gp)),
+                self.fixmask, k=k, rtol=rtol, maxiter=self.maxiter,
+                plan=self.plan, space=self.space,
+            )
+            return lam, vecs
         vecs = vecs.reshape(-1, 3, k)[np.asarray(space.npos)].reshape(-1, k)
         return lam, vecs

@@ -41,6 +41,11 @@ class LocalSystem:
 
     supports_scipy = True
     supports_deflation = True
+    # The AOT prewarm compiles the LOCAL build executables (unpadded
+    # element counts, non-shard_map kernels); ShardedSystem overrides this
+    # to False — prewarming programs its build never calls would make the
+    # multi-MB tunnel loads CONTEND with the real first sharded build.
+    prewarm_matches_build = True
 
     def __init__(self, model, cfg, dtype):
         self.cfg = cfg
@@ -60,7 +65,11 @@ class LocalSystem:
         # of the setup below instead of the driver's first convergence
         # fetch
         start_transfer_opener()
-        if cfg.precond == "two_level" and getattr(cfg, "prewarm", True):
+        if (
+            cfg.precond == "two_level"
+            and getattr(cfg, "prewarm", True)
+            and self.prewarm_matches_build
+        ):
             # start loading the preconditioner-build executables too
             # (background AOT, no device memory) — the multi-MB cache
             # loads overlap the setup and the first assembly instead of

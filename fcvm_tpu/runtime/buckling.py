@@ -368,8 +368,9 @@ def buckling_from_arrays(
     This covers the production driver's buckling/imperfection path
     (`runtime/backend.py:buckling`) as well as :func:`linear_buckling`
     (which replaces tier 3 with a full-pipeline f64 rerun).  The sharded
-    backend calls :func:`pencil_subspace` directly and does not yet
-    failover (its f32 exposure is the virtual-CPU test mesh only).
+    backend tries its SPMD :func:`pencil_subspace` first and falls back
+    HERE on an f32 breakdown (the eigensolve runs once per analysis, so
+    robustness beats SPMD for the retry; ``parallel/system.py:buckling``).
 
     Returns:
       (eigenvalues (k,), eigenvectors (ndof, k)) as numpy arrays, sorted by
@@ -748,8 +749,9 @@ def pencil_subspace(
         import warnings
 
         warnings.warn(msg)  # no further tier to retry in
-    # (-G)-metric normalization (matches ARPACK M-normalization).
-    gv = np.asarray(minus_g(jnp.asarray(vecs, dtype=dtype)))
+    # (-G)-metric normalization (matches ARPACK M-normalization);
+    # reuses the validation pass's (-G) V product.
+    gv = gv_chk
     for i in range(k):
         s = float(vecs[:, i] @ gv[:, i])
         if s > 0:

@@ -148,15 +148,40 @@ def test_mesh_validate_catches_inverted_and_out_of_range():
         oob.validate()
 
 
-def test_mesh_validate_mirrored_mesh_warns_but_passes():
-    """A uniformly mirror-oriented mesh solves correctly (|det J| kernels,
-    reference parity fcVM.py:756) — validate() must warn, not reject."""
+def test_mesh_validate_mirrored_mesh_warns_and_repairs():
+    """A uniformly mirror-oriented mesh must not be rejected (|det J| volume
+    kernels, reference parity fcVM.py:756) — but boundary_faces/pressure
+    normals assume positive orientation, so validate() flips the element
+    orientation in place (corner 1<->2 swap + midside permutation)."""
     mesh = meshgen.box_tet10(1, 1, 1, 1.0, 1.0, 1.0)
     coords = mesh.coords.copy()
     coords[:, 0] *= -1.0  # mirror: every corner volume flips sign
     mirrored = Mesh(coords, mesh.elnodes.copy())
     with pytest.warns(UserWarning, match="mirror"):
         mirrored.validate()
+
+    # repaired: positively oriented again
+    x = mirrored.coords[mirrored.elnodes[:, :4]]
+    vol6 = np.linalg.det(x[:, 1:] - x[:, :1])
+    assert (vol6 > 0).all()
+    # midside permutation consistent: node 4+k is the midpoint of its edge
+    edges = [(0, 1), (1, 2), (0, 2), (0, 3), (1, 3), (2, 3)]
+    c = mirrored.coords
+    for k, (a, b) in enumerate(edges):
+        np.testing.assert_allclose(
+            c[mirrored.elnodes[:, 4 + k]],
+            0.5 * (c[mirrored.elnodes[:, a]] + c[mirrored.elnodes[:, b]]),
+            atol=1e-12,
+        )
+    # outward pressure normals restored: boundary faces of the repaired
+    # mirrored mesh have the same outward-flux sign as the original's
+    for m in (mesh, mirrored):
+        f = m.boundary_faces()
+        tri = m.coords[f[:, :3]]
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        center = m.coords.mean(axis=0)
+        out = ((tri.mean(axis=1) - center) * n).sum(axis=1)
+        assert (out > 0).all()
 
 
 def test_mesh_validate_degenerate_element_raises():

@@ -588,3 +588,53 @@ def test_sharded_system_ops_match_local():
     qf_l = np.asarray(loc.internal_force(coords_dev, sn_l, disp, True))
     qf_s = np.asarray(sh.internal_force(coords_dev, sn_s, disp, True))
     np.testing.assert_allclose(qf_s, qf_l, rtol=1e-9, atol=1e-8)
+
+
+def test_sharded_buckling_breakdown_falls_back_to_local_ladder(monkeypatch):
+    """A pencil-residual breakdown in the SPMD eigensolve must escalate
+    through the local retry ladder (buckling_from_arrays), not abort the
+    analysis — the driver calls backend.buckling() with no try/except
+    (runtime/driver.py), so the sharded backend owns its own failover."""
+    from fcvm_tpu.runtime import buckling as bk
+
+    l = 10.0
+
+    def build():
+        mesh = meshgen.box_tet10(2, 2, 8, 1.0, 1.0, l * 2)
+        bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+            [(mesh.select_nodes(lambda x, y, z: z < 1e-9), (0.0, 0.0, 0.0))]
+        )
+        faces = mesh.faces_on(lambda x, y, z: z > 2 * l - 1e-9)
+        loads = fcvm_tpu.Loads(
+            traction_faces=faces,
+            tractions=np.tile([0, 0, -1.0], (len(faces), 1)),
+        )
+        return fcvm_tpu.Model(
+            mesh, fcvm_tpu.Material(210000.0, 0.3), bcs, loads, name="col"
+        )
+
+    params = ControlParams(
+        sig_yield=1e5, nstep=3, error_max=1e-10, et_e=0.0, target_lf=1e9,
+        gnl="GNLY", max_imp=0.05, ev1=1.0, ev2=0.0,
+    )
+
+    reference = _run(build(), params, 0)  # local, unpatched
+
+    real = bk.pencil_subspace
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the sharded SPMD attempt
+            raise bk.EigensolveBreakdownError("forced breakdown (test)")
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(bk, "pencil_subspace", flaky)
+    with pytest.warns(UserWarning, match="escalating"):
+        sharded = _run(build(), params, 8)
+    assert calls["n"] >= 2  # the fallback actually ran an eigensolve
+    np.testing.assert_allclose(
+        reference.eigenvalues, sharded.eigenvalues, rtol=1e-8
+    )
+    np.testing.assert_allclose(reference.history.lbd, sharded.history.lbd,
+                               atol=1e-9)
