@@ -201,25 +201,13 @@ def galerkin(esm, eldofs, fixmask, plan, w):
         return w.T @ block_khat_matvec(esm, eldofs, fixmask, plan, w)
 
 
-def invert_galerkin(kw) -> jnp.ndarray:
-    """Host pseudo-inverse of the (small) Galerkin matrix.
-
-    pinv (not inv): near-converged Ritz pairs from successive harvests can
-    be nearly dependent (and zero-padded coefficient columns make exactly
-    singular blocks); the pseudo-inverse keeps the correction PSD."""
-    kw64 = np.asarray(kw, dtype=np.float64)
-    kw64 = 0.5 * (kw64 + kw64.T)
-    return jnp.asarray(
-        np.linalg.pinv(kw64, rcond=1.0e-10, hermitian=True),
-        dtype=jnp.asarray(kw).dtype,
-    )
-
-
 def pinv_psd(kw):
     """On-device PSD pseudo-inverse of the (k, k) Galerkin matrix.
 
-    Traceable counterpart of :func:`invert_galerkin` so the whole space
-    build fuses into one jit (each host round-trip through the axon tunnel
+    pinv (not inv): near-converged Ritz pairs from successive harvests can
+    be nearly dependent (and zero-padded coefficient columns make exactly
+    singular blocks); the pseudo-inverse keeps the correction PSD.  Fully
+    traceable so the whole space build fuses into one jit (each host round-trip through the axon tunnel
     costs tens of ms — the first landing paid ~0.65 s/step in them).  The
     eigh runs in f32 when the inputs are f64 on a TPU backend (no f64
     factorizations there); preconditioner precision does not affect CG

@@ -561,14 +561,15 @@ class ShardedSystem(LocalSystem):
 
         def residual_fn(coords, eln_s, weights, sig_yield, disp_new, du,
                         sig_old, glv, lbd1, qnorm, dmat_s, g_s, h_s, et_e,
-                        large_disp):
+                        large_disp, relax=1.0):
             sig_new, sig_test, pgp, qin = stress_update_fn(
                 coords, eln_s, weights, sig_yield, disp_new, du, sig_old,
                 dmat_s, g_s, h_s, et_e, large_disp,
             )
             r = self.fixmask * (lbd1 * glv - qin)
             error = jnp.linalg.norm(r) / qnorm
-            return sig_new, sig_test, pgp, qin, r, error
+            # r pre-scaled by relax — see runtime/system.residual
+            return sig_new, sig_test, pgp, qin, relax * r, error
 
         self._residual_jit = jax.jit(residual_fn, static_argnames=("large_disp",))
 
@@ -749,14 +750,14 @@ class ShardedSystem(LocalSystem):
         return self._regalerkin_jit(esm, self.eln_m_s, w)
 
     def residual(self, coords, sig_yield, disp_new, du, sig_old, glv,
-                 lbd1, qnorm, et_e, large_disp):
+                 lbd1, qnorm, et_e, large_disp, relax=1.0):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._residual_jit(
             coords, self.eln_s, self.weights, sig_yield, disp_new, du,
             sig_old, glv,
             jnp.asarray(lbd1, self.dtype), jnp.asarray(qnorm, self.dtype),
             self.dmat_s, self.g_s, h, jnp.asarray(et_e, self.dtype),
-            large_disp,
+            large_disp, jnp.asarray(relax, self.dtype),
         )
 
     def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e,

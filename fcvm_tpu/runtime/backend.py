@@ -178,12 +178,13 @@ class LocalSystem:
         return build_w(zs, jnp.asarray(coef), self.space.fixmask_m)
 
     def residual(self, coords, sig_yield, disp_new, du, sig_old, glv,
-                 lbd1, qnorm, et_e, large_disp):
+                 lbd1, qnorm, et_e, large_disp, relax=1.0):
         return sysm.residual(
             coords, self.elnodes, self.dmat, sig_yield, disp_new, du, sig_old,
             self.e, self.nu, et_e, glv, self.fixmask,
             jnp.asarray(lbd1, dtype=self.dtype),
             jnp.asarray(qnorm, dtype=self.dtype), large_disp, self.plan,
+            relax=jnp.asarray(relax, dtype=self.dtype),
         )
 
     def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e,

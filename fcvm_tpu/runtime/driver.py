@@ -213,17 +213,16 @@ class _FloorWatch:
 
 
 class _LinearState:
-    """Current linear operator: blocks + preconditioner (+ its CG budget).
+    """Current linear operator: blocks + preconditioner (the CG budget
+    lives on the backend — ``backend.rtol``/``backend.maxiter``).
 
     With ``config.solver == "scipy"`` a host LU factorization is built
     lazily per operator state — the debugging tier mirroring the reference's
     factor-once-per-tangent Cholesky (``fcVM.py:1120-1135``)."""
 
-    def __init__(self, esm, pc, rtol, maxiter, defl=None):
+    def __init__(self, esm, pc, defl=None):
         self.esm = esm
         self.pc = pc
-        self.rtol = rtol
-        self.maxiter = maxiter
         self.defl = defl  # Ritz recycling space (ops.deflation), if built
         self._direct = None
 
@@ -271,15 +270,20 @@ def solve_collapse(
         warnings.warn(msg)
         if progress is not None:
             progress(f"PRECISION FAILOVER: {msg}")
-        prev_dtype = cfg.dtype if cfg.dtype is not None else "float32"
+        prev_dtype = cfg.dtype  # restore verbatim (None stays None:
+        # resolve_dtype() re-derives f32 once x64 is restored below)
         x64_prev = jax.config.read("jax_enable_x64")
         jax.config.update("jax_enable_x64", True)
         cfg.dtype = "float64"
         try:
             # AnalysisResults holds only host numpy arrays, so all f64
-            # device work completes before the flags are restored
+            # device work completes before the flags are restored.
+            # resume_from=None: the rerun must NOT resume from the f32
+            # run's own checkpoints — steps 0..k would stay floor-quality
+            # f32 state in the "f64" result (the docstring promises the
+            # checkpoints are overwritten from step 0).
             return _solve_collapse_impl(
-                model, params, continuation, checkpoint_path, resume_from,
+                model, params, continuation, checkpoint_path, None,
                 progress, monitor,
             )
         finally:
@@ -539,7 +543,7 @@ def _solve_collapse_impl(
 
     coords = jnp.asarray(coords_np, dtype=dtype)
     esm, pinv, glv, rhs, gp_coords, volume, loadsums = assemble(coords_np)
-    lin = _LinearState(esm, make_pc(esm, pinv, coords), backend.rtol, backend.maxiter)
+    lin = _LinearState(esm, make_pc(esm, pinv, coords))
 
     qnorm = float(jnp.linalg.norm(glv))
     if qnorm < 1.0:
@@ -629,7 +633,7 @@ def _solve_collapse_impl(
         coords_np = coords_np + np.asarray(imper)[:ndof].reshape(-1, 3)
         coords = jnp.asarray(coords_np, dtype=dtype)
         esm, pinv, glv, rhs, gp_coords, volume, loadsums = assemble(coords_np)
-        lin = _LinearState(esm, make_pc(esm, pinv, coords), backend.rtol, backend.maxiter)
+        lin = _LinearState(esm, make_pc(esm, pinv, coords))
         qnorm = max(float(jnp.linalg.norm(glv)), 1.0)
         with timers.phase("elastic_solve"):
             ue, _ = solve(lin, rhs, x0=u_fix)
@@ -680,9 +684,12 @@ def _solve_collapse_impl(
             history.crip = [int(v) for v in history.crip]
 
     def do_residual(du_, lbd1):
+        # the returned r is pre-scaled by relax inside the jit
+        # (fcVM.py:1398-1400 applies it at the solve RHS) — a separate
+        # eager `relax * r` per NR iteration costs a remote dispatch
         return backend.residual(
             coords, sig_yield, disp_new, du_, sig_old, glv, lbd1, qnorm,
-            et_e, large_disp,
+            et_e, large_disp, relax=relax,
         )
 
     def record_step(qin):
@@ -837,8 +844,7 @@ def _solve_collapse_impl(
                             # operator (one block matvec; a stale Galerkin
                             # stays SPD but deflates the wrong scales)
                             defl_t = backend.make_deflation(esm_t, lin.defl.w)
-                        lin = _LinearState(esm_t, pc_t, backend.rtol,
-                                           backend.maxiter, defl=defl_t)
+                        lin = _LinearState(esm_t, pc_t, defl=defl_t)
                         if cfg.solver == "scipy":
                             rhs_t = backend.scipy_rhs(esm_t, glv)
                             ue, _ = solve(lin, rhs_t, x0=u_fix)
@@ -846,14 +852,14 @@ def _solve_collapse_impl(
 
                     if (use_deflation and lin.defl is None
                             and defl_state["armed"]):
-                        due, _ = harvesting_solve(lin, relax * r)
+                        due, _ = harvesting_solve(lin, r)
                         settle_solve = None
                     else:
                         # no device sync here: the Riks update + residual
                         # below are dispatched while the solve still runs;
                         # settle() fires at the convergence fetch, where
                         # the iters scalar is already on host (see solve())
-                        due, settle_solve = solve(lin, relax * r, defer=True)
+                        due, settle_solve = solve(lin, r, defer=True)
                     # the settle runs in a finally so an exception between
                     # dispatch and the convergence fetch (monitor callbacks,
                     # device errors) cannot silently drop the solve from
@@ -959,14 +965,15 @@ def _solve_collapse_impl(
                 else:
                     # Converged load step (fcVM.py:1515-1557).
                     disp_old = disp_new
-                    disp_new = disp_new + du
                     dl = lbd[step + 1] - lbd[step]
+                    factor = 1.0
                     if iterat > 10:
                         dl /= params.scale_dn
-                        du = du / params.scale_dn
+                        factor = 1.0 / params.scale_dn
                     if iterat < 5:
                         dl *= scale_up
-                        du = du * scale_up
+                        factor = scale_up
+                    disp_new, du = sysm.commit_step(disp_new, du, factor)
                     record_step(qin)
                     # Decay the harvest-based staleness bar once per
                     # converged step: the operator that harvest measured
@@ -1010,6 +1017,9 @@ def _solve_collapse_impl(
         else ""
     )
     log(f"total time evaluating K_inv * r: {cg_stats['time']:.3f}s{defer_note}")
+    # the reference's end-of-run iteration total (fcVM.py:1620-1624)
+    cg_stats["newton_iterations"] = iterat_tot
+    log(f"total number of Newton iterations: {iterat_tot}")
     if cg_stats["solves"]:
         log(f"average time per solve: {cg_stats['time'] / cg_stats['solves']:.4f}s")
 

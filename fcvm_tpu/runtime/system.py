@@ -335,15 +335,21 @@ def residual(
     qnorm,
     large_disp: bool,
     plan=None,
+    relax=1.0,
 ):
-    """Stress update + out-of-balance residual (``fcVM.py:1323-1342``)."""
+    """Stress update + out-of-balance residual (``fcVM.py:1323-1342``).
+
+    The returned ``r`` is pre-scaled by the relaxation factor
+    (``fcVM.py:1398-1400`` applies it at the solve RHS) so the NR loop
+    does not pay a separate eager device op per iteration; ``error``
+    is computed from the raw residual as the reference does."""
     sig_new, sig_test, pgp, qin = update_stress_load(
         coords, elnodes, dmat, sig_yield, disp_new, du, sig_old, e, nu, et_e,
         large_disp, plan,
     )
     r = fixmask * (lbd1 * glv - qin)
     error = jnp.linalg.norm(r) / qnorm
-    return sig_new, sig_test, pgp, qin, r, error
+    return sig_new, sig_test, pgp, qin, relax * r, error
 
 
 @partial(jax.jit, static_argnames=("maxiter", "solve_predictor"))
@@ -420,6 +426,12 @@ def tangent_refresh(
         rhs = asm.dirichlet_rhs(esm_t, eldofs, fix_m, u_fix, glv_t, plan_m)
         matvec = asm.make_bc_matvec(esm_t, eldofs, fix_m, plan_m)
     if not solve_predictor:
+        # Known cost, accepted: the returned user-order RHS is immediately
+        # re-permuted to solve space by the caller's solve_harvest (two
+        # ~120 ms (nn, 3) row gathers at 166k nodes).  This branch fires
+        # only when the driver (re)builds a LOAD-deflation space — a
+        # handful of times per run — so a space-order return convention
+        # (and the backend-signature change it needs) isn't worth it.
         out = space.from_m(rhs) if space is not None else rhs
         return esm_t, pc_t, glv_t, out, jnp.array(0, jnp.int32)
     defl = None
@@ -491,6 +503,16 @@ def masked_sum(mask, v):
     """Jitted ``sum(mask * v)`` (displacement-control reaction level,
     ``fcVM.py:1522-1523``) — once per converged step in the host loop."""
     return jnp.sum(mask * v)
+
+
+@jax.jit
+def commit_step(disp_new, du, factor):
+    """Converged-step commit in one dispatch: total displacement update +
+    the adaptively scaled next increment (``fcVM.py:1515-1537``; the
+    scale-up/scale-down branches are mutually exclusive, so the host
+    resolves them to a single ``factor``).  Two eager device ops per
+    converged step cost two remote dispatches on axon — this is one."""
+    return disp_new + du, du * factor
 
 
 @jax.jit
