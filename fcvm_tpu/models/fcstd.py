@@ -582,8 +582,16 @@ class CloudResolver:
             remaining.extend(cluster)
         if remaining:
             remaining = np.array(remaining)
-            if not self._select_cylinder(pts, nrm, remaining, mask, tol_factor):
+            handled, n_sel = self._select_cylinder(
+                pts, nrm, remaining, mask, tol_factor
+            )
+            if not handled:
                 self._select_patches(pts, nrm, remaining, mask)
+            elif unresolved is not None and n_sel == 0:
+                # cylinder fit accepted the samples but selected no mesh
+                # faces (nodes sit off the fitted surface) — same
+                # must-not-drop-silently contract as the plane path
+                unresolved.extend(int(i) for i in remaining)
         return self.bfaces[mask]
 
     def _cluster_by_normal(self, pts, nrm, cos_same=0.9962, signed=True):
@@ -652,16 +660,23 @@ class CloudResolver:
         mask[sel] = True
         return True, len(sel)
 
-    def _select_cylinder(self, pts, nrm, idx, mask, tol_factor=1.0) -> bool:
-        """Cylindrical-face membership for samples with rotating normals."""
+    def _select_cylinder(self, pts, nrm, idx, mask, tol_factor=1.0):
+        """Cylindrical-face membership for samples with rotating normals.
+
+        Returns ``(handled, n_selected)``: ``handled=False`` means the
+        samples do not look like a cylinder (caller falls back to patch
+        selection); ``handled=True, n_selected=0`` means the fit succeeded
+        but no mesh faces lie on the surface — the caller reports those
+        samples as unresolved instead of silently dropping the constraint
+        subset."""
         if len(idx) < 6:
-            return False
+            return False, 0
         sub, snrm = pts[idx], nrm[idx]
         # axis: cylinder normals are perpendicular to it
         w, v = np.linalg.eigh(snrm.T @ snrm)
         axis = v[:, 0]
         if w[0] > 1e-4 * w[2]:
-            return False  # normals not coplanar in the axis-normal plane
+            return False, 0  # normals not coplanar in the axis-normal plane
         # project to the plane perpendicular to the axis; Kasa circle fit
         e1 = np.linalg.qr(
             np.column_stack([axis, np.eye(3)[np.argmin(np.abs(axis))]])
@@ -673,10 +688,10 @@ class CloudResolver:
         cu, cv, c0 = sol
         r = np.sqrt(max(c0 + cu**2 + cv**2, 0.0))
         if r <= 0:
-            return False
+            return False, 0
         resid = np.abs(np.hypot(u - cu, vv - cv) - r)
         if resid.max() > 0.02 * r:
-            return False
+            return False, 0
         # unrolled coordinates (theta*r, z) of samples and mesh nodes
         z0 = sub @ axis
         th0 = np.arctan2(vv - cv, u - cu)
@@ -691,7 +706,7 @@ class CloudResolver:
         node_on = np.abs(nd_rad - r) <= tol_r
         cand = np.where(node_on[self.bfaces].all(axis=1))[0]
         if len(cand) == 0:
-            return True
+            return True, 0
         ct, cz, _ = unroll(self.fcent[cand])
         # Angular extent: rotate so the largest gap between sample angles
         # sits at the seam; a closed cylinder (regular gaps) has no angular
@@ -712,7 +727,7 @@ class CloudResolver:
         else:
             keep = _hull_contains(s2d, q2d, margin)
         mask[cand[keep]] = True
-        return True
+        return True, int(np.count_nonzero(keep))
 
     def _select_patches(self, pts, nrm, idx, mask) -> None:
         """Fallback: nearest boundary face's smooth patch, normal-filtered."""
@@ -794,13 +809,18 @@ class CloudResolver:
         tol = max(2.5 * sag, 1e-6 * self.diag + 1e-9)
 
         emid = self.coords[self.bedges].mean(axis=1)
+        # vectorized midpoint prefilter: one (nedges, npts) distance table
+        # instead of a Python-level pass over every boundary edge (there
+        # are O(1.5x boundary faces) of them — minutes of host time per
+        # edge-referenced constraint on large meshes); the exact per-node
+        # polyline test below then runs only on the few nearby candidates
+        dmid = self._pairwise(emid, pts)
+        jmin = dmid.argmin(axis=1)
+        rows = np.arange(len(emid))
+        cand = np.where(dmid[rows, jmin] <= 1.1 * spacing[jmin])[0]
         keep = []
-        for idx in range(len(self.bedges)):
+        for idx in cand:
             nodes = self.coords[self.bedges[idx]]
-            dm = np.linalg.norm(emid[idx] - pts, axis=1)
-            jref = int(dm.argmin())
-            if dm[jref] > 1.1 * spacing[jref]:
-                continue
             ok = True
             for x in nodes:
                 dd = np.linalg.norm(x - pts, axis=1)
@@ -834,6 +854,13 @@ class CloudResolver:
         geometry vertices) while triangulation samples generally do not, so
         the ``count`` samples with the smallest node distance are the vertex
         references.
+
+        Known ambiguity (accepted): face marker grids include the face's
+        own corner vertices, which also coincide exactly with mesh nodes,
+        so a mixed Face+Vertex cloud can tie at distance 0 and pick a face
+        corner instead of the referenced vertex.  There is no geometric
+        signal to break the tie without the CAD kernel; the mixed-kind
+        warning at the call sites tells the user to check load sums.
         """
         hits = []
         for p in pts:
@@ -931,8 +958,20 @@ def build_model(
             if "Edge" in kinds:
                 edges = res.edges_for(con.points)
                 nodes.append(np.unique(edges))
-            if "Vertex" in kinds and not ("Face" in kinds or "Edge" in kinds):
-                nodes.append(res.vertices_for(con.points))
+            if "Vertex" in kinds:
+                # the reference pins vertex nodes unconditionally, in the
+                # same References loop as faces/edges (fcVM.py:204-216);
+                # with mixed kinds only the vertex-reference samples (one
+                # per Vertex sub) are node candidates — the same
+                # count-based selection as the Force path below
+                n_vsubs = sum(
+                    1 for _, sub in con.subs
+                    if re.match(r"Vertex\d*$", sub or "")
+                ) or None
+                nodes.append(res.vertices_for(
+                    con.points,
+                    count=None if kinds == {"Vertex"} else n_vsubs,
+                ))
             nodes = [n for n in nodes if len(n)]
             nodes = np.unique(np.concatenate(nodes)) if nodes else np.zeros(0, np.int32)
             if len(nodes) == 0:

@@ -350,10 +350,12 @@ _coarse_accumulate_jit = jax.jit(
 )
 
 
-@partial(jax.jit, static_argnames=())
-def _coarse_densify_invert(kc, ridge):
-    """Scale + symmetrize + ridge + f32 Cholesky inversion of the coarse
-    pair-block accumulator ``kc`` ((ncl*ncl, nm*nm), mode-major output)."""
+@jax.jit
+def _coarse_densify_scale(kc, ridge):
+    """Dense layout + Jacobi scaling + symmetrize + ridge of the coarse
+    pair-block accumulator ``kc`` ((ncl*ncl, nm*nm) -> mode-major
+    (n6, n6)); returns ``(kc_scaled, dscale)``.  Shared by the fused
+    single-jit inverse and the chunked blocked-Schur large-dim path."""
     dtype = kc.dtype
     ncl = math.isqrt(kc.shape[0])
     nm = math.isqrt(kc.shape[1])
@@ -380,6 +382,16 @@ def _coarse_densify_invert(kc, ridge):
     # perturbing healthy modes (diag ~ 1) by O(ridge).
     kc_scaled = 0.5 * (kc_scaled + kc_scaled.T)
     kc_scaled = kc_scaled + ridge * jnp.eye(n6, dtype=dtype)
+    return kc_scaled, dscale
+
+
+@partial(jax.jit, static_argnames=())
+def _coarse_densify_invert(kc, ridge):
+    """Scale + symmetrize + ridge + f32 Cholesky inversion of the coarse
+    pair-block accumulator (the fused <=9.2k^2 path)."""
+    dtype = kc.dtype
+    kc_scaled, dscale = _coarse_densify_scale(kc, ridge)
+    n6 = kc_scaled.shape[0]
     # f32 Cholesky inversion is safe: scaling + ridge bound the condition
     # number by ~1/ridge, and the result is only a preconditioner.  The MXU
     # handles the 9000^2 case in ~1 s; TPU has no f64 LU anyway.
@@ -388,28 +400,6 @@ def _coarse_densify_invert(kc, ridge):
     inv_scaled = jax.scipy.linalg.cho_solve(chol, jnp.eye(n6, dtype=jnp.float32))
     ds32 = dscale.astype(jnp.float32)
     return (inv_scaled * ds32[:, None] * ds32[None, :]).astype(dtype)
-
-
-@jax.jit
-def _coarse_densify_scale(kc, ridge):
-    """The dense layout + scaling + ridge half of ``_coarse_densify_invert``
-    (returns (kc_scaled, dscale)); used by the chunked large-dim path."""
-    dtype = kc.dtype
-    ncl = math.isqrt(kc.shape[0])
-    nm = math.isqrt(kc.shape[1])
-    n6 = nm * ncl
-    planes = kc.T.reshape(nm, nm, ncl, ncl)
-    kc_dense = planes.transpose(0, 2, 1, 3).reshape(n6, n6)
-    diag = jnp.abs(jnp.diagonal(kc_dense))
-    scale = jnp.max(diag)
-    diag = jnp.where(diag <= 1e-12 * scale, scale, diag)
-    dscale = 1.0 / jnp.sqrt(diag)
-    kc_scaled = kc_dense * dscale[:, None] * dscale[None, :]
-    ii = jnp.arange(n6)
-    kc_scaled = kc_scaled.at[ii, ii].set(jnp.maximum(kc_scaled[ii, ii], 1.0))
-    kc_scaled = 0.5 * (kc_scaled + kc_scaled.T)
-    kc_scaled = kc_scaled + ridge * jnp.eye(n6, dtype=dtype)
-    return kc_scaled, dscale
 
 
 @jax.jit

@@ -794,6 +794,20 @@ class ShardedSystem(LocalSystem):
         )
 
         cfg = self.cfg
+        if cfg.buckling_bc == "penalty":
+            # Reference-parity penalty BC runs on the full uneliminated
+            # pencil in natural dof order — elimination-path machinery
+            # (Morton space, scatter plan, the SPMD operators below) does
+            # not apply.  Route to the local tier, which implements it;
+            # silently solving the eliminated pencil would ignore the
+            # user's explicit FCVM_BUCKLING_BC=penalty opt-in.
+            return buckling_from_arrays(
+                jnp.asarray(np.asarray(coords), dtype=self.dtype),
+                self.elnodes, self.dmat,
+                jnp.asarray(self.gauss_to_user(sig_el_gp)), self.fixmask,
+                k=k, rtol=min(self.rtol, 1.0e-10), maxiter=self.maxiter,
+                plan=self.plan, space=self.space,
+            )
         space = self.space
         dtype = self.dtype
         nn_pad = self.nn_pad

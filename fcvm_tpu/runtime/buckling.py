@@ -245,7 +245,11 @@ def _penalty_operators(esm, nsm, eldofs, elnodes, fixmask, ndof, dtype, cfg,
         lu = splu(_assemble_penalty_csc(esm, eldofs, dvec_k, ndof))
 
         def k_inverse(w, x0_basis=None, x0_scale=None):
-            cols = [lu.solve(np.asarray(w[:, i])) for i in range(w.shape[1])]
+            # one device->host transfer for the whole block, then host
+            # column slicing (a per-column np.asarray(w[:, i]) is a
+            # separate remote fetch each — tens of ms per op on axon)
+            wn = np.asarray(w)
+            cols = [lu.solve(wn[:, i]) for i in range(wn.shape[1])]
             return jnp.asarray(np.stack(cols, axis=1), dtype=dtype)
 
     else:
@@ -285,26 +289,45 @@ def _penalty_operators(esm, nsm, eldofs, elnodes, fixmask, ndof, dtype, cfg,
     return kmv, minus_g, k_inverse
 
 
-def _multi_matvec(eldofs, fixmask, identity_on_fixed, negate=False):
+def _multi_matvec(eldofs, fixmask, identity_on_fixed, negate=False,
+                  plan=None):
     """Jitted ``(blocks, (ndof, m)) -> (ndof, m)`` block operator with
-    Dirichlet projection.
+    Dirichlet projection — node-row gather + ScatterPlan reduction (the
+    same shape as the sharded tier's ``multi_mv`` and
+    ``ops.deflation.block_khat_matvec``: TPU scatter-add is ~8x slower
+    than gather at equal index count, and dof-granular indices are 3x
+    the node-row count).
 
     ``blocks`` is a jit ARGUMENT, not a closure: a 600 MB element-block
     closure at 499k dof exceeds axon's remote-compile payload limit
     (HTTP 413 — see CLAUDE.md), and the jitted whole-operator form costs
     one device dispatch instead of ~6 eager ops x 0.2-0.5 s each through
-    the tunnel per application."""
-    ndof = fixmask.shape[0]
+    the tunnel per application.  The einsum runs at HIGHEST precision:
+    these operators feed the Rayleigh-Ritz projections and the pencil-
+    residual validation, exactly the subspace-correction class the
+    round-3 precision cascade pinned."""
+    nn = fixmask.shape[0] // 3
+    elnodes = eldofs[:, ::3] // 3
 
     @jax.jit
     def mv(blocks, u):
+        ne = blocks.shape[0]
+        m = u.shape[1]
         up = fixmask[:, None] * u
-        ue = up[eldofs]  # (ne, 30, m)
-        fe = jnp.einsum("eij,ejm->eim", blocks, ue)
-        y = jax.ops.segment_sum(
-            fe.reshape(-1, u.shape[1]), eldofs.reshape(-1), num_segments=ndof
+        u3k = up.reshape(nn, 3, m)[elnodes]  # (ne, 10, 3, m) row gather
+        fe = jnp.einsum(
+            "eabj,ejm->eabm", blocks.reshape(ne, 10, 3, 30),
+            u3k.reshape(ne, 30, m),
+            precision=jax.lax.Precision.HIGHEST,
         )
-        y = fixmask[:, None] * y
+        if plan is not None:
+            out = asm.scatter_node_rows(fe.reshape(ne * 10, 3, m), plan)
+        else:
+            out = jax.ops.segment_sum(
+                fe.reshape(ne * 10, 3, m), elnodes.reshape(-1),
+                num_segments=nn,
+            )
+        y = fixmask[:, None] * out.reshape(nn * 3, m)
         if identity_on_fixed:
             y = y + (1.0 - fixmask)[:, None] * u
         return -y if negate else y
@@ -474,8 +497,9 @@ def buckling_from_arrays(
                     jax.config.update("jax_enable_x64", False)
         return lam, vecs
 
-    _kmv = _multi_matvec(eldofs, fixmask, identity_on_fixed=True)
-    _mg = _multi_matvec(eldofs, fixmask, identity_on_fixed=False, negate=True)
+    _kmv = _multi_matvec(eldofs, fixmask, identity_on_fixed=True, plan=plan)
+    _mg = _multi_matvec(eldofs, fixmask, identity_on_fixed=False, negate=True,
+                        plan=plan)
     kmv = lambda u: _kmv(esm, u)
     minus_g = lambda u: _mg(nsm, u)
 
@@ -499,8 +523,11 @@ def buckling_from_arrays(
         direct = slv.ScipyDirectSolver(esm, eldofs, fixmask, ndof)
 
         def k_inverse(w, x0_basis=None, x0_scale=None):
-            # exact solve: the Ritz warm start has nothing to seed
-            cols = [direct.solve(np.asarray(w[:, i])) for i in range(w.shape[1])]
+            # exact solve: the Ritz warm start has nothing to seed.
+            # One device->host transfer for the block, then host slicing
+            # (per-column fetches are a remote dispatch each on axon).
+            wn = np.asarray(w)
+            cols = [direct.solve(wn[:, i]) for i in range(wn.shape[1])]
             return jnp.stack(cols, axis=1).astype(dtype)
 
     else:

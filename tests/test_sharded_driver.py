@@ -638,3 +638,43 @@ def test_sharded_buckling_breakdown_falls_back_to_local_ladder(monkeypatch):
     )
     np.testing.assert_allclose(reference.history.lbd, sharded.history.lbd,
                                atol=1e-9)
+
+
+def test_sharded_buckling_honors_penalty_bc():
+    """config.buckling_bc='penalty' (the reference-parity x100 diagonal
+    pencil) must not be silently ignored by the sharded backend: its
+    buckling() routes to the local penalty implementation, so factors
+    match the local penalty run exactly."""
+    l = 10.0
+
+    def build():
+        mesh = meshgen.box_tet10(2, 2, 8, 1.0, 1.0, l * 2)
+        bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+            [(mesh.select_nodes(lambda x, y, z: z < 1e-9), (0.0, 0.0, 0.0))]
+        )
+        faces = mesh.faces_on(lambda x, y, z: z > 2 * l - 1e-9)
+        loads = fcvm_tpu.Loads(
+            traction_faces=faces,
+            tractions=np.tile([0, 0, -1.0], (len(faces), 1)),
+        )
+        return fcvm_tpu.Model(
+            mesh, fcvm_tpu.Material(210000.0, 0.3), bcs, loads, name="col"
+        )
+
+    params = ControlParams(
+        sig_yield=1e5, nstep=3, error_max=1e-10, et_e=0.0, target_lf=1e9,
+        gnl="GNLY", max_imp=0.05, ev1=1.0, ev2=0.0,
+    )
+    cfg = get_config()
+    old_bc = cfg.buckling_bc
+    cfg.buckling_bc = "penalty"
+    try:
+        r_local = _run(build(), params, 0)
+        r_shard = _run(build(), params, 8)
+    finally:
+        cfg.buckling_bc = old_bc
+    np.testing.assert_allclose(
+        r_local.eigenvalues, r_shard.eigenvalues, rtol=1e-10
+    )
+    np.testing.assert_allclose(r_local.history.lbd, r_shard.history.lbd,
+                               atol=1e-9)
