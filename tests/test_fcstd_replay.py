@@ -653,3 +653,51 @@ def test_committed_output_skip_reasons_are_real(stem):
     assert not vtk.exists(), f"{stem}: VTK mesh exists — promote to replay"
     with pytest.raises((ValueError, FileNotFoundError)):
         read_fcstd(doc)
+
+
+def test_fixed_constraint_mixed_face_vertex_pins_vertex_node():
+    """A Fixed/Displacement constraint referencing Face + Vertex must pin
+    the vertex node too: the reference applies getNodesByVertex in the
+    same References loop as faces (fcVM.py:204-216).  Regression for the
+    round-3 review finding where mixed-kind clouds dropped vertices."""
+    import numpy as np
+
+    from fcvm_tpu.models import meshgen
+    from fcvm_tpu.models.fcstd import (
+        FcstdConstraint, FcstdDoc, FcstdMaterial, build_model,
+    )
+
+    mesh = meshgen.box_tet10(2, 2, 2, 10.0, 10.0, 10.0)
+    # face samples: a grid on the x=0 plane (with inward normals -x, the
+    # orientation FreeCAD stores for marker clouds is irrelevant — the
+    # resolver clusters by direction); vertex sample: the (10,10,10) corner,
+    # which lies on no referenced face
+    gy, gz = np.meshgrid(np.linspace(0.5, 9.5, 4), np.linspace(0.5, 9.5, 4))
+    face_pts = np.column_stack(
+        [np.zeros(gy.size), gy.ravel(), gz.ravel()])
+    vert_pt = np.array([[10.0, 10.0, 10.0]])
+    pts = np.vstack([face_pts, vert_pt])
+    nrm = np.tile([-1.0, 0.0, 0.0], (len(pts), 1))  # blob stores face normals
+    con = FcstdConstraint(
+        name="FixedMixed", kind="Fixed",
+        subs=[("Box", "Face1"), ("Box", "Vertex8")],
+        points=pts, normals=nrm, props={},
+    )
+    doc = FcstdDoc(
+        label="synthetic", mesh=mesh,
+        materials=[FcstdMaterial(210000.0, 0.3, 0.0, [], {})],
+        constraints=[con],
+    )
+    model = build_model(doc)
+    fixmask, _, _ = model.bcs.masks(mesh.ndof)
+    corner = mesh.select_nodes(
+        lambda x, y, z: (x > 10 - 1e-9) & (y > 10 - 1e-9) & (z > 10 - 1e-9)
+    )
+    assert len(corner) == 1
+    # the vertex node is pinned in all three dofs...
+    assert fixmask[3 * corner[0]: 3 * corner[0] + 3].max() < 0.5
+    # ...and so is every node of the referenced face (x=0 plane)
+    plane = mesh.select_nodes(lambda x, y, z: x < 1e-9)
+    assert all(
+        fixmask[3 * n: 3 * n + 3].max() < 0.5 for n in plane
+    )
