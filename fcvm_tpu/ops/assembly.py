@@ -397,6 +397,101 @@ def scatter_node_rows(rows3: jnp.ndarray, plan: ScatterPlan) -> jnp.ndarray:
     return jnp.concatenate(outs)[plan.invperm]
 
 
+def build_sharded_scatter_plans(eln_shards, nn: int):
+    """Per-shard ScatterPlans with one UNIFIED static structure.
+
+    ``eln_shards`` is a list of (ne_s, 10) connectivity slices (all the
+    same ne_s — the sharded backend pads the element axis).  shard_map
+    needs every shard to run the same program, so the per-shard plans
+    must share bucket caps and per-bucket node counts; buckets are padded
+    to the max count across shards with rows of all-``nrows`` indices
+    (they gather the appended zero row and sum to zero, and no invperm
+    entry references them).  Nodes a shard never touches map to the
+    single trailing zero row.
+
+    Returns ``(node_counts, incs, invperms)``:
+      node_counts: static tuple of padded per-bucket lengths (same for
+        every shard);
+      incs: list over buckets of (n_shards, nb, Db) int32 stacks;
+      invperms: (n_shards, nn) int32 stack.
+    Apply with :func:`scatter_node_rows_padded` inside the shard body.
+    """
+    import numpy as np
+
+    n_shards = len(eln_shards)
+    nrows = int(np.asarray(eln_shards[0]).size)
+    cnts = [np.bincount(np.asarray(e).reshape(-1), minlength=nn)
+            for e in eln_shards]
+    dmax = max(1, max(int(c.max()) for c in cnts))
+    caps, c = [], 4
+    while c < dmax:
+        caps.append(c)
+        c = c * 3 // 2 if c >= 8 else c + 2
+    caps.append(dmax)
+
+    # per shard, per cap: the node sets
+    groups = []  # [shard][cap] -> node ids
+    for cnt in cnts:
+        lo, g = 0, []
+        for cap in caps:
+            g.append(np.where((cnt > lo) & (cnt <= cap))[0])
+            lo = cap
+        groups.append(g)
+    nb = [max(len(groups[s][b]) for s in range(n_shards))
+          for b in range(len(caps))]
+
+    incs, invperms, counts = [], [], []
+    for b, cap in enumerate(caps):
+        if nb[b] == 0:
+            continue
+        counts.append(nb[b])
+        stack = np.full((n_shards, nb[b], cap), nrows, dtype=np.int64)
+        incs.append(stack)
+    for s, cnt in enumerate(cnts):
+        flat = np.asarray(eln_shards[s]).reshape(-1)
+        srt = np.argsort(flat, kind="stable")
+        ofs = np.zeros(nn + 1, np.int64)
+        np.cumsum(cnt, out=ofs[1:])
+        invperm = np.full(nn, -1, np.int64)
+        pos = 0
+        bi = 0
+        for b, cap in enumerate(caps):
+            if nb[b] == 0:
+                continue
+            nodes = groups[s][b]
+            if len(nodes):
+                k = np.arange(cap)
+                idx = ofs[nodes][:, None] + k[None, :]
+                valid = k[None, :] < cnt[nodes][:, None]
+                inc = np.where(valid, srt[np.minimum(idx, nrows - 1)], nrows)
+                incs[bi][s, : len(nodes)] = inc
+                invperm[nodes] = pos + np.arange(len(nodes))
+            pos += nb[b]
+            bi += 1
+        invperm[invperm < 0] = pos  # untouched nodes -> the zero row
+        invperms.append(invperm)
+
+    return (
+        tuple(counts),
+        [jnp.asarray(a.astype(np.int32)) for a in incs],
+        jnp.asarray(np.stack(invperms).astype(np.int32)),
+    )
+
+
+def scatter_node_rows_padded(rows, incs, invperm):
+    """Per-shard body of the sharded plan: sum local value rows into the
+    full (nn, ...) node vector (zeros where the shard has no incidence).
+
+    ``incs``/``invperm`` are one shard's slices of
+    :func:`build_sharded_scatter_plans` output (leading shard axis already
+    consumed by shard_map — squeeze it before calling)."""
+    rest = rows.shape[1:]
+    rows_ext = jnp.concatenate([rows, jnp.zeros((1,) + rest, rows.dtype)])
+    outs = [rows_ext[inc].sum(axis=1) for inc in incs]
+    outs.append(jnp.zeros((1,) + rest, rows.dtype))
+    return jnp.concatenate(outs)[invperm]
+
+
 def resolve_matvec_precision(ndof: int):
     """The einsum precision for a ``K @ v`` operator of this size.
 

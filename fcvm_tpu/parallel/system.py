@@ -14,7 +14,9 @@ Design:
   multiple with zero-weight ghost elements.
 * **Node vectors are replicated.**  Every operator application is: local
   row gather from the replicated vector -> per-element block matmul ->
-  local ``segment_sum`` -> one ``psum`` over the element axis.  That one
+  local per-shard ScatterPlan reduce (pure gathers; see
+  ``ops.assembly.build_sharded_scatter_plans``) -> one ``psum`` over the
+  element axis.  That one
   (ndof,)-sized collective per matvec/internal-force is the entire
   communication volume of a Newton iteration; it rides ICI on real
   hardware.
@@ -124,8 +126,23 @@ class ShardedSystem(LocalSystem):
         self.eln_s = jax.device_put(
             jnp.asarray(pad_el(eln_user, eln_user[:1]), dtype=jnp.int32), self._sh_e
         )
+        eln_m_pad = pad_el(eln_m, eln_m[:1])
         self.eln_m_s = jax.device_put(
-            jnp.asarray(pad_el(eln_m, eln_m[:1]), dtype=jnp.int32), self._sh_e
+            jnp.asarray(eln_m_pad, dtype=jnp.int32), self._sh_e
+        )
+        # Per-shard ScatterPlans for the Morton node reductions: the hot
+        # CG matvec reduce as pure gathers instead of segment_sum (TPU
+        # scatter-add is ~8x slower at equal index count; plan vs
+        # segment_sum measured 8.5 vs 19.6 ms at 499k dof).  At n=1 this
+        # degenerates to exactly the local backend's plan shape.  The pad
+        # elements duplicate element 0's connectivity with zero weights —
+        # same rows segment_sum summed, so behavior is identical.
+        _, incs_m, invp_m = asm.build_sharded_scatter_plans(
+            np.split(np.asarray(eln_m_pad), n), self.ndof_pad // 3
+        )
+        self._plan_m = (
+            tuple(jax.device_put(a, self._sh_e) for a in incs_m),
+            jax.device_put(invp_m, self._sh_e),
         )
         self.weights = jax.device_put(
             jnp.asarray(weights, dtype=dtype), self._sh_e
@@ -197,36 +214,40 @@ class ShardedSystem(LocalSystem):
             f, mesh=self.dmesh, in_specs=in_specs, out_specs=out_specs
         )
 
-    def _kv_m(self, esm, eln_m, u_m):
+    def _kv_m(self, esm, eln_m, plan, u_m):
         """Raw ``K @ v`` in the Morton node numbering (one psum).
 
-        ``eln_m`` (the sharded Morton connectivity) is threaded as an
-        argument, never a closure: under an outer ``jax.jit`` a closed-over
-        partitioned array must be fetched as a host constant, which is
-        impossible when its shards live on other processes (multi-host).
+        ``eln_m`` / ``plan`` (the sharded Morton connectivity + per-shard
+        ScatterPlan leaves) are threaded as arguments, never closures:
+        under an outer ``jax.jit`` a closed-over partitioned array must be
+        fetched as a host constant, which is impossible when its shards
+        live on other processes (multi-host).
         """
         nn = self.nn_pad
 
-        def local(esm_l, eln_l, u_r):
+        def local(esm_l, eln_l, plan_l, u_r):
             ne_l = eln_l.shape[0]
+            incs_l, invp_l = plan_l
             u3 = u_r.reshape(nn, 3)[eln_l]
             fe = jnp.einsum(
                 "eij,ej->ei", esm_l, u3.reshape(ne_l, 30),
                 precision=self.mv_prec,
             )
-            y = jax.ops.segment_sum(
-                fe.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn
+            y = asm.scatter_node_rows_padded(
+                fe.reshape(-1, 3), [a[0] for a in incs_l], invp_l[0]
             )
             return jax.lax.psum(y, "e")
 
-        y3 = self._smap(local, (P("e"), P("e"), P()), P())(esm, eln_m, u_m)
+        y3 = self._smap(local, (P("e"), P("e"), P("e"), P()), P())(
+            esm, eln_m, plan, u_m
+        )
         return y3.reshape(-1)
 
-    def _khat_m(self, esm, eln_m, u_m):
+    def _khat_m(self, esm, eln_m, plan, u_m):
         fm = self.fixmask_m
-        return fm * self._kv_m(esm, eln_m, fm * u_m) + (1.0 - fm) * u_m
+        return fm * self._kv_m(esm, eln_m, plan, fm * u_m) + (1.0 - fm) * u_m
 
-    def _khat_block_m(self, esm, eln_m, w):
+    def _khat_block_m(self, esm, eln_m, plan, w):
         """``K_hat @ W`` for a replicated (ndof_m, k) block in ONE pass.
 
         The sharded counterpart of ``ops.deflation.block_khat_matvec``:
@@ -236,9 +257,10 @@ class ShardedSystem(LocalSystem):
         fm = self.fixmask_m
         wp = fm[:, None] * w
 
-        def local(esm_l, eln_l, w_r):
+        def local(esm_l, eln_l, plan_l, w_r):
             ne_l = eln_l.shape[0]
             k = w_r.shape[1]
+            incs_l, invp_l = plan_l
             u3k = w_r.reshape(nn, 3, k)[eln_l]  # (ne_l, 10, 3, k)
             # HIGHEST (not mv_prec): K @ W feeds the deflation Galerkin
             # matrix, whose inverse must cancel the deflated modes below
@@ -247,13 +269,13 @@ class ShardedSystem(LocalSystem):
                 "eij,ejk->eik", esm_l, u3k.reshape(ne_l, 30, k),
                 precision=jax.lax.Precision.HIGHEST,
             )
-            y = jax.ops.segment_sum(
-                fe.reshape(-1, 3, k), eln_l.reshape(-1), num_segments=nn
+            y = asm.scatter_node_rows_padded(
+                fe.reshape(-1, 3, k), [a[0] for a in incs_l], invp_l[0]
             )
             return jax.lax.psum(y, "e")
 
-        y3 = self._smap(local, (P("e"), P("e"), P()), P())(
-            esm, eln_m, wp
+        y3 = self._smap(local, (P("e"), P("e"), P("e"), P()), P())(
+            esm, eln_m, plan, wp
         )
         kw = fm[:, None] * y3.reshape(-1, w.shape[1])
         return kw + (1.0 - fm)[:, None] * w
@@ -313,8 +335,8 @@ class ShardedSystem(LocalSystem):
                 jax.lax.psum(volume, "e"),
             )
 
-        def assemble_fn(coords, eln_s, eln_m, weights, dmat_s, density_s,
-                        fixmask, u_fix):
+        def assemble_fn(coords, eln_s, eln_m, plan_m, weights, dmat_s,
+                        density_s, fixmask, u_fix):
             def local(coords_r, eln_l, w_l, dmat_l):
                 dm = dmat_l if dmat_l.ndim == 3 else dmat_l
                 esm = asm.elastic_stiffness_blocks(coords_r, eln_l, dm)
@@ -351,17 +373,17 @@ class ShardedSystem(LocalSystem):
 
             # Dirichlet RHS in Morton space, mapped back to user order
             u_fix_m = space.to_m(u_fix)
-            modf_m = -self.fixmask_m * self._kv_m(esm, eln_m, u_fix_m)
+            modf_m = -self.fixmask_m * self._kv_m(esm, eln_m, plan_m, u_fix_m)
             rhs_m = self.fixmask_m * space.to_m(glv) + modf_m + u_fix_m
             rhs = space.from_m(rhs_m)
             return esm, pinv, glv, rhs, gp_coords, volume, loadsums
 
         self._assemble_jit = jax.jit(assemble_fn)
 
-        def solve_fn(esm, eln_m, pc, b, x0, defl):
+        def solve_fn(esm, eln_m, plan_m, pc, b, x0, defl):
             # x0/defl may be None: jit caches per pytree structure, so each
             # (x0?, defl?) combination compiles its own executable once.
-            matvec = lambda u: self._khat_m(esm, eln_m, u)
+            matvec = lambda u: self._khat_m(esm, eln_m, plan_m, u)
             precond = deflated(lambda r: apply_precond(pc, r), defl)
             res = slv.pcg(
                 matvec, space.to_m(b), precond=precond,
@@ -372,7 +394,7 @@ class ShardedSystem(LocalSystem):
 
         self._solve_jit = jax.jit(solve_fn)
 
-        def solve_np_fn(esm, eln_m, pc, b, x0, defl):
+        def solve_np_fn(esm, eln_m, plan_m, pc, b, x0, defl):
             """Node-partitioned CG (``config.node_partition``): the WHOLE
             PCG loop runs inside one shard_map on Morton row slices of the
             node vectors.  Per iteration: one all_gather of the search
@@ -396,8 +418,8 @@ class ShardedSystem(LocalSystem):
                 cid = jnp.arange(nn, dtype=jnp.int32) // cs
             b3 = space.to_m(b).reshape(nn, 3)
 
-            args = [esm, eln_m, fm3, b3]
-            specs = [P("e"), P("e"), P("e"), P("e")]
+            args = [esm, eln_m, plan_m, fm3, b3]
+            specs = [P("e"), P("e"), P("e"), P("e"), P("e")]
             args += [pc.pinv if two_level else pc]
             specs += [P("e")]
             if two_level:
@@ -414,7 +436,8 @@ class ShardedSystem(LocalSystem):
 
             def local(*a):
                 it = iter(a)
-                esm_l, eln_l, fm_l, b_l = (next(it) for _ in range(4))
+                esm_l, eln_l, plan_l, fm_l, b_l = (next(it) for _ in range(5))
+                incs_l, invp_l = plan_l
                 pinv_l = next(it)
                 if two_level:
                     qmat_l, cid_l, cinv = (next(it) for _ in range(3))
@@ -433,8 +456,8 @@ class ShardedSystem(LocalSystem):
                         "eij,ej->ei", esm_l, u3g[eln_l].reshape(ne_l, 30),
                         precision=self.mv_prec,
                     )
-                    y = jax.ops.segment_sum(
-                        fe.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn
+                    y = asm.scatter_node_rows_padded(
+                        fe.reshape(-1, 3), [x[0] for x in incs_l], invp_l[0]
                     )
                     y_own = jax.lax.psum_scatter(
                         y, "e", scatter_dimension=0, tiled=True
@@ -493,8 +516,8 @@ class ShardedSystem(LocalSystem):
 
         self._solve_np_jit = jax.jit(solve_np_fn)
 
-        def solve_harvest_fn(esm, eln_m, pc, b, x0, defl, nstore):
-            matvec = lambda u: self._khat_m(esm, eln_m, u)
+        def solve_harvest_fn(esm, eln_m, plan_m, pc, b, x0, defl, nstore):
+            matvec = lambda u: self._khat_m(esm, eln_m, plan_m, u)
             precond = deflated(lambda r: apply_precond(pc, r), defl)
             res, h = slv.pcg_harvest(
                 matvec, space.to_m(b), precond=precond,
@@ -507,20 +530,20 @@ class ShardedSystem(LocalSystem):
             solve_harvest_fn, static_argnames=("nstore",)
         )
 
-        def build_deflation_fn(esm, eln_m, zs, coef):
+        def build_deflation_fn(esm, eln_m, plan_m, zs, coef):
             # HIGHEST: subspace-correction builds (see ops.deflation)
             with jax.default_matmul_precision("highest"):
                 w = self.fixmask_m[:, None] * jnp.einsum(
                     "mn,mk->nk", zs, coef.astype(zs.dtype)
                 )
-                kw = w.T @ self._khat_block_m(esm, eln_m, w)
+                kw = w.T @ self._khat_block_m(esm, eln_m, plan_m, w)
             return DeflationSpace(w, pinv_psd(kw))
 
         self._build_deflation_jit = jax.jit(build_deflation_fn)
 
-        def regalerkin_fn(esm, eln_m, w):
+        def regalerkin_fn(esm, eln_m, plan_m, w):
             with jax.default_matmul_precision("highest"):
-                kw = w.T @ self._khat_block_m(esm, eln_m, w)
+                kw = w.T @ self._khat_block_m(esm, eln_m, plan_m, w)
             return DeflationSpace(w, pinv_psd(kw))
 
         self._regalerkin_jit = jax.jit(regalerkin_fn)
@@ -573,7 +596,7 @@ class ShardedSystem(LocalSystem):
 
         self._residual_jit = jax.jit(residual_fn, static_argnames=("large_disp",))
 
-        def tangent_fn(coords, eln_s, eln_m, weights, sig_old, pgp,
+        def tangent_fn(coords, eln_s, eln_m, plan_m, weights, sig_old, pgp,
                        disp_new, du, pc, dmat_s, g_s, h_s, density_s,
                        u_fix, ue0=None, w=None, solve_predictor=True):
             coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
@@ -625,7 +648,7 @@ class ShardedSystem(LocalSystem):
                 pc_t = pinv_t
 
             u_fix_m = space.to_m(u_fix)
-            modf_m = -self.fixmask_m * self._kv_m(esm_t, eln_m, u_fix_m)
+            modf_m = -self.fixmask_m * self._kv_m(esm_t, eln_m, plan_m, u_fix_m)
             rhs_m = self.fixmask_m * space.to_m(glv_t) + modf_m + u_fix_m
             if not solve_predictor:
                 # return the assembled predictor rhs so the driver can run
@@ -637,9 +660,9 @@ class ShardedSystem(LocalSystem):
             if w is not None:
                 # re-Galerkin the load-harvested basis on the fresh tangent
                 with jax.default_matmul_precision("highest"):
-                    kw = w.T @ self._khat_block_m(esm_t, eln_m, w)
+                    kw = w.T @ self._khat_block_m(esm_t, eln_m, plan_m, w)
                 defl = DeflationSpace(w, pinv_psd(kw))
-            matvec = lambda u: self._khat_m(esm_t, eln_m, u)
+            matvec = lambda u: self._khat_m(esm_t, eln_m, plan_m, u)
             precond = deflated(lambda r: apply_precond(pc_t, r), defl)
             res = slv.pcg(
                 matvec, rhs_m, precond=precond,
@@ -690,7 +713,7 @@ class ShardedSystem(LocalSystem):
             jnp.asarray(np.asarray(coords), dtype=self.dtype), self._sh_r
         )
         return self._assemble_jit(
-            coords_dev, self.eln_s, self.eln_m_s, self.weights,
+            coords_dev, self.eln_s, self.eln_m_s, self._plan_m, self.weights,
             self.dmat_s, self.density_s, self.fixmask, self.u_fix,
         )
 
@@ -733,21 +756,21 @@ class ShardedSystem(LocalSystem):
                 isinstance(pc, TwoLevelPrecond) and pc.smooth_inv is not None
             )
         ):
-            return self._solve_np_jit(esm, self.eln_m_s, pc, b, x0, defl)
-        return self._solve_jit(esm, self.eln_m_s, pc, b, x0, defl)
+            return self._solve_np_jit(esm, self.eln_m_s, self._plan_m, pc, b, x0, defl)
+        return self._solve_jit(esm, self.eln_m_s, self._plan_m, pc, b, x0, defl)
 
     # -- Ritz-deflation recycling (sharded; see ops.deflation) ---------------
 
     def solve_harvest(self, esm, pc, b, x0=None, defl=None, nstore=64):
         return self._solve_harvest_jit(
-            esm, self.eln_m_s, pc, b, x0, defl, nstore=nstore
+            esm, self.eln_m_s, self._plan_m, pc, b, x0, defl, nstore=nstore
         )
 
     def build_deflation(self, esm, zs, coef):
-        return self._build_deflation_jit(esm, self.eln_m_s, zs, jnp.asarray(coef))
+        return self._build_deflation_jit(esm, self.eln_m_s, self._plan_m, zs, jnp.asarray(coef))
 
     def make_deflation(self, esm, w):
-        return self._regalerkin_jit(esm, self.eln_m_s, w)
+        return self._regalerkin_jit(esm, self.eln_m_s, self._plan_m, w)
 
     def residual(self, coords, sig_yield, disp_new, du, sig_old, glv,
                  lbd1, qnorm, et_e, large_disp, relax=1.0):
@@ -764,7 +787,8 @@ class ShardedSystem(LocalSystem):
                         ue0=None, w=None, solve_predictor=True):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._tangent_jit(
-            coords, self.eln_s, self.eln_m_s, self.weights, sig_old, pgp,
+            coords, self.eln_s, self.eln_m_s, self._plan_m, self.weights,
+            sig_old, pgp,
             disp_new, du, pc,
             self.dmat_s, self.g_s, h, self.density_s, self.u_fix, ue0,
             w, solve_predictor=solve_predictor,
@@ -841,23 +865,24 @@ class ShardedSystem(LocalSystem):
             # blocks and the sharded connectivity are jit ARGUMENTS (not
             # closures — remote-compile payload limit on the local tier,
             # non-addressable-shard constants on multi-host)
-            def mv(blocks, eln_m, u):
-                def local(blocks_l, eln_l, u_r):
+            def mv(blocks, eln_m, plan_m, u):
+                def local(blocks_l, eln_l, plan_l, u_r):
                     up = (fm[:, None] * u_r).reshape(nn_pad, 3, -1)[eln_l]
                     ne_l = eln_l.shape[0]
+                    incs_l, invp_l = plan_l
                     fe = jnp.einsum(
                         "eij,ejm->eim", blocks_l,
                         up.reshape(ne_l, 30, up.shape[-1]),
                         precision=self.mv_prec,
                     )
-                    y = jax.ops.segment_sum(
+                    y = asm.scatter_node_rows_padded(
                         fe.reshape(-1, 3, fe.shape[-1]),
-                        eln_l.reshape(-1), num_segments=nn_pad,
+                        [x[0] for x in incs_l], invp_l[0],
                     )
                     return jax.lax.psum(y, "e")
 
-                y3 = self._smap(local, (P("e"), P("e"), P()), P())(
-                    blocks, eln_m, u
+                y3 = self._smap(local, (P("e"), P("e"), P("e"), P()), P())(
+                    blocks, eln_m, plan_m, u
                 )
                 y = fm[:, None] * y3.reshape(ndof_pad, -1)
                 if identity_on_fixed:
@@ -868,8 +893,8 @@ class ShardedSystem(LocalSystem):
 
         _kmv = multi_mv(True)
         _mg = multi_mv(False, negate=True)
-        kmv = lambda u: _kmv(esm, self.eln_m_s, u)
-        minus_g = lambda u: _mg(nsm, self.eln_m_s, u)
+        kmv = lambda u: _kmv(esm, self.eln_m_s, self._plan_m, u)
+        minus_g = lambda u: _mg(nsm, self.eln_m_s, self._plan_m, u)
 
         pinv = self._pinv_m(esm, self.eln_m_s)
         pc = self.make_pc(esm, pinv, coords_dev)
@@ -893,12 +918,12 @@ class ShardedSystem(LocalSystem):
         )
 
         # esm/eln/pc as jit ARGUMENTS, not closures (see the local tier)
-        def _kinv(esm_a, eln_m, pc_a, w, defl, x0_basis, x0_scale):
+        def _kinv(esm_a, eln_m, plan_m, pc_a, w, defl, x0_basis, x0_scale):
             prec = defl_ops.deflated(lambda r: apply_precond(pc_a, r), defl)
 
             def solve_col(b, x0c):
                 return slv.pcg(
-                    lambda u: self._khat_m(esm_a, eln_m, u),
+                    lambda u: self._khat_m(esm_a, eln_m, plan_m, u),
                     b, precond=prec, x0=x0c, rtol=rtol, maxiter=self.maxiter,
                     stall=stall,
                 ).x
@@ -912,9 +937,9 @@ class ShardedSystem(LocalSystem):
 
         _kinv_jit = jax.jit(_kinv)
 
-        def _harvest(esm_a, eln_m, pc_a, b):
+        def _harvest(esm_a, eln_m, plan_m, pc_a, b):
             return slv.pcg_harvest(
-                lambda u: self._khat_m(esm_a, eln_m, u), b,
+                lambda u: self._khat_m(esm_a, eln_m, plan_m, u), b,
                 precond=lambda r: apply_precond(pc_a, r),
                 rtol=rtol, maxiter=self.maxiter, nstore=nstore, stall=stall,
             )
@@ -923,9 +948,9 @@ class ShardedSystem(LocalSystem):
 
         k_inverse = make_recycled_k_inverse(
             lambda w, defl, xb, xs: _kinv_jit(
-                esm, self.eln_m_s, pc, w, defl, xb, xs
+                esm, self.eln_m_s, self._plan_m, pc, w, defl, xb, xs
             ),
-            lambda b: _harvest_jit(esm, self.eln_m_s, pc, b),
+            lambda b: _harvest_jit(esm, self.eln_m_s, self._plan_m, pc, b),
             lambda zs, coef: self.build_deflation(esm, zs, coef),
             k_defl, cfg.deflation_min_iters, cfg.deflation,
         )

@@ -318,9 +318,9 @@ def test_sharded_block_matvec_matches_columnwise():
     esm, pinv, glv, rhs, gpc, vol, ls = be.assemble(model.mesh.coords)
     rng = np.random.default_rng(7)
     w = jnp.asarray(rng.normal(size=(be.ndof_pad, 5)))
-    kw = np.asarray(be._khat_block_m(esm, be.eln_m_s, w))
+    kw = np.asarray(be._khat_block_m(esm, be.eln_m_s, be._plan_m, w))
     cols = np.stack(
-        [np.asarray(be._khat_m(esm, be.eln_m_s, w[:, j])) for j in range(5)], axis=1
+        [np.asarray(be._khat_m(esm, be.eln_m_s, be._plan_m, w[:, j])) for j in range(5)], axis=1
     )
     np.testing.assert_allclose(kw, cols, rtol=1e-12, atol=1e-9)
 
@@ -452,13 +452,13 @@ def test_node_partition_solve_matches_replicated():
     esm, pinv, glv, rhs, _, _, _ = sh.assemble(model.mesh.coords)
     pc = sh.make_pc(esm, pinv, jnp.asarray(model.mesh.coords))
 
-    res_rep = sh._solve_jit(esm, sh.eln_m_s, pc, rhs, None, None)
+    res_rep = sh._solve_jit(esm, sh.eln_m_s, sh._plan_m, pc, rhs, None, None)
     res_h, h = sh.solve_harvest(esm, pc, rhs, nstore=64)
     coef = defl_ops.ritz_coefficients(
         *jax.device_get((h.alphas, h.betas, h.rzs)), int(res_h.iters), 16
     )
     defl = sh.build_deflation(esm, h.zs, jnp.asarray(coef))
-    res_rep_d = sh._solve_jit(esm, sh.eln_m_s, pc, rhs, None, defl)
+    res_rep_d = sh._solve_jit(esm, sh.eln_m_s, sh._plan_m, pc, rhs, None, defl)
 
     old_np, old_n = cfg.node_partition, cfg.n_devices
     cfg.node_partition, cfg.n_devices = True, 8
@@ -560,7 +560,7 @@ def test_sharded_system_ops_match_local():
         esm_l, asm.element_dof_ids(loc.elnodes), loc.fixmask, loc.plan
     )
     y_l = np.asarray(kv_local(u))
-    y_s = np.asarray(sh.space.from_m(sh._khat_m(esm_s, sh.eln_m_s, sh.space.to_m(u))))
+    y_s = np.asarray(sh.space.from_m(sh._khat_m(esm_s, sh.eln_m_s, sh._plan_m, sh.space.to_m(u))))
     np.testing.assert_allclose(y_s, y_l, rtol=1e-10, atol=1e-8)
 
     # GNL stress update + internal force on a random plastic-ish state
