@@ -123,8 +123,9 @@ class ShardedSystem(LocalSystem):
         eln_m = np.asarray(self.space.elnodes_m)
         weights = np.zeros(ne_pad, dtype=np.float64)
         weights[:ne] = 1.0
+        eln_user_pad = pad_el(eln_user, eln_user[:1])
         self.eln_s = jax.device_put(
-            jnp.asarray(pad_el(eln_user, eln_user[:1]), dtype=jnp.int32), self._sh_e
+            jnp.asarray(eln_user_pad, dtype=jnp.int32), self._sh_e
         )
         eln_m_pad = pad_el(eln_m, eln_m[:1])
         self.eln_m_s = jax.device_put(
@@ -143,6 +144,17 @@ class ShardedSystem(LocalSystem):
         self._plan_m = (
             tuple(jax.device_put(a, self._sh_e) for a in incs_m),
             jax.device_put(invp_m, self._sh_e),
+        )
+        # Second plan set in USER node order for the stress-update /
+        # internal-force qin reductions (once per NR iteration; measured
+        # ~10 ms at 499k dof as segment_sum — the last scatter-add on the
+        # sharded Newton hot path).
+        _, incs_u, invp_u = asm.build_sharded_scatter_plans(
+            np.split(np.asarray(eln_user_pad), n), self.ndof_pad // 3
+        )
+        self._plan_u = (
+            tuple(jax.device_put(a, self._sh_e) for a in incs_u),
+            jax.device_put(invp_u, self._sh_e),
         )
         self.weights = jax.device_put(
             jnp.asarray(weights, dtype=dtype), self._sh_e
@@ -303,7 +315,8 @@ class ShardedSystem(LocalSystem):
         loads = self.loads
         ndof_pad = self.ndof_pad
 
-        def gp_gravity_local(coords_eff, eln_l, weights_l, density_l, grav):
+        def gp_gravity_local(coords_eff, eln_l, plan_l, weights_l, density_l,
+                             grav):
             """Per-shard gravity load + gp coords + volume (user node ids)."""
             coords_el = coords_eff[eln_l]
             dshp = jnp.asarray(el.DSHP10_AT_GP, dtype=dtype)
@@ -324,8 +337,9 @@ class ShardedSystem(LocalSystem):
             )
             gamma = jnp.einsum("eg,gj,c->ejc", scale, shp, grav,
                                precision=hp) * rho
-            glv3 = jax.ops.segment_sum(
-                gamma.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn_pad
+            incs_l, invp_l = plan_l
+            glv3 = asm.scatter_node_rows_padded(
+                gamma.reshape(-1, 3), [a[0] for a in incs_l], invp_l[0]
             )
             gp_coords = jnp.einsum("gj,eji->egi", shp, coords_el)
             volume = jnp.sum(det * w[None, :])
@@ -335,7 +349,7 @@ class ShardedSystem(LocalSystem):
                 jax.lax.psum(volume, "e"),
             )
 
-        def assemble_fn(coords, eln_s, eln_m, plan_m, weights, dmat_s,
+        def assemble_fn(coords, eln_s, eln_m, plan_m, plan_u, weights, dmat_s,
                         density_s, fixmask, u_fix):
             def local(coords_r, eln_l, w_l, dmat_l):
                 dm = dmat_l if dmat_l.ndim == 3 else dmat_l
@@ -351,9 +365,9 @@ class ShardedSystem(LocalSystem):
             dsp = P("e") if self.density.ndim == 1 else P()
             glv_g, gp_coords, volume = self._smap(
                 partial(gp_gravity_local, grav=loads.gravity),
-                (P(), P("e"), P("e"), dsp),
+                (P(), P("e"), P("e"), P("e"), dsp),
                 (P(), P("e"), P()),
-            )(coords, eln_s, weights, density_s)
+            )(coords, eln_s, plan_u, weights, density_s)
 
             # small-table loads: replicated (identical on every device)
             glv = glv_g
@@ -548,10 +562,10 @@ class ShardedSystem(LocalSystem):
 
         self._regalerkin_jit = jax.jit(regalerkin_fn)
 
-        def stress_update_fn(coords, eln_s, weights, sig_yield, disp, du,
-                             sig_old, dmat_s, g_s, h_s, et_e, large_disp):
-            def local(coords_r, eln_l, w_l, sy_l, disp_r, du_r, sig_old_l,
-                      dmat_l, g_l, h_l):
+        def stress_update_fn(coords, eln_s, plan_u, weights, sig_yield, disp,
+                             du, sig_old, dmat_s, g_s, h_s, et_e, large_disp):
+            def local(coords_r, eln_l, plan_l, w_l, sy_l, disp_r, du_r,
+                      sig_old_l, dmat_l, g_l, h_l):
                 coords_el = coords_r[eln_l]
                 u_el = disp_r.reshape(-1, 3)[eln_l]
                 du_el = du_r.reshape(-1, 3)[eln_l]
@@ -563,18 +577,19 @@ class ShardedSystem(LocalSystem):
                     in_axes=(0, 0, 0, 0, 0) + mat_axes,
                 )(coords_el, u_el, du_el, sig_old_l, sy_l, dmat_l, h_l, g_l)
                 elv = elv * w_l[:, None]
-                qin3 = jax.ops.segment_sum(
-                    elv.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn_pad
+                incs_l, invp_l = plan_l
+                qin3 = asm.scatter_node_rows_padded(
+                    elv.reshape(-1, 3), [a[0] for a in incs_l], invp_l[0]
                 )
                 return sig_new, sig_test, pgp, jax.lax.psum(qin3, "e")
 
             mspec = P("e") if self.dmat.ndim == 3 else P()
             sig_new, sig_test, pgp, qin3 = self._smap(
                 local,
-                (P(), P("e"), P("e"), P("e"), P(), P(), P("e"),
+                (P(), P("e"), P("e"), P("e"), P("e"), P(), P(), P("e"),
                  mspec, mspec, mspec),
                 (P("e"), P("e"), P("e"), P()),
-            )(coords, eln_s, weights, sig_yield, disp, du, sig_old,
+            )(coords, eln_s, plan_u, weights, sig_yield, disp, du, sig_old,
               dmat_s, g_s, h_s)
             return sig_new, sig_test, pgp, qin3.reshape(-1)
 
@@ -582,12 +597,12 @@ class ShardedSystem(LocalSystem):
             stress_update_fn, static_argnames=("large_disp",)
         )
 
-        def residual_fn(coords, eln_s, weights, sig_yield, disp_new, du,
-                        sig_old, glv, lbd1, qnorm, dmat_s, g_s, h_s, et_e,
+        def residual_fn(coords, eln_s, plan_u, weights, sig_yield, disp_new,
+                        du, sig_old, glv, lbd1, qnorm, dmat_s, g_s, h_s, et_e,
                         large_disp, relax=1.0):
             sig_new, sig_test, pgp, qin = stress_update_fn(
-                coords, eln_s, weights, sig_yield, disp_new, du, sig_old,
-                dmat_s, g_s, h_s, et_e, large_disp,
+                coords, eln_s, plan_u, weights, sig_yield, disp_new, du,
+                sig_old, dmat_s, g_s, h_s, et_e, large_disp,
             )
             r = self.fixmask * (lbd1 * glv - qin)
             error = jnp.linalg.norm(r) / qnorm
@@ -596,8 +611,8 @@ class ShardedSystem(LocalSystem):
 
         self._residual_jit = jax.jit(residual_fn, static_argnames=("large_disp",))
 
-        def tangent_fn(coords, eln_s, eln_m, plan_m, weights, sig_old, pgp,
-                       disp_new, du, pc, dmat_s, g_s, h_s, density_s,
+        def tangent_fn(coords, eln_s, eln_m, plan_m, plan_u, weights, sig_old,
+                       pgp, disp_new, du, pc, dmat_s, g_s, h_s, density_s,
                        u_fix, ue0=None, w=None, solve_predictor=True):
             coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
 
@@ -621,9 +636,9 @@ class ShardedSystem(LocalSystem):
             dsp = P("e") if self.density.ndim == 1 else P()
             glv3, _, _ = self._smap(
                 partial(gp_gravity_local, grav=loads.gravity),
-                (P(), P("e"), P("e"), dsp),
+                (P(), P("e"), P("e"), P("e"), dsp),
                 (P(), P("e"), P()),
-            )(coords_def, eln_s, weights, density_s)
+            )(coords_def, eln_s, plan_u, weights, density_s)
             glv_t = glv3
             glv_t = glv_t + asm.pressure_face_loads(
                 coords_def, loads.pressure_faces, loads.pressures, ndof_pad
@@ -675,9 +690,9 @@ class ShardedSystem(LocalSystem):
             tangent_fn, static_argnames=("solve_predictor",)
         )
 
-        def internal_force_fn(coords, eln_s, weights, sig_gp, disp,
+        def internal_force_fn(coords, eln_s, plan_u, weights, sig_gp, disp,
                               large_disp):
-            def local(coords_r, eln_l, w_l, sig_l, disp_r):
+            def local(coords_r, eln_l, plan_l, w_l, sig_l, disp_r):
                 coords_el = coords_r[eln_l]
                 if large_disp:
                     coords_el = coords_el + disp_r.reshape(-1, 3)[eln_l]
@@ -692,14 +707,15 @@ class ShardedSystem(LocalSystem):
                     "egkn,egk,eg->en", bmat, sig_l, scale,
                     precision=jax.lax.Precision.HIGHEST,
                 )
-                qin3 = jax.ops.segment_sum(
-                    elv.reshape(-1, 3), eln_l.reshape(-1), num_segments=nn_pad
+                incs_l, invp_l = plan_l
+                qin3 = asm.scatter_node_rows_padded(
+                    elv.reshape(-1, 3), [a[0] for a in incs_l], invp_l[0]
                 )
                 return jax.lax.psum(qin3, "e")
 
             qin3 = self._smap(
-                local, (P(), P("e"), P("e"), P("e"), P()), P()
-            )(coords, eln_s, weights, sig_gp, disp)
+                local, (P(), P("e"), P("e"), P("e"), P("e"), P()), P()
+            )(coords, eln_s, plan_u, weights, sig_gp, disp)
             return qin3.reshape(-1)
 
         self._internal_force_jit = jax.jit(
@@ -713,8 +729,9 @@ class ShardedSystem(LocalSystem):
             jnp.asarray(np.asarray(coords), dtype=self.dtype), self._sh_r
         )
         return self._assemble_jit(
-            coords_dev, self.eln_s, self.eln_m_s, self._plan_m, self.weights,
-            self.dmat_s, self.density_s, self.fixmask, self.u_fix,
+            coords_dev, self.eln_s, self.eln_m_s, self._plan_m, self._plan_u,
+            self.weights, self.dmat_s, self.density_s, self.fixmask,
+            self.u_fix,
         )
 
     def make_pc(self, esm, pinv, coords_dev):
@@ -776,8 +793,8 @@ class ShardedSystem(LocalSystem):
                  lbd1, qnorm, et_e, large_disp, relax=1.0):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._residual_jit(
-            coords, self.eln_s, self.weights, sig_yield, disp_new, du,
-            sig_old, glv,
+            coords, self.eln_s, self._plan_u, self.weights, sig_yield,
+            disp_new, du, sig_old, glv,
             jnp.asarray(lbd1, self.dtype), jnp.asarray(qnorm, self.dtype),
             self.dmat_s, self.g_s, h, jnp.asarray(et_e, self.dtype),
             large_disp, jnp.asarray(relax, self.dtype),
@@ -787,8 +804,8 @@ class ShardedSystem(LocalSystem):
                         ue0=None, w=None, solve_predictor=True):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._tangent_jit(
-            coords, self.eln_s, self.eln_m_s, self._plan_m, self.weights,
-            sig_old, pgp,
+            coords, self.eln_s, self.eln_m_s, self._plan_m, self._plan_u,
+            self.weights, sig_old, pgp,
             disp_new, du, pc,
             self.dmat_s, self.g_s, h, self.density_s, self.u_fix, ue0,
             w, solve_predictor=solve_predictor,
@@ -798,14 +815,15 @@ class ShardedSystem(LocalSystem):
                       large_disp):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._stress_update_jit(
-            coords, self.eln_s, self.weights, sig_yield, disp, du, sig_old,
-            self.dmat_s, self.g_s, h,
+            coords, self.eln_s, self._plan_u, self.weights, sig_yield, disp,
+            du, sig_old, self.dmat_s, self.g_s, h,
             jnp.asarray(et_e, self.dtype), large_disp,
         )
 
     def internal_force(self, coords, sig_gp, disp, large_disp):
         return self._internal_force_jit(
-            coords, self.eln_s, self.weights, sig_gp, disp, large_disp
+            coords, self.eln_s, self._plan_u, self.weights, sig_gp, disp,
+            large_disp
         )
 
     def buckling(self, coords, sig_el_gp, k=2):
