@@ -101,6 +101,10 @@ class AnalysisResults:
     coords: np.ndarray  # coordinates used in the solve (post-imperfection)
     timers: dict
     cg_stats: dict
+    # displacement output scale from the continuation loop's ("scale", v)
+    # action (the reference's ds TextBox, fcVM.py:1657,1689,1948); consumed
+    # by the deformed-geometry viewers in runtime.viz
+    disp_scale: float = 1.0
 
 
 class PrecisionFloorError(RuntimeError):
@@ -652,6 +656,7 @@ def _solve_collapse_impl(
     fail = False
     mrr = False  # maximum-restarts-reached
     target_lf = params.target_lf
+    disp_scale = 1.0  # continuation ("scale", v) override (fcVM.py:1657)
     iterat_tot = 0
 
     if resume_from is not None:
@@ -992,15 +997,36 @@ def _solve_collapse_impl(
 
             if continuation is not None and not mrr:
                 action = continuation(history, dict(step=step, dl=dl, target_lf=target_lf))
-                if action == "add":
-                    cnt = True
-                elif action == "rev":
-                    cnt = True
-                    dl = -dl
-                    du = -du
-                elif isinstance(action, tuple) and action[0] == "target":
-                    cnt = True
-                    target_lf = float(action[1])
+                # The reference's plot loop exposes FOUR orthogonal controls
+                # (fcVM.py:2004-2080): stop/add/rev buttons, a target-LF box
+                # and a displacement-scale box (``ds``, fcVM.py:1657,1689) —
+                # scale/target edits don't themselves resume the loop, the
+                # buttons do.  Programmatically: one atomic action, or a
+                # list/tuple of them applied in order (e.g.
+                # ``[("scale", 20.0), "add"]``).
+                actions = (
+                    list(action)
+                    if isinstance(action, list)
+                    or (isinstance(action, tuple)
+                        and action and not isinstance(action[0], str))
+                    else [action]
+                )
+                for act in actions:
+                    if act == "add":
+                        cnt = True
+                    elif act == "rev":
+                        cnt = True
+                        dl = -dl
+                        du = -du
+                    elif isinstance(act, tuple) and act[0] == "target":
+                        cnt = True
+                        target_lf = float(act[1])
+                    elif isinstance(act, tuple) and act[0] == "scale":
+                        # displacement output scale for the deformed-geometry
+                        # viewers (fcVM.py:1948: points = nocoord + ds*disp);
+                        # recorded on the results and threaded into
+                        # runtime.viz by api.run_analysis
+                        disp_scale = float(act[1])
 
     log(f"total number of CG solves: {cg_stats['solves']}, iterations: {cg_stats['iters']}")
     if cg_stats["predictor_solves"]:
@@ -1028,7 +1054,7 @@ def _solve_collapse_impl(
         backend, disp_output, disp_new, disp_old, disp_el, eigenvalues,
         eigenvectors, sig_new, peeq, csr, sigmises, triax, sig_yield,
         history, gp_coords, volume, loadsums, fail, coords_old, coords_np,
-        timers, cg_stats,
+        timers, cg_stats, disp_scale=disp_scale,
     )
 
 
@@ -1036,7 +1062,7 @@ def _results(
     backend, disp_output, disp_new, disp_old, disp_el, eigenvalues,
     eigenvectors, sig_new, peeq, csr, sigmises, triax, sig_yield, history,
     gp_coords, volume, loadsums, fail, coords_old, coords_np, timers,
-    cg_stats,
+    cg_stats, disp_scale=1.0,
 ) -> AnalysisResults:
     ndof = 3 * len(coords_np)  # strip the dof-alignment padding
     disp_total = np.asarray(disp_new)[:ndof]
@@ -1068,4 +1094,5 @@ def _results(
         coords=coords_np,
         timers=timers.totals(),
         cg_stats=cg_stats,
+        disp_scale=disp_scale,
     )

@@ -205,8 +205,17 @@ def save_orbit_gif(
     plt.close(fig)
 
 
-def save_result_views(outdir, name, model, res, params, gif: bool = False):
-    """Write the full headless viewer bundle for an analysis result."""
+def save_result_views(outdir, name, model, res, params, gif: bool = False,
+                      disp_scale: float | None = None):
+    """Write the full headless viewer bundle for an analysis result.
+
+    ``disp_scale`` warps the drawn geometry by the total displacement —
+    the reference's interactive "Displacement Scale" TextBox applied to its
+    embedded viewers (``fcVM.py:1948``: ``points = nocoord + ds * disp``;
+    ``fcVM.py:1805``: ``warp_by_vector(factor=self.ds)``).  ``None`` takes
+    the scale recorded from the continuation loop (``res.disp_scale``);
+    the reference defaults the box to 1.0, i.e. true deformed shape.
+    """
     from pathlib import Path
 
     from fcvm_tpu.ops import postproc
@@ -219,7 +228,11 @@ def save_result_views(outdir, name, model, res, params, gif: bool = False):
         res.sig_gp, res.peeq_gp, res.csr_gp, res.svm_gp, noce,
         params.sig_yield,
     )
-    coords = np.asarray(res.coords)
+    if disp_scale is None:
+        disp_scale = float(getattr(res, "disp_scale", 1.0))
+    coords = np.asarray(res.coords) + disp_scale * np.asarray(
+        res.disp_total
+    ).reshape(-1, 3)
     out = Path(outdir)
     save_clip_views(
         out / f"{name}_views.png", coords, mesh.elnodes,

@@ -190,3 +190,29 @@ def test_incremental_disp_output():
     end = mesh.select_nodes(lambda x, y, z: x > L - 1e-9)
     ux_inc = res.disp[3 * end[0]]
     np.testing.assert_allclose(ux_inc, dl_last * SIGMA * L / E, rtol=1e-7)
+
+
+def test_continuation_scale_action():
+    """The continuation callback's ("scale", v) action — the reference's
+    "Displacement Scale" TextBox (fcVM.py:1657,1689,2044-2046) — records a
+    displacement output scale on the results without disturbing the
+    stepping, and composes with the button actions as an action list."""
+    mesh, model = uniaxial_model()
+    params = fcvm_tpu.ControlParams(
+        sig_yield=SY0, nstep=2, error_max=1e-10, et_e=0.1, target_lf=99.0
+    )
+    actions = iter([[("scale", 25.0), "add"], None])
+    res = fcvm_tpu.solve_collapse(
+        model, params, continuation=lambda h, s: next(actions, None)
+    )
+    assert res.disp_scale == 25.0
+    assert len(res.history.lbd) - 1 == 4  # "add" ran nstep more steps
+
+    # a bare scale action does NOT continue the loop (the reference's box
+    # edit never resumes stepping by itself — the buttons do)
+    actions2 = iter([("scale", 5.0)])
+    res2 = fcvm_tpu.solve_collapse(
+        model, params, continuation=lambda h, s: next(actions2, None)
+    )
+    assert res2.disp_scale == 5.0
+    assert len(res2.history.lbd) - 1 == 2

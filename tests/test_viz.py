@@ -69,3 +69,27 @@ def test_orbit_gif(tmp_path):
     out = tmp_path / "orbit.gif"
     save_orbit_gif(out, mesh.coords, mesh.elnodes, field, frames=4)
     assert out.exists() and out.stat().st_size > 5_000
+
+
+def test_view_bundle_warps_by_disp_scale(tmp_path, monkeypatch):
+    """save_result_views draws on coords + ds * disp_total (the reference's
+    fcVM.py:1948 viewer warp), taking ds from res.disp_scale by default."""
+    import fcvm_tpu.runtime.viz as viz
+
+    model, res, params = _result(tmp_path)
+    res.disp_scale = 40.0
+    seen = {}
+
+    def spy(path, coords, elnodes, fields, **kw):
+        seen["coords"] = np.asarray(coords).copy()
+
+    monkeypatch.setattr(viz, "save_clip_views", spy)
+    monkeypatch.setattr(viz, "save_psv_glyphs", lambda *a, **k: None)
+    viz.save_result_views(tmp_path, "viz", model, res, params)
+    want = np.asarray(res.coords) + 40.0 * np.asarray(
+        res.disp_total
+    ).reshape(-1, 3)
+    np.testing.assert_allclose(seen["coords"], want)
+    # and an explicit disp_scale overrides the recorded one
+    viz.save_result_views(tmp_path, "viz", model, res, params, disp_scale=0.0)
+    np.testing.assert_allclose(seen["coords"], np.asarray(res.coords))
