@@ -168,6 +168,20 @@ class FcvmConfig:
     # (runtime/driver.PrecisionFloorError; same pattern as the buckling
     # eigensolve failover).  Env: FCVM_PRECISION_FAILOVER=0 disables.
     precision_failover: bool = True
+    # Mixed-precision iterative refinement: the tier BETWEEN the noise
+    # clamp and the full-f64 rerun (SURVEY.md "mixed-precision with
+    # iterative refinement" as the TPU-native CHOLMOD-f64 equivalent,
+    # fcVM.py:1111-1135).  When the f32 Newton residual stagnates at a
+    # roundoff-class floor too far above error_max to clamp, the driver
+    # switches RESIDUAL EVALUATION to f64 (state upcast inside the jit;
+    # exact out-of-balance force of the f32-stored state) and accumulates
+    # the Newton increment du in f64, while the operator, preconditioner
+    # and CG correction solves stay f32.  The refined Newton loop then
+    # converges to the true error_max instead of rerunning the whole
+    # analysis 2.8x slower in emulated f64 (the rerun remains the final
+    # tier if even refined residuals stagnate).
+    # Env: FCVM_RESIDUAL_REFINEMENT=0 disables.
+    residual_refinement: bool = True
     # CG-operator einsum precision (ops/assembly.resolve_matvec_precision):
     # TPU f32 einsums default to bf16 MXU passes whose ~1e-3-class noise
     # bounds what the Newton loop can reach through the correction solves —
@@ -270,6 +284,10 @@ if os.environ.get("FCVM_PREWARM"):
     _config.prewarm = os.environ["FCVM_PREWARM"] not in ("0", "off", "false")
 if os.environ.get("FCVM_PRECISION_FAILOVER"):
     _config.precision_failover = os.environ["FCVM_PRECISION_FAILOVER"] not in (
+        "0", "off", "false"
+    )
+if os.environ.get("FCVM_RESIDUAL_REFINEMENT"):
+    _config.residual_refinement = os.environ["FCVM_RESIDUAL_REFINEMENT"] not in (
         "0", "off", "false"
     )
 if os.environ.get("FCVM_DTYPE"):

@@ -174,6 +174,11 @@ def internal_force_from_stress(
     there (documented divergence; its ``rfl`` history skips that step).
     """
     ndof = disp.shape[0]
+    # refinement mode holds disp in f64 (runtime.driver); the reaction
+    # record stays in the storage dtype (trace-time guard — same-dtype
+    # inputs leave the jaxpr unchanged)
+    if disp.dtype != coords.dtype:
+        disp = disp.astype(coords.dtype)
     coords_el = coords[elnodes]
     if large_disp:
         coords_el = coords_el + disp.reshape(-1, 3)[elnodes]

@@ -611,9 +611,47 @@ class ShardedSystem(LocalSystem):
 
         self._residual_jit = jax.jit(residual_fn, static_argnames=("large_disp",))
 
+        def residual_refined_fn(coords, eln_s, plan_u, weights, sig_yield,
+                                disp_new, du, sig_old, glv, lbd1, qnorm,
+                                dmat_s, g_s, h_s, et_e, large_disp,
+                                relax=1.0):
+            # f64 residual evaluation over f32-stored state (the
+            # mixed-precision refinement tier; see
+            # runtime.system.residual_refined for the rationale).  All
+            # upcasts happen in-jit; the shard_map stress update is
+            # dtype-generic, so the same SPMD program runs in f64 with
+            # an f64 psum for the internal-force reduce.
+            f64 = jnp.float64
+            out_dt = glv.dtype
+
+            def c(x):
+                return jnp.asarray(x).astype(f64)
+
+            sig_new, sig_test, pgp, qin = stress_update_fn(
+                c(coords), eln_s, plan_u, c(weights), c(sig_yield),
+                c(disp_new), c(du), c(sig_old), c(dmat_s), c(g_s), c(h_s),
+                c(et_e), large_disp,
+            )
+            r = c(self.fixmask) * (c(lbd1) * c(glv) - qin)
+            error = jnp.linalg.norm(r) / c(qnorm)
+            return (sig_new.astype(out_dt), sig_test.astype(out_dt), pgp,
+                    qin.astype(out_dt), (c(relax) * r).astype(out_dt),
+                    error)
+
+        self._residual_refined_jit = jax.jit(
+            residual_refined_fn, static_argnames=("large_disp",)
+        )
+
         def tangent_fn(coords, eln_s, eln_m, plan_m, plan_u, weights, sig_old,
                        pgp, disp_new, du, pc, dmat_s, g_s, h_s, density_s,
                        u_fix, ue0=None, w=None, solve_predictor=True):
+            # refinement mode holds disp_new/du in f64; the tangent
+            # operator stays in the storage dtype (trace-time guard, same
+            # as runtime.system.tangent_refresh)
+            if disp_new.dtype != coords.dtype:
+                disp_new = disp_new.astype(coords.dtype)
+            if du.dtype != coords.dtype:
+                du = du.astype(coords.dtype)
             coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
 
             def local(coords_r, eln_l, w_l, sig_l, pgp_l, dmat_l, g_l, h_l):
@@ -692,6 +730,8 @@ class ShardedSystem(LocalSystem):
 
         def internal_force_fn(coords, eln_s, plan_u, weights, sig_gp, disp,
                               large_disp):
+            if disp.dtype != coords.dtype:  # refinement-mode f64 disp
+                disp = disp.astype(coords.dtype)
             def local(coords_r, eln_l, plan_l, w_l, sig_l, disp_r):
                 coords_el = coords_r[eln_l]
                 if large_disp:
@@ -798,6 +838,20 @@ class ShardedSystem(LocalSystem):
             jnp.asarray(lbd1, self.dtype), jnp.asarray(qnorm, self.dtype),
             self.dmat_s, self.g_s, h, jnp.asarray(et_e, self.dtype),
             large_disp, jnp.asarray(relax, self.dtype),
+        )
+
+    def residual_refined(self, coords, sig_yield, disp_new, du, sig_old,
+                         glv, lbd1, qnorm, et_e, large_disp, relax=1.0):
+        """f64-evaluated residual over f32 state (refinement tier; driver
+        enables x64 before the first call)."""
+        h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
+        f64 = jnp.float64
+        return self._residual_refined_jit(
+            coords, self.eln_s, self._plan_u, self.weights, sig_yield,
+            disp_new, du, sig_old, glv,
+            jnp.asarray(lbd1, f64), jnp.asarray(qnorm, f64),
+            self.dmat_s, self.g_s, h, jnp.asarray(et_e, self.dtype),
+            large_disp, jnp.asarray(relax, f64),
         )
 
     def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e,

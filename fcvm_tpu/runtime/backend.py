@@ -187,6 +187,19 @@ class LocalSystem:
             relax=jnp.asarray(relax, dtype=self.dtype),
         )
 
+    def residual_refined(self, coords, sig_yield, disp_new, du, sig_old,
+                         glv, lbd1, qnorm, et_e, large_disp, relax=1.0):
+        """f64-evaluated residual over f32 state (the mixed-precision
+        refinement tier, :func:`fcvm_tpu.runtime.system.residual_refined`;
+        the driver enables x64 before the first call)."""
+        f64 = jnp.float64
+        return sysm.residual_refined(
+            coords, self.elnodes, self.dmat, sig_yield, disp_new, du,
+            sig_old, self.e, self.nu, et_e, glv, self.fixmask,
+            jnp.asarray(lbd1, f64), jnp.asarray(qnorm, f64), large_disp,
+            self.plan, relax=jnp.asarray(relax, f64),
+        )
+
     def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e,
                         ue0=None, w=None, solve_predictor=True):
         h = mat.hardening_modulus(self.e, jnp.asarray(et_e, self.dtype))

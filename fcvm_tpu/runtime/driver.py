@@ -261,6 +261,26 @@ def solve_collapse(
     import warnings
 
     cfg = get_config()
+    # The refinement tier (config.residual_refinement) may enable x64
+    # mid-run for its f64 residual jits; restore the process default on
+    # every exit path so later f32 analyses keep their f32-keyed traces.
+    x64_at_entry = jax.config.read("jax_enable_x64")
+    try:
+        return _solve_collapse_wrapped(
+            model, params, continuation, checkpoint_path, resume_from,
+            progress, monitor, cfg,
+        )
+    finally:
+        if jax.config.read("jax_enable_x64") != x64_at_entry:
+            jax.config.update("jax_enable_x64", x64_at_entry)
+
+
+def _solve_collapse_wrapped(
+    model, params, continuation, checkpoint_path, resume_from, progress,
+    monitor, cfg,
+):
+    import warnings
+
     try:
         return _solve_collapse_impl(
             model, params, continuation, checkpoint_path, resume_from,
@@ -371,12 +391,48 @@ def _solve_collapse_impl(
                 "coarse_ridge_escalations": 0, "coarse_zero_fallbacks": 0,
                 # noise-aware stepping: steps accepted at a tolerance
                 # clamped to ~2x the measured f32 residual floor
-                "floor_clamps": 0, "floor_clamp_steps": []}
+                "floor_clamps": 0, "floor_clamp_steps": [],
+                # mixed-precision refinement (the tier between clamp and
+                # the f64 rerun): activation count + first refined step
+                "refinement_activations": 0, "refined_from_step": None}
     # f32 precision governance (see _FloorWatch / PrecisionFloorError)
     floor_watch = _FloorWatch(
         params.error_max,
         enabled=cfg.precision_failover and dtype == jnp.dtype(jnp.float32),
     )
+    # Mixed-precision iterative-refinement tier (config.residual_refinement;
+    # SURVEY.md's CHOLMOD-f64 equivalent): on a roundoff-class escalation,
+    # switch residual EVALUATION to f64 over the f32-stored state and hold
+    # du (and, after the first refined commit, disp_new) in f64, keeping
+    # the operator/preconditioner/CG f32.  The f64 state is confined to
+    # the residual path by trace-time dtype guards at the tangent /
+    # internal-force jit boundaries.  The full-f64 rerun remains the last
+    # tier if even refined residuals stagnate.
+    refined = False
+    refine_ok = (
+        cfg.residual_refinement
+        and floor_watch.enabled
+        and hasattr(backend, "residual_refined")
+    )
+
+    def activate_refinement(where: str):
+        nonlocal refined, du, eff_error_max
+        # f64 inside jits needs the x64 flag; restored at function exit
+        # (see the finally around the stepping phase)
+        jax.config.update("jax_enable_x64", True)
+        refined = True
+        du = du.astype(jnp.float64)
+        eff_error_max = params.error_max  # a refined run resolves the
+        # true tolerance — drop any noise clamp
+        cg_stats["refinement_activations"] += 1
+        if cg_stats["refined_from_step"] is None:
+            cg_stats["refined_from_step"] = step
+        floor_watch.reset(attempt=floor_watch.attempt)
+        log(
+            f"f32 RESIDUAL FLOOR {where}: switching to f64 residual "
+            "refinement (operator and CG stay f32; "
+            "config.residual_refinement)"
+        )
 
     def assemble(coords):
         with timers.phase("assemble"):
@@ -692,6 +748,11 @@ def _solve_collapse_impl(
         # the returned r is pre-scaled by relax inside the jit
         # (fcVM.py:1398-1400 applies it at the solve RHS) — a separate
         # eager `relax * r` per NR iteration costs a remote dispatch
+        if refined:
+            return backend.residual_refined(
+                coords, sig_yield, disp_new, du_, sig_old, glv, lbd1,
+                qnorm, et_e, large_disp, relax=relax,
+            )
         return backend.residual(
             coords, sig_yield, disp_new, du_, sig_old, glv, lbd1, qnorm,
             et_e, large_disp, relax=relax,
@@ -887,10 +948,20 @@ def _solve_collapse_impl(
 
                     act = floor_watch.observe(error)
                     if act == "escalate":
+                        if refine_ok and not refined:
+                            # first escalation tier: f64 residual
+                            # refinement in-place, not a 2.8x f64 rerun;
+                            # the refined attempt gets a fresh iteration
+                            # budget (same as a restart re-probe)
+                            activate_refinement(f"at step {step}")
+                            iterat = 0
+                            continue
                         raise PrecisionFloorError(
                             f"Newton error stagnant at "
                             f"~{min(floor_watch.errs):.2e} > error_max "
                             f"{params.error_max:g} at step {step}"
+                            + (" (with f64 residual refinement)"
+                               if refined else "")
                         )
                     if act is not None and act[1] > eff_error_max:
                         eff_error_max = act[1]
@@ -910,26 +981,44 @@ def _solve_collapse_impl(
                         restart += 1
                         log(f"RESTART # {restart}")
                         if restart > 4:
-                            if floor_watch.escalate_at_mrr():
+                            if (floor_watch.escalate_at_mrr()
+                                    and refine_ok and not refined):
+                                # roundoff-class abandonment: retry the
+                                # whole restart ladder once with f64
+                                # residual refinement before giving the
+                                # step up or rerunning everything in f64
+                                activate_refinement(
+                                    f"at restart exhaustion, step {step}"
+                                )
+                                restart = 1
+                            elif floor_watch.escalate_at_mrr():
                                 raise PrecisionFloorError(
                                     "restarts exhausted with the Newton "
                                     f"error near-converged at "
                                     f"~{min(floor_watch.errs):.2e} "
                                     f"(> error_max {params.error_max:g}) "
                                     f"at step {step}"
+                                    + (" (with f64 residual refinement)"
+                                       if refined else "")
                                 )
-                            log("MAXIMUM RESTARTS REACHED")
-                            fail = False
-                            step -= 1
-                            del lbd[-1]
-                            mrr = True
-                            break
+                            else:
+                                log("MAXIMUM RESTARTS REACHED")
+                                fail = False
+                                step -= 1
+                                del lbd[-1]
+                                mrr = True
+                                break
                         if step > 0:
                             dl = (lbd[step] - lbd[step - 1]) / params.scale_re / restart
                             du = (disp_new - disp_old) / params.scale_re / restart
                         else:
                             dl = dl0 / params.scale_re / restart
                             du = dl * ue / params.scale_re / restart
+                        if refined and du.dtype != jnp.float64:
+                            # keep the refined Newton increment in f64
+                            # (the committed state may still be f32 when
+                            # refinement activated mid-step)
+                            du = du.astype(jnp.float64)
                         lbd[step + 1] = lbd[step] + dl
                         sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd[step + 1])
                         # Reference quirk (fcVM.py:1480): restart residual uses

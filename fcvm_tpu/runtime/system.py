@@ -352,6 +352,66 @@ def residual(
     return sig_new, sig_test, pgp, qin, relax * r, error
 
 
+@partial(jax.jit, static_argnames=("large_disp",))
+def residual_refined(
+    coords,
+    elnodes,
+    dmat,
+    sig_yield,
+    disp_new,
+    du,
+    sig_old,
+    e,
+    nu,
+    et_e,
+    glv,
+    fixmask,
+    lbd1,
+    qnorm,
+    large_disp: bool,
+    plan=None,
+    relax=1.0,
+):
+    """:func:`residual` with f64 evaluation over f32-stored state.
+
+    The mixed-precision refinement tier (``config.residual_refinement``;
+    SURVEY.md's TPU-native equivalent of the reference's unconditional
+    CHOLMOD-f64 pipeline, ``fcVM.py:1111-1135``): every input is upcast to
+    f64 *inside the jit* (no eager casts, no separate f64 state copies) and
+    the stress update + out-of-balance force are evaluated exactly.  The
+    f32 floor is evaluation noise — many-term cancellation in
+    ``B^T sigma`` amplified on slender/ill-scaled meshes — so computing
+    the residual of the f32-represented state in f64 removes it; the
+    remaining limit is the smoothness of the (exact) function itself.
+
+    Returns the Gauss state cast back to the caller's storage dtype (state
+    stays f32 across steps), the CG right-hand side in the storage dtype
+    (the correction solve keeps the f32 operator — that is the point of
+    the tier), and the error as an f64 scalar.  Requires x64 enabled
+    (the driver enables it at activation).
+    """
+    f64 = jnp.float64
+    out_dt = glv.dtype
+
+    def c(x):
+        return jnp.asarray(x).astype(f64)
+
+    sig_new, sig_test, pgp, qin = update_stress_load(
+        c(coords), elnodes, c(dmat), c(sig_yield), c(disp_new), c(du),
+        c(sig_old), c(e), c(nu), c(et_e), large_disp, plan,
+    )
+    r = c(fixmask) * (c(lbd1) * c(glv) - qin)
+    error = jnp.linalg.norm(r) / c(qnorm)
+    return (
+        sig_new.astype(out_dt),
+        sig_test.astype(out_dt),
+        pgp,
+        qin.astype(out_dt),
+        (c(relax) * r).astype(out_dt),
+        error,
+    )
+
+
 @partial(jax.jit, static_argnames=("maxiter", "solve_predictor"))
 def tangent_refresh(
     coords,
@@ -400,6 +460,15 @@ def tangent_refresh(
     from fcvm_tpu.ops.deflation import (
         DeflationSpace, block_khat_matvec, deflated, pinv_psd,
     )
+
+    # Residual-refinement mode holds disp_new/du in f64 (runtime.driver);
+    # the tangent OPERATOR stays in the storage dtype by design, so cast
+    # at the boundary.  Trace-time guard: for same-dtype inputs the jaxpr
+    # is unchanged (no convert op), preserving existing compiled programs.
+    if disp_new.dtype != coords.dtype:
+        disp_new = disp_new.astype(coords.dtype)
+    if du.dtype != coords.dtype:
+        du = du.astype(coords.dtype)
 
     coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
     esm_t = asm.tangent_stiffness_blocks(

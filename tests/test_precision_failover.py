@@ -197,9 +197,82 @@ def test_noise_clamped_stepping_completes_f32(f32_tier):
     assert 1 <= restarts <= 2
 
 
+def test_refinement_converges_below_f32_floor(f32_tier):
+    """error_max a decade+ below the f32 floor (~1.3e-7 on this model):
+    the refinement tier fires (f64 residual evaluation, f32 operator) and
+    the run converges to the TRUE tolerance in-place — no f64 rerun, no
+    clamps.  This is the first escalation tier (SURVEY.md mixed-precision
+    iterative refinement; the reference's pipeline is unconditionally f64,
+    fcVM.py:1111-1135)."""
+    cfg = f32_tier
+    model = _tension_model()
+    params = fcvm_tpu.ControlParams(
+        sig_yield=240.0, nstep=6, error_max=1e-9, et_e=0.1,
+        target_lf=99.0, iterat_max=25,
+    )
+    lines = []
+    x64_before = jax.config.read("jax_enable_x64")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res = fcvm_tpu.solve_collapse(model, params, progress=lines.append)
+    # refinement, not the rerun tier
+    assert not any("residual floor" in str(w.message) for w in rec)
+    assert not any(l.startswith("PRECISION FAILOVER") for l in lines)
+    assert any("f64 residual refinement" in l for l in lines)
+    assert res.cg_stats["refinement_activations"] >= 1
+    assert res.cg_stats["floor_clamps"] == 0
+    assert len(res.history.lbd) == 7  # all 6 steps, genuinely converged
+    assert jax.config.read("jax_enable_x64") == x64_before
+    # every step ended at a GENUINE error <= 1e-9 — two decades below the
+    # f32 evaluation floor, impossible without the f64 residual path.
+    # (The histories can't be compared to the f64 run elementwise: the
+    # attempt-gated first restart legitimately shrinks the refined run's
+    # step sizes.)
+    import re
+
+    step_last_err = []
+    for line in lines:
+        if line.startswith("Step:"):
+            step_last_err.append(None)
+        m = re.search(r"Error: ([0-9.e+-]+)", line)
+        if m and step_last_err:
+            step_last_err[-1] = float(m.group(1))
+    assert len(step_last_err) == 6
+    assert all(e is not None and e <= params.error_max for e in step_last_err)
+    # all steps are elastic (yield at LF 2.4): the converged path must be
+    # the linear elastic one to solver-tolerance class
+    lbd_last = res.history.lbd[-1]
+    np.testing.assert_allclose(
+        res.disp_total, lbd_last * res.disp_el, rtol=2e-5, atol=1e-12
+    )
+
+
+def test_refinement_restores_x64_off():
+    """A production-style process (x64 OFF) that activates refinement gets
+    the flag back afterwards so later f32 analyses keep their traces."""
+    cfg = get_config()
+    old_dtype = cfg.dtype
+    cfg.dtype = "float32"
+    jax.config.update("jax_enable_x64", False)
+    try:
+        model = _tension_model()
+        params = fcvm_tpu.ControlParams(
+            sig_yield=240.0, nstep=3, error_max=1e-9, et_e=0.1,
+            target_lf=99.0, iterat_max=25,
+        )
+        res = fcvm_tpu.solve_collapse(model, params)
+        assert res.cg_stats["refinement_activations"] >= 1
+        assert len(res.history.lbd) == 4
+        assert not jax.config.read("jax_enable_x64")
+    finally:
+        jax.config.update("jax_enable_x64", True)  # conftest default
+        cfg.dtype = old_dtype
+
+
 def test_escalation_reruns_in_f64(f32_tier):
-    """error_max far below the f32 floor: the run escalates, reruns f64,
-    converges to the requested tolerance, and restores the dtype flags."""
+    """error_max far below the f32 floor with the refinement tier disabled:
+    the run escalates, reruns f64, converges to the requested tolerance,
+    and restores the dtype flags (the final failover tier)."""
     cfg = f32_tier
     model = _tension_model()
     params = fcvm_tpu.ControlParams(
@@ -207,9 +280,14 @@ def test_escalation_reruns_in_f64(f32_tier):
         target_lf=99.0, iterat_max=25,
     )
     lines = []
-    with warnings.catch_warnings(record=True) as rec:
-        warnings.simplefilter("always")
-        res = fcvm_tpu.solve_collapse(model, params, progress=lines.append)
+    old_refine = cfg.residual_refinement
+    cfg.residual_refinement = False
+    try:
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            res = fcvm_tpu.solve_collapse(model, params, progress=lines.append)
+    finally:
+        cfg.residual_refinement = old_refine
     assert any("residual floor" in str(w.message) for w in rec)
     assert any(l.startswith("PRECISION FAILOVER") for l in lines)
     # flags restored so later analyses in this process stay f32

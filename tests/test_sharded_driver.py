@@ -678,3 +678,34 @@ def test_sharded_buckling_honors_penalty_bc():
     )
     np.testing.assert_allclose(r_local.history.lbd, r_shard.history.lbd,
                                atol=1e-9)
+
+
+def test_sharded_refinement_tier_converges_below_f32_floor():
+    """The mixed-precision refinement tier over the SHARDED backend: f64
+    residual evaluation inside shard_map (f64 psum reduce) with the f32
+    operator, converging an 8-device f32 run to an error_max below the f32
+    floor without the f64 rerun."""
+    cfg = get_config()
+    model = _box_model(n=2)
+    params = ControlParams(
+        sig_yield=240.0, nstep=3, error_max=1e-9, et_e=0.1,
+        target_lf=99.0, iterat_max=25,
+    )
+    old_dtype, old_n = cfg.dtype, cfg.n_devices
+    cfg.dtype = "float32"
+    cfg.n_devices = 8
+    lines = []
+    try:
+        res = fcvm_tpu.solve_collapse(model, params, progress=lines.append)
+    finally:
+        cfg.dtype, cfg.n_devices = old_dtype, old_n
+    assert any("f64 residual refinement" in l for l in lines)
+    assert res.cg_stats["refinement_activations"] >= 1
+    assert len(res.history.lbd) == 4  # all steps completed in-run
+    assert not any(l.startswith("PRECISION FAILOVER") for l in lines)
+    # genuinely converged below the f32 floor on every step
+    import re
+
+    errs = [float(m.group(1)) for m in
+            (re.search(r"Error: ([0-9.e+-]+)", l) for l in lines) if m]
+    assert min(errs) <= params.error_max
