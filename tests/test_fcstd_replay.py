@@ -701,3 +701,152 @@ def test_fixed_constraint_mixed_face_vertex_pins_vertex_node():
     assert all(
         fixmask[3 * n: 3 * n + 3].max() < 0.5 for n in plane
     )
+
+
+# ---------------------------------------------------------------------------
+# Full-document-corpus accounting (round 4): every *.FCStd in the reference
+# bundle — not just the stems with committed .out files — is either INGESTED
+# (and then driven by the replay/smoke test _INGEST_TESTED names) or carries
+# a machine-verified skip reason.  "mesh-purged": the document still has its
+# FEM mesh object but the embedded mesh payload was emptied before
+# committing (read_fcstd raises the empty-mesh ValueError); if such a
+# document has a committed output-files VTK mesh, the replay substitutes it
+# (_VTK_REPLAYED, promote rule).  "no-mesh-object": no FEM mesh object at
+# all (CAD-only / container documents).
+# ---------------------------------------------------------------------------
+
+_DOC_STATUS = {
+    "1310933_Mastverankerung": "mesh-purged",
+    "Anschluss_Rahmenfuss": "mesh-purged",
+    "Anschluss_Rahmenfuss_fillet": "mesh-purged",
+    "Anschluss_Rahmenfuss_no_fillet": "mesh-purged",
+    "Bar buckling": "ingests",
+    "Block_Disp_Control_Example": "ingests",
+    "Buckling": "ingests",
+    "Castellated_Beam": "mesh-purged",
+    "Cruciform Fillet Test (no welds)": "mesh-purged",
+    "Cruciform Fillet Test": "mesh-purged",
+    "Elastica": "ingests",
+    "Elastica_2": "mesh-purged",
+    "Elastica_3": "mesh-purged",
+    "Embankment_with_Ditch_Example": "ingests",
+    "HEA200_frame_corner": "mesh-purged",
+    "HH_Blankenese_Bestand": "mesh-purged",
+    "Haltegriff_FEM_RC": "mesh-purged",
+    "Haltegriff_FEM_RC_handle": "mesh-purged",
+    "IPE400": "mesh-purged",
+    "IPE400_2": "mesh-purged",
+    "IPE400_3": "mesh-purged",
+    "IPE400_4": "mesh-purged",
+    "Lug_FaceLoad_Example": "ingests",
+    "Lug_Pressure_Example": "mesh-purged",
+    "NMS_Ruhrstr12_Silo_CAD": "no-mesh-object",
+    "NMS_Ruhrstr12_Silo_FEM_RC": "no-mesh-object",
+    "Pit_Example": "mesh-purged",
+    "Plate_Girder": "mesh-purged",
+    "Plate_girder_EC3": "mesh-purged",
+    "Plate_girder_EC3_hvl": "mesh-purged",
+    "Plate_girder_EC3_ts": "mesh-purged",
+    "Plate_with_hole_Example": "mesh-purged",
+    "Plate_with_square_hole_Example": "mesh-purged",
+    "Profile_stripped": "mesh-purged",
+    "SHB15_test": "mesh-purged",
+    "Schelle_fem": "mesh-purged",
+    "Simple Shear": "ingests",
+    "Spanner_Example": "mesh-purged",
+    "SteelPlate": "mesh-purged",
+    "Torsion": "mesh-purged",
+    "Transom 1270_95_10kN_half": "mesh-purged",
+    "Transom 1270_95_20kN_load": "mesh-purged",
+    "Trench_Example": "mesh-purged",
+    "Tresca": "no-mesh-object",
+    "Tube_Corner": "mesh-purged",
+    "Tubes_Example": "mesh-purged",
+    "U_joint": "mesh-purged",
+    "VM_Uniaxial_Tension_Example": "ingests",
+    "Wyk_Rohrstoss_linear": "mesh-purged",
+    "Wyk_Rohrstoss_ring": "mesh-purged",
+    "barrier": "mesh-purged",
+    "box girder": "mesh-purged",
+    "box": "mesh-purged",
+    "buckling_U100_3D": "mesh-purged",
+    "buckling_test": "mesh-purged",
+    "cantilever": "ingests",
+    "conical_shell": "no-mesh-object",
+    "cruciform": "mesh-purged",
+    "cruciform_column": "mesh-purged",
+    "cylinder": "mesh-purged",
+    "frame_node": "mesh-purged",
+    "ladder_clamp": "mesh-purged",
+    "shear_panel": "mesh-purged",
+    "shear_panel_with_hole": "mesh-purged",
+    "shear_panel_with_square_hole": "mesh-purged",
+    "sleeve": "mesh-purged",
+    "tensile": "ingests",
+    "train_bridge": "mesh-purged",
+    "transition": "mesh-purged",
+    "transition2": "mesh-purged",
+    "transition3": "mesh-purged",
+}
+
+# every document with an intact embedded mesh and the test that drives it
+_INGEST_TESTED = {
+    "Bar buckling": "test_bar_buckling_factors_match_committed",
+    "Block_Disp_Control_Example": "test_block_disp_control_replay",
+    "Buckling": "test_buckling_case_factors_match_committed",
+    "Elastica": "test_elastica_large_deflection_matches_ode",
+    "Embankment_with_Ditch_Example": "test_embankment_collapse_curve_matches_committed",
+    "Lug_FaceLoad_Example": "test_lug_faceload_replay_physics",
+    "Simple Shear": "test_simple_shear_verification_replay",
+    "VM_Uniaxial_Tension_Example": "test_vm_uniaxial_tension_verification_replay",
+    "cantilever": "test_cantilever_replay_coarse_mesh",
+    "tensile": "test_tensile_elastic_steps_match_committed",
+}
+
+# mesh-purged documents replayed through their committed output-files VTK
+# mesh instead (the only two purged documents that have one + a committed
+# .out to check against)
+_VTK_REPLAYED = {
+    "Lug_Pressure_Example": "test_lug_pressure_collapse_curve_matches_committed",
+    "buckling_U100_3D": "test_u100_buckling_replay",
+}
+
+
+def test_document_corpus_accounting_is_complete():
+    """The status table covers every bundled .FCStd exactly."""
+    stems = {p.stem for p in FCD.glob("*.FCStd")}
+    assert stems == set(_DOC_STATUS), (
+        stems.symmetric_difference(set(_DOC_STATUS))
+    )
+    # every ingesting document is driven by a real test in this module
+    assert set(_INGEST_TESTED) == {
+        s for s, v in _DOC_STATUS.items() if v == "ingests"
+    }
+    for name in list(_INGEST_TESTED.values()) + list(_VTK_REPLAYED.values()):
+        assert callable(globals().get(name)), f"missing test {name}"
+
+
+@pytest.mark.parametrize("stem", sorted(_DOC_STATUS))
+def test_document_status_is_real(stem):
+    """Each status must stay true against the actual document: an 'ingests'
+    document must still produce a mesh; a 'mesh-purged' one must still fail
+    with the empty-mesh error (if it regains a mesh, promote it); a purged
+    document with a committed VTK mesh must be in the VTK-replay set."""
+    from fcvm_tpu.models.fcstd import read_fcstd
+
+    doc = FCD / f"{stem}.FCStd"
+    status = _DOC_STATUS[stem]
+    if status == "ingests":
+        d = read_fcstd(doc)
+        assert len(d.mesh.elnodes) > 0
+    elif status == "mesh-purged":
+        with pytest.raises(ValueError, match="empty"):
+            read_fcstd(doc)
+        if (REF / "output files" / f"{stem}.vtk").exists():
+            assert stem in _VTK_REPLAYED, (
+                f"{stem}: committed VTK mesh exists — promote to a VTK replay"
+            )
+    else:
+        assert status == "no-mesh-object"
+        with pytest.raises(FileNotFoundError, match="no FEM mesh object"):
+            read_fcstd(doc)
