@@ -32,8 +32,10 @@ Stall resilience (the environment this must survive is documented in
 CLAUDE.md: 15-450 s first-fetch session claims, 20-80 s cold compiles per
 kernel, one measured 40-min silent stall):
 
-* phase order: TPU matched-size -> TPU headline -> EMIT -> sharded row ->
-  EMIT -> capacity rows -> EMIT (enrich-if-time-remains, per row);
+* phase order: TPU matched-size -> TPU headline -> EMIT -> capacity rows
+  (each -> EMIT) -> sharded row -> EMIT (enrich-if-time-remains, per row;
+  capacity first — round-4 shakeout saw a recompile-heavy sharded row eat
+  42 min and starve them);
 * ``FCVM_BENCH_BUDGET`` (seconds, default 3000): rows whose estimated cost
   exceeds the remaining budget are skipped with an explicit
   ``{"skipped": "budget"}`` marker instead of dying mid-measurement.
@@ -63,8 +65,15 @@ from fcvm_tpu.config import enable_compilation_cache
 enable_compilation_cache()
 
 
+_T0 = time.perf_counter()
+
+
 def log(*a):
-    print(*a, file=sys.stderr, flush=True)
+    # elapsed stamp: the graded artifact's tail doubles as a phase-timing
+    # record (diagnosing WHERE a timed-out session spent its budget was
+    # guesswork in rounds 1-3)
+    print(f"[{time.perf_counter() - _T0:7.1f}s]", *a, file=sys.stderr,
+          flush=True)
 
 
 E, NU, SY = 210000.0, 0.3, 240.0
@@ -477,8 +486,16 @@ def sharded_vs_local_row(nx):
 
     cfg = get_config()
     _, model = build(nx)
+    # Plastic (yield at LF 0.45 — BELOW the ~0.49 the Riks scale-backs
+    # leave step 2 at on the 499k hardware path) with 10% hardening — NO limit point, so
+    # the equilibrium path stays contraction-stable and the asserted
+    # tolerance measures KERNEL parity: near collapse two equally
+    # converged backends walk chaotically diverging paths (measured
+    # 2.35e-3 lbd delta over 5 adaptive steps to LF~0.9 on hardware,
+    # round-4 shakeout; the same kernels match to 1.49e-8 on the stable
+    # path).  3 steps keep the row's two full driver runs in budget.
     params = fcvm_tpu.ControlParams(
-        sig_yield=60.0, nstep=5, error_max=1e-5, et_e=0.1,
+        sig_yield=25.0, nstep=3, error_max=1e-5, et_e=0.1,
         target_lf=99.0, gnl="GNLY", max_imp=0.0,
     )
 
@@ -508,6 +525,7 @@ def sharded_vs_local_row(nx):
     lbd_tol = 1.0e-4
     row = {
         "ndof": 3 * len(model.mesh.coords),
+        "lbd": [round(float(x), 6) for x in lbd_l.tolist()],
         "steps_local": len(lbd_l) - 1,
         "steps_sharded": len(lbd_s) - 1,
         "step_ms_local": round(t_l * 1e3, 1),
@@ -698,27 +716,11 @@ def main():
 
     on_accel = jax.default_backend() != "cpu"
 
-    # sharded backend on the real chip (1-device mesh): the only hardware
-    # exposure the shard_map kernels can get in this environment
-    if os.environ.get("FCVM_BENCH_SHARDED", "1" if on_accel else "0") not in (
-        "0", "off", "false"
-    ):
-        if left() < 240.0:
-            log(f"sharded row skipped: {left():.0f}s budget left (< 240)")
-            graded["extra"]["sharded_1dev"] = {"skipped": "budget"}
-        else:
-            try:
-                graded["extra"]["sharded_1dev"] = sharded_vs_local_row(
-                    int(os.environ.get("FCVM_BENCH_SHARDED_NX", str(NX_TPU)))
-                )
-            except Exception as err:  # keep the graded line alive
-                log(f"sharded row FAILED: {type(err).__name__}: {err}")
-                graded["extra"]["sharded_1dev"] = {
-                    "error": f"{type(err).__name__}: {err}"
-                }
-        emit()
-
-    # capacity regime (>0.5M-node gather-locality cliff): 1.07M / 1.98M dof
+    # capacity regime FIRST (>0.5M-node gather-issue floor): 1.07M /
+    # 1.98M dof — these are pure assemble/build/solve rows (~2-5 min warm
+    # each), cheaper and more load-bearing than the sharded comparison,
+    # so they must not sit behind it in the budget order (round-4
+    # shakeout: a recompile-heavy sharded row ate 42 min and starved them)
     cap_env = os.environ.get("FCVM_BENCH_CAPACITY", "35,43" if on_accel else "")
     if cap_env and cap_env not in ("0", "off", "false"):
         graded["extra"]["capacity"] = []
@@ -733,9 +735,9 @@ def main():
                     {"nx": nxs, "error": f"ValueError: {err}"}
                 )
                 continue
-            if left() < 240.0:
+            if left() < 300.0:
                 log(f"capacity row nx={nx_cap} skipped: {left():.0f}s "
-                    "budget left (< 240)")
+                    "budget left (< 300)")
                 graded["extra"]["capacity"].append(
                     {"nx": nx_cap, "skipped": "budget"}
                 )
@@ -743,9 +745,9 @@ def main():
                 continue
             try:
                 # The 1.98M-dof row wants essentially the whole 16 GB HBM:
-                # drop the headline/sharded rows' live executables and
-                # donated buffers first (measured: RESOURCE_EXHAUSTED at
-                # nx=43 in-process without this; the row fits standalone).
+                # drop the earlier rows' live executables and donated
+                # buffers first (measured: RESOURCE_EXHAUSTED at nx=43
+                # in-process without this; the row fits standalone).
                 # A clean-HBM subprocess is NOT an option — a second
                 # concurrent TPU client crashes the device.  Executables
                 # reload from the persistent compile cache in seconds.
@@ -760,6 +762,34 @@ def main():
                     {"nx": nx_cap, "error": f"{type(err).__name__}: {err}"}
                 )
             emit()
+
+    # sharded backend on the real chip (1-device mesh): the only hardware
+    # exposure the shard_map kernels can get in this environment.  Two
+    # full production-driver runs; ~420 s estimated warm (cold compiles
+    # of the sharded closures can push it far beyond — the budget guard
+    # protects the artifact, and the incremental emits above mean a
+    # mid-row death loses only this row)
+    if os.environ.get("FCVM_BENCH_SHARDED", "1" if on_accel else "0") not in (
+        "0", "off", "false"
+    ):
+        if left() < 420.0:
+            log(f"sharded row skipped: {left():.0f}s budget left (< 420)")
+            graded["extra"]["sharded_1dev"] = {"skipped": "budget"}
+        else:
+            try:
+                import gc
+
+                gc.collect()
+                jax.clear_caches()
+                graded["extra"]["sharded_1dev"] = sharded_vs_local_row(
+                    int(os.environ.get("FCVM_BENCH_SHARDED_NX", str(NX_TPU)))
+                )
+            except Exception as err:  # keep the graded line alive
+                log(f"sharded row FAILED: {type(err).__name__}: {err}")
+                graded["extra"]["sharded_1dev"] = {
+                    "error": f"{type(err).__name__}: {err}"
+                }
+        emit()
 
     graded["extra"]["wall_s"] = round(time.perf_counter() - t_bench0, 1)
     emit()
