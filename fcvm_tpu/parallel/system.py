@@ -60,6 +60,22 @@ from fcvm_tpu.runtime.backend import LocalSystem
 from fcvm_tpu.utils.linalg3 import inv3_spd
 
 
+@jax.jit
+def _sharded_record_stats(disp_new, csr, peeq, pressure, svm, triax, ecr,
+                          epos):
+    """User-order permute (drops the shard padding) + the shared
+    converged-step scalar reduction — see
+    :func:`fcvm_tpu.runtime.system.record_step_stats`."""
+    from fcvm_tpu.runtime import system as sysm
+
+    def u(a):
+        return a[epos]
+
+    return sysm.record_step_stats(
+        disp_new, u(csr), u(peeq), u(pressure), u(svm), u(triax), u(ecr)
+    )
+
+
 def _nodal_diag_blocks(esm, elnodes, nn):
     """(nn, 3, 3) nodal diagonal blocks of the local element stiffnesses."""
     ne = esm.shape[0]
@@ -201,6 +217,19 @@ class ShardedSystem(LocalSystem):
     def gauss_false(self):
         return jax.device_put(
             jnp.zeros((self.ne_pad, 4), dtype=bool), self._sh_e
+        )
+
+    def record_stats(self, disp_new, csr, peeq, pressure, svm, triax, ecr):
+        """Converged-step history scalars on device: permute the sharded
+        Gauss fields to USER element order inside the jit (argmax
+        tie-breaking must match the reference's ``np.argmax`` over user
+        order, ``fcVM.py:1539-1557``) and reduce to nine scalars — the
+        driver fetches them in one round trip instead of six full-field
+        transfers (~0.7 s per field at 499k dof through the tunnel)."""
+        if not hasattr(self, "_epos_dev"):
+            self._epos_dev = jnp.asarray(self._epos, jnp.int32)
+        return _sharded_record_stats(
+            disp_new, csr, peeq, pressure, svm, triax, ecr, self._epos_dev
         )
 
     def gauss_to_user(self, a):

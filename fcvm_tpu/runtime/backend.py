@@ -242,6 +242,14 @@ class LocalSystem:
             et_e, ultimate_strain,
         )
 
+    def record_stats(self, disp_new, csr, peeq, pressure, svm, triax, ecr):
+        """Converged-step history scalars on device (see
+        :func:`fcvm_tpu.runtime.system.record_step_stats`); Gauss fields
+        are already in user order on this backend."""
+        return sysm.record_step_stats(
+            disp_new, csr, peeq, pressure, svm, triax, ecr
+        )
+
     # scipy direct tier (LocalSystem only)
     def scipy_direct(self, esm):
         from fcvm_tpu.ops.solver import ScipyDirectSolver

@@ -760,27 +760,34 @@ def _solve_collapse_impl(
 
     def record_step(qin):
         nonlocal sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr
-        disp_nodes = np.asarray(disp_new).reshape(-1, 3)
-        history.un.append(float(np.sqrt((disp_nodes**2).sum(axis=1).max())))
         if monitor is not None:
+            disp_nodes = np.asarray(disp_new).reshape(-1, 3)
             monitor(disp_nodes[: model.mesh.n_nodes], history)
         sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr = backend.update_peeq_csr(
             sig_test, sig_new, sig_yield, peeq, csr, et_e,
             params.ultimate_strain,
         )
         # history records the critical Gauss point in USER (ne, 4) order
-        # (fcVM.py:1539-1557 parity), whichever backend element order
-        csr_np = np.asarray(backend.gauss_to_user(csr)).reshape(-1)
-        peeq_np = np.asarray(backend.gauss_to_user(peeq)).reshape(-1)
-        maxloc = int(np.argmax(csr_np))
-        history.crip.append(maxloc)
-        history.csr.append(float(csr_np[maxloc]))
-        history.pressure.append(float(np.asarray(backend.gauss_to_user(pressure_gp)).reshape(-1)[maxloc]))
-        history.svm.append(float(np.asarray(backend.gauss_to_user(sigmises)).reshape(-1)[maxloc]))
-        history.triax.append(float(np.asarray(backend.gauss_to_user(triax)).reshape(-1)[maxloc]))
-        history.ecr.append(float(np.asarray(backend.gauss_to_user(ecr)).reshape(-1)[maxloc]))
-        history.peeq.append(float(peeq_np[maxloc]))
-        history.peeqmax.append(float(peeq_np.max()))
+        # (fcVM.py:1539-1557 parity), whichever backend element order.
+        # All nine scalars come from ONE device program + ONE fetch — a
+        # per-field gauss_to_user fetch costs a full (ne, 4) transfer
+        # through the remote tunnel (~0.7 s each at 499k dof, x6 per
+        # converged step; measured round 4, tools/sharded_step_probe.py).
+        (un, maxloc, csr_v, pr_v, svm_v, tri_v, ecr_v, peeq_v,
+         peeqmax) = jax.device_get(
+            backend.record_stats(
+                disp_new, csr, peeq, pressure_gp, sigmises, triax, ecr
+            )
+        )
+        history.un.append(float(un))
+        history.crip.append(int(maxloc))
+        history.csr.append(float(csr_v))
+        history.pressure.append(float(pr_v))
+        history.svm.append(float(svm_v))
+        history.triax.append(float(tri_v))
+        history.ecr.append(float(ecr_v))
+        history.peeq.append(float(peeq_v))
+        history.peeqmax.append(float(peeqmax))
         if has_movdof:
             history.load.append(float(sysm.masked_sum(movdof, qin)))
         else:

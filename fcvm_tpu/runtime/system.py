@@ -575,6 +575,38 @@ def masked_sum(mask, v):
 
 
 @jax.jit
+def record_step_stats(disp_new, csr, peeq, pressure, svm, triax, ecr):
+    """Converged-step history scalars in ONE device program + ONE fetch.
+
+    The reference reads its full per-GP fields in-process to record the
+    critical Gauss point (``fcVM.py:1539-1557``) — free on CPU.  Here a
+    naive port fetched six full ``(ne, 4)`` fields through the remote
+    tunnel every converged step (~11 MB, measured ~0.7 s per field at
+    499k dof); this computes the same records on device and the driver
+    fetches nine scalars in one round trip.  All inputs are in USER
+    Gauss order so the argmax tie-breaking (first max, like
+    ``np.argmax``) matches the reference exactly.
+
+    Returns (un_max, maxloc, csr@loc, pressure@loc, svm@loc, triax@loc,
+    ecr@loc, peeq@loc, peeq_max).
+    """
+    un = jnp.sqrt((disp_new.reshape(-1, 3) ** 2).sum(axis=1).max())
+    csr_f = csr.reshape(-1)
+    maxloc = jnp.argmax(csr_f)
+    return (
+        un,
+        maxloc,
+        csr_f[maxloc],
+        pressure.reshape(-1)[maxloc],
+        svm.reshape(-1)[maxloc],
+        triax.reshape(-1)[maxloc],
+        ecr.reshape(-1)[maxloc],
+        peeq.reshape(-1)[maxloc],
+        peeq.max(),
+    )
+
+
+@jax.jit
 def commit_step(disp_new, du, factor):
     """Converged-step commit in one dispatch: total displacement update +
     the adaptively scaled next increment (``fcVM.py:1515-1537``; the
