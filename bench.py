@@ -12,8 +12,13 @@ happened).
 
 Metric: milliseconds per Riks/Newton load step (tangent stress updates +
 preconditioned-CG solves, the reference's per-step hot path,
-``fcVM.py:1304-1557``) on a ~500k-DOF tet10 mesh driven into the plastic
-regime, on one TPU chip in f32.
+``fcVM.py:1304-1557``) on the NAMED baseline problem — the quarter
+plate-with-hole collapse geometry (manual section 9.1, BASELINE.json
+"(Plate_with_hole collapse)") at ~503k dof — driven into the plastic
+regime (concentration-3 stress gradient, developed plastic front around
+the hole), on one TPU chip in f32.  The assembly GDOF/s sub-metric is in
+``extra.headline.assembly_gdof_s``; the rounds-0-4 box problem stays as
+``extra.box_crosscheck`` for artifact continuity.
 
 vs_baseline: speedup against a reference-style CPU *collapse* step measured
 on the same machine — SuperLU factorization + triangular solves (the
@@ -22,11 +27,12 @@ vectorized numpy stress updates.  The factorization is part of the step:
 under geometric nonlinearity the reference re-factorizes whenever any Gauss
 point is plastic (``fcVM.py:1351-1396``), i.e. on every step of the collapse
 regime.  The modified-NR (geometric-linear) ratio without the factor is also
-logged to stderr.  Measured at a matched size both paths can run (3D LU
-fill-in makes the 500k-DOF direct baseline infeasible — which is itself the
-point of the matrix-free design).  The CPU baseline never touches the TPU,
-so it runs in a CPU-pinned SUBPROCESS concurrently with the TPU phases
-instead of serializing 45-90 s of SuperLU work in front of them.
+logged.  Measured SAME-SIZE (the 503k-dof headline mesh — the BASELINE.md
+north-star comparison; tens of minutes of one-core SuperLU fill-in, given
+the tail of the wall budget) and matched-size (28.6k dof, where the direct
+method is comfortable).  The CPU baseline never touches the TPU, so it runs
+in a CPU-pinned SUBPROCESS concurrently with the TPU phases, emitting each
+completed stage to a results file the parent folds in incrementally.
 
 Stall resilience (the environment this must survive is documented in
 CLAUDE.md: 15-450 s first-fetch session claims, 20-80 s cold compiles per
@@ -86,6 +92,24 @@ NX_CPU = int(os.environ.get("FCVM_BENCH_NX_CPU", "10"))  # direct-solver-feasibl
 N_SOLVES_PER_STEP = 3  # typical NR iterations per plastic load step
 CG_RTOL = 1e-5
 
+# Headline mesh: the NAMED baseline problem (BASELINE.json: "wall time per
+# Newton load step + assembly GDOF/s (Plate_with_hole collapse)") at the
+# north-star ~500k-dof scale — a quarter plate with a central hole under
+# y-tension (manual section 9.1; examples/plate_with_hole.toml geometry),
+# stress concentration ~3 at the hole, so the plastic step exercises a
+# genuine stress gradient + plastic front instead of the box's
+# near-uniform plasticity.  (2*54+1)(2*26+1)(2*14+1) nodes -> 502,599 dof.
+PLATE_BIG = tuple(
+    int(v) for v in os.environ.get("FCVM_BENCH_PLATE", "54,26,14").split(",")
+)
+# matched-size plate for the CPU-direct ratio (28.6k dof)
+PLATE_SMALL = tuple(
+    int(v)
+    for v in os.environ.get("FCVM_BENCH_PLATE_SMALL", "16,8,8").split(",")
+)
+PLATE_SY = 100.0  # yield; 50 MPa applied -> net-section LF 1.6 (toml)
+PLATE_SIGMA = 50.0
+
 
 def build(nx):
     import fcvm_tpu
@@ -106,8 +130,47 @@ def build(nx):
     return mesh, fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads)
 
 
-def tpu_step_time(nx):
-    """Steady-state wall time of one plastic Riks load step on device."""
+def build_plate(size):
+    """Quarter plate-with-hole under y-tension (the reference's headline
+    collapse example, manual section 9.1; geometry of
+    examples/plate_with_hole.toml scaled to ``size`` = (n_circ, n_rad,
+    n_thick))."""
+    import fcvm_tpu
+    from fcvm_tpu.models import meshgen
+
+    nc, nr, nt = size
+    height = 100.0
+    mesh = meshgen.plate_with_hole_tet10(
+        radius=10.0, width=50.0, height=height, thickness=5.0,
+        n_circ=nc, n_rad=nr, n_thick=nt,
+    )
+    bcs = fcvm_tpu.BoundaryConditions.from_node_sets(
+        [
+            (mesh.select_nodes(lambda x, y, z: x < 1e-9), (0.0, None, None)),
+            (mesh.select_nodes(lambda x, y, z: y < 1e-9), (None, 0.0, None)),
+            (mesh.select_nodes(lambda x, y, z: z < 1e-9), (None, None, 0.0)),
+        ]
+    )
+    faces = mesh.faces_on(lambda x, y, z: y > height - 1e-6)
+    loads = fcvm_tpu.Loads(
+        traction_faces=faces,
+        tractions=np.tile([0.0, PLATE_SIGMA, 0.0], (len(faces), 1)),
+    )
+    return mesh, fcvm_tpu.Model(mesh, fcvm_tpu.Material(E, NU), bcs, loads)
+
+
+def tpu_step_time(builder, sy=SY, drive=1.02, label=""):
+    """Steady-state wall time of one plastic Riks load step on device.
+
+    ``builder`` returns (mesh, model); ``sy`` is the yield stress and
+    ``drive`` the load factor relative to first yield the step runs at
+    (1.02 = just past yield for near-uniform fields like the box; 1.25
+    for the plate headline, where the concentration-3 hole zone carries a
+    developed plastic front while the net section stays elastic).  The
+    yield load factor is derived on device from the elastic solution's
+    peak von Mises stress, so the same harness drives any mesh/load into
+    the plastic regime.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -119,8 +182,8 @@ def tpu_step_time(nx):
     from fcvm_tpu.utils.indexing import pad_ndof, pad_vector
 
     dtype = jnp.float32
-    mesh, model = build(nx)
-    log(f"TPU mesh: nn={mesh.n_nodes} ne={mesh.n_elements} ndof={mesh.ndof}")
+    mesh, model = builder()
+    log(f"TPU {label}mesh: nn={mesh.n_nodes} ne={mesh.n_elements} ndof={mesh.ndof}")
     coords = jnp.asarray(mesh.coords, dtype)
     eln = jnp.asarray(mesh.elnodes)
     e = jnp.asarray(E, dtype)
@@ -233,19 +296,29 @@ def tpu_step_time(nx):
     log(f"elastic solve: {cg_iters} CG iters, relres {float(res.relres):.2e}")
 
     ne = mesh.n_elements
-    sig_yield = jnp.full((ne, 4), SY, dtype)
+    sig_yield = jnp.full((ne, 4), sy, dtype)
     zeros6 = jnp.zeros((ne, 4, 6), dtype)
     et = jnp.asarray(ET_E, dtype)
     qnorm = jnp.asarray(float(jnp.linalg.norm(glv)), dtype)
 
-    # drive to just past yield so the step is genuinely plastic
-    lbd0 = 2.45
+    # derive the yield load factor from the elastic solution's peak von
+    # Mises stress, then drive to `drive` x yield so the measured step is
+    # genuinely plastic (a plastic FRONT on graded meshes like the plate)
+    sig_el, _, _, _ = update_stress_load(
+        coords, eln, dmat, 1e9 * sig_yield, jnp.zeros(nd_pad, dtype),
+        jnp.asarray(ue), zeros6, e, nu, et, False, plan,
+    )
+    svm_max = float(mat.von_mises(sig_el)[2].max())
+    lbd_yield = sy / svm_max
+    lbd0 = drive * lbd_yield
+    dl = 0.021 * lbd_yield  # the box's historical dl=0.05 at lbd_yield=2.4
+    log(f"{label}yield LF {lbd_yield:.3f} (elastic svm_max {svm_max:.1f}); "
+        f"stepping at lbd0={lbd0:.3f}, dl={dl:.4f}")
     disp = lbd0 * ue
     sig0, _, _, _ = update_stress_load(
         coords, eln, dmat, 1e9 * sig_yield, jnp.zeros(nd_pad, dtype),
         disp, zeros6, e, nu, et, False, plan,
     )
-    dl = 0.05
 
     iters_seen = []
     state = {"defl": None, "armed": True}
@@ -293,18 +366,31 @@ def tpu_step_time(nx):
     one_step()  # warm every kernel + the one amortized harvest
     times = [one_step() for _ in range(3)]
     t_step = min(times)
-    log(f"TPU per-step: {t_step * 1e3:.1f} ms (3 runs: {[f'{t*1e3:.0f}' for t in times]}; "
-        f"per-solve iters {[int(jax.device_get(i)) for i in iters_seen]})")
+    # plastic-front evidence for the graded row: fraction of Gauss points
+    # past yield at the stepped state
+    _, _, pgp_f, _, _, _ = sysm.residual(
+        coords, eln, dmat, sig_yield, disp, dl * ue, sig0, e, nu, et,
+        glv, fixmask, jnp.asarray(lbd0 + dl, dtype), qnorm, False, plan,
+    )
+    plastic_frac = float(jax.device_get(pgp_f.astype(jnp.float32).mean()))
+    log(f"TPU {label}per-step: {t_step * 1e3:.1f} ms (3 runs: {[f'{t*1e3:.0f}' for t in times]}; "
+        f"per-solve iters {[int(jax.device_get(i)) for i in iters_seen]}; "
+        f"plastic GP fraction {plastic_frac:.3f})")
     diag = {
         "assembly_ms": round(t_asm * 1e3, 2),
+        # the BASELINE.json headline sub-metric, explicit
+        "assembly_gdof_s": round(mesh.ndof / t_asm / 1e9, 4),
         "precond_first_s": round(t_build1, 2),
         "precond_repeat_s": round(t_build2, 2),
         "elastic_iters": cg_iters,
+        "lbd_yield": round(lbd_yield, 4),
+        "lbd0": round(lbd0, 4),
+        "plastic_gp_fraction": round(plastic_frac, 4),
     }
     return t_step, mesh.ndof, t_asm, cg_iters, diag
 
 
-def cpu_step_time(nx):
+def cpu_step_time(builder, sy=SY, label=""):
     """Reference-style CPU step: SuperLU triangular solves + numpy stress
     update, same counts."""
     import jax
@@ -316,8 +402,8 @@ def cpu_step_time(nx):
     from fcvm_tpu.ops.solver import assemble_scipy_csc
 
     dtype = jnp.float32
-    mesh, model = build(nx)
-    log(f"CPU-baseline mesh: nn={mesh.n_nodes} ne={mesh.n_elements} ndof={mesh.ndof}")
+    mesh, model = builder()
+    log(f"CPU-baseline {label}mesh: nn={mesh.n_nodes} ne={mesh.n_elements} ndof={mesh.ndof}")
     coords = jnp.asarray(mesh.coords, jnp.float32)
     eln = jnp.asarray(mesh.elnodes)
     dmat = mat.hooke_dmat(jnp.asarray(E, dtype), jnp.asarray(NU, dtype))
@@ -358,7 +444,7 @@ def cpu_step_time(nx):
         for i in range(3):
             dev[:, :, i, i] -= p
         svm = np.sqrt(1.5 * (dev**2).sum(axis=(2, 3)))
-        fac = np.where(svm > SY, SY / np.maximum(svm, 1e-30), 1.0)
+        fac = np.where(svm > sy, sy / np.maximum(svm, 1e-30), 1.0)
         sig = dev * fac[..., None, None]
         qin = np.einsum("egab,egbi,eg->eia", sig, dshpg, np.abs(det) * el.W10[None, :])
         out = np.zeros(mesh.ndof)
@@ -370,12 +456,12 @@ def cpu_step_time(nx):
         x = lu.solve(b)
         q = numpy_stress_update(x * 1e-6)
     t_mnr = time.perf_counter() - t0
-    log(f"CPU modified-NR step (solves + stress updates): {t_mnr * 1e3:.1f} ms")
+    log(f"CPU {label}modified-NR step (solves + stress updates): {t_mnr * 1e3:.1f} ms")
     t0 = time.perf_counter()
     lu2 = spla.splu(k)  # tangent re-factorization: the collapse-regime step
     t_refactor = time.perf_counter() - t0
     t_step = t_refactor + t_mnr
-    log(f"CPU collapse step (refactor + solves + updates): {t_step * 1e3:.1f} ms")
+    log(f"CPU {label}collapse step (refactor + solves + updates): {t_step * 1e3:.1f} ms")
     return t_step, t_mnr, mesh.ndof, t_factor
 
 
@@ -532,6 +618,16 @@ def sharded_vs_local_row(nx):
         "step_ms_sharded": round(t_s * 1e3, 1),
         "cg_iters_local": res_l.cg_stats["iters"],
         "cg_iters_sharded": res_s.cg_stats["iters"],
+        # dispatch telemetry (VERDICT r4 item 7): the quantity the fused
+        # Newton iteration minimizes, observable per backend
+        "dispatches_local": res_l.cg_stats.get("dispatches"),
+        "dispatches_sharded": res_s.cg_stats.get("dispatches"),
+        "fused_iters_local": res_l.cg_stats.get("fused_iterations"),
+        "fused_iters_sharded": res_s.cg_stats.get("fused_iterations"),
+        "hp_activations_local": res_l.cg_stats.get("hp_matvec_activations"),
+        "hp_activations_sharded": res_s.cg_stats.get("hp_matvec_activations"),
+        "newton_iters_local": res_l.cg_stats.get("newton_iterations"),
+        "newton_iters_sharded": res_s.cg_stats.get("newton_iterations"),
         "max_lbd_diff": lbd_diff,
         "lbd_tol": lbd_tol,
         "lbd_within_tol": bool(lbd_diff <= lbd_tol)
@@ -609,51 +705,101 @@ def wait_for_device(max_tries=3, probe_timeout=3600, wait_s=420):
     return False
 
 
-def cpu_baseline_child(nx):
-    """Subprocess entry: run the CPU baseline on a CPU-pinned JAX and print
-    its numbers as one JSON line.  MUST be called before any jax op in this
-    process (the platform is fixed at first backend touch); never touches
-    the TPU, so it can run concurrently with the parent's TPU phases."""
+def cpu_baseline_child(out_path):
+    """Subprocess entry: matched-size AND same-size CPU baselines on a
+    CPU-pinned JAX.  MUST be called before any jax op in this process (the
+    platform is fixed at first backend touch); never touches the TPU, so it
+    runs concurrently with the parent's TPU phases.
+
+    Emits a cumulative JSON line to stdout AND appends it to ``out_path``
+    after every completed stage — the parent reads the file's last line at
+    join time, so a same-size factorization that outruns the bench budget
+    loses only the rows not yet measured (matched-size lands in ~2 min; a
+    500k-dof 3D SuperLU factor on one core can take tens of minutes, the
+    honest price of the direct method the TPU design replaces)."""
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    t_step, t_mnr, ndof, t_factor = cpu_step_time(nx)
-    print(json.dumps({"t_step": t_step, "t_mnr": t_mnr, "ndof": ndof,
-                      "t_factor": t_factor}), flush=True)
+    result = {}
+
+    def emit():
+        line = json.dumps(result)
+        print(line, flush=True)
+        if out_path:
+            with open(out_path, "a") as f:
+                f.write(line + "\n")
+
+    try:
+        t_step, t_mnr, ndof, t_factor = cpu_step_time(
+            lambda: build_plate(PLATE_SMALL), PLATE_SY, "matched ")
+        result["matched"] = {"t_step": t_step, "t_mnr": t_mnr, "ndof": ndof,
+                             "t_factor": t_factor}
+    except Exception as err:
+        result["matched"] = {"error": f"{type(err).__name__}: {err}"}
+    emit()
+    if os.environ.get("FCVM_BENCH_CPU_SAMESIZE", "1") not in (
+        "0", "off", "false"
+    ):
+        # the north-star same-size row (BASELINE.md: ">= 10x per-load-step
+        # wall time vs the CPU direct path on a 500k-DOF mesh")
+        try:
+            t_step, t_mnr, ndof, t_factor = cpu_step_time(
+                lambda: build_plate(PLATE_BIG), PLATE_SY, "same-size ")
+            result["same_size"] = {"t_step": t_step, "t_mnr": t_mnr,
+                                   "ndof": ndof, "t_factor": t_factor}
+        except Exception as err:
+            result["same_size"] = {"error": f"{type(err).__name__}: {err}"}
+        emit()
 
 
-def start_cpu_baseline(nx):
-    """Launch the CPU baseline subprocess (stderr passes through)."""
+def start_cpu_baseline():
+    """Launch the CPU baseline subprocess (stderr passes through).
+
+    Returns (proc, results_path); the child appends cumulative JSON lines
+    to results_path so partial progress survives a join timeout."""
     import subprocess
+    import tempfile
 
-    return subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--cpu-baseline", str(nx)],
-        stdout=subprocess.PIPE, text=True,
+    fd, path = tempfile.mkstemp(prefix="fcvm_bench_cpu_", suffix=".jsonl")
+    os.close(fd)
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--cpu-baseline", path],
+        stdout=subprocess.DEVNULL, text=True,
     )
+    return proc, path
 
 
-def join_cpu_baseline(proc, timeout):
-    """Collect the CPU-baseline subprocess result (None on failure)."""
+def join_cpu_baseline(proc, path, timeout):
+    """Collect the CPU-baseline results (the file's LAST cumulative JSON
+    line; None if nothing completed).  On timeout the child is left running
+    and whatever stages it completed are still returned."""
     import subprocess
 
     try:
-        out, _ = proc.communicate(timeout=max(timeout, 1.0))
+        proc.wait(timeout=max(timeout, 1.0))
+        if proc.returncode != 0:
+            log(f"CPU baseline subprocess exited rc={proc.returncode}")
     except subprocess.TimeoutExpired:
         log(f"CPU baseline subprocess still running after {timeout:.0f}s "
-            "grace; leaving it behind (never kill mid-work is a TPU rule; "
-            "this child is CPU-only but an orphan is still cheaper than "
-            "blocking the graded line)")
-        return None
-    if proc.returncode != 0:
-        log(f"CPU baseline subprocess exited rc={proc.returncode}")
-        return None
-    for line in reversed((out or "").strip().splitlines()):
-        try:
-            return json.loads(line)
-        except json.JSONDecodeError:
-            continue
-    log("CPU baseline subprocess printed no JSON")
-    return None
+            "grace; taking its completed stages and leaving it behind "
+            "(never kill mid-work is a TPU rule; this child is CPU-only "
+            "but an orphan is still cheaper than blocking the graded line)")
+    result = None
+    try:
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    result = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+    except OSError:
+        pass
+    if result is None:
+        log("CPU baseline subprocess produced no JSON stages")
+    return result
 
 
 def main():
@@ -673,48 +819,120 @@ def main():
         # after the first emit still leaves a complete headline line.
         print(json.dumps(graded), flush=True)
 
-    # the CPU baseline never touches the TPU: overlap it with everything
-    cpu_proc = start_cpu_baseline(NX_CPU)
+    # the CPU baselines (matched-size AND same-size plate) never touch the
+    # TPU: overlap them with everything; final join at the end of the run
+    cpu_proc, cpu_path = start_cpu_baseline()
     wait_for_device()
 
     # matched-size TPU measurement for the honest ratio (also warms the
-    # session claim + every hot kernel at small shapes)
-    t_tpu_small, ndof_small, _, _, _ = tpu_step_time(NX_CPU)
+    # session claim + hot kernels at small shapes) — SAME problem class as
+    # the headline (plate with hole)
+    t_tpu_small, ndof_small, _, _, _ = tpu_step_time(
+        lambda: build_plate(PLATE_SMALL), PLATE_SY, drive=1.25,
+        label="matched ",
+    )
 
-    t_tpu, ndof, t_asm, cg_iters, diag = tpu_step_time(NX_TPU)
-    graded["metric"] = f"newton_load_step_wall_ms_{round(ndof / 1000)}kdof"
+    # HEADLINE: the named baseline problem (Plate_with_hole collapse,
+    # BASELINE.json) at the north-star ~500k-dof scale
+    t_tpu, ndof, t_asm, cg_iters, diag = tpu_step_time(
+        lambda: build_plate(PLATE_BIG), PLATE_SY, drive=1.25,
+        label="headline ",
+    )
+    graded["metric"] = (
+        f"newton_load_step_wall_ms_plate_with_hole_{round(ndof / 1000)}kdof"
+    )
     graded["value"] = round(t_tpu * 1e3, 2)
     graded["extra"]["headline"] = diag
 
-    cpu = join_cpu_baseline(cpu_proc, timeout=min(max(left(), 60.0), 600.0))
-    if cpu is not None:
-        vs_baseline = cpu["t_step"] / t_tpu_small
-        graded["vs_baseline"] = round(vs_baseline, 3)
-        graded["extra"]["matched_size"] = {
-            "ndof": cpu["ndof"],
-            "cpu_collapse_step_ms": round(cpu["t_step"] * 1e3, 1),
-            "cpu_mnr_step_ms": round(cpu["t_mnr"] * 1e3, 1),
-            "tpu_step_ms": round(t_tpu_small * 1e3, 1),
-            "mnr_only_ratio": round(cpu["t_mnr"] / t_tpu_small, 2),
-        }
-        log(
-            f"matched-size ({cpu['ndof']} dof): collapse-step speedup "
-            f"{vs_baseline:.2f}x (modified-NR-only ratio "
-            f"{cpu['t_mnr'] / t_tpu_small:.2f}x); headline {ndof}-dof TPU "
-            f"step {t_tpu * 1e3:.1f} ms"
-        )
-    else:
-        # keep the graded line numeric: fall back to the last driver-graded
-        # ratio's CPU step (BENCH_r02: 25.68 s at 27.8k dof) scaled by the
-        # fresh TPU measurement, and say so in the line itself
-        graded["vs_baseline"] = round(25.68 / t_tpu_small, 3)
-        graded["extra"]["matched_size"] = {"cpu_baseline": "failed",
-                                           "vs_baseline_from": "BENCH_r02 cpu step"}
+    def fold_cpu(cpu):
+        """Fold whatever CPU-baseline stages have completed into the graded
+        line.  vs_baseline is the SAME-SIZE collapse-step ratio (the
+        BASELINE.md north star) when available, the matched-size ratio
+        (measured this run, labeled) as fallback, and null otherwise —
+        never a number from a prior round."""
+        if cpu is None:
+            graded["vs_baseline"] = None
+            graded["extra"]["vs_baseline_from"] = "cpu baseline pending/failed"
+            return
+        m = cpu.get("matched")
+        ms = {}
+        if m and "t_step" in m:
+            ms = {
+                "ndof": m["ndof"],
+                "cpu_collapse_step_ms": round(m["t_step"] * 1e3, 1),
+                "cpu_mnr_step_ms": round(m["t_mnr"] * 1e3, 1),
+                "tpu_step_ms": round(t_tpu_small * 1e3, 1),
+                "collapse_ratio": round(m["t_step"] / t_tpu_small, 2),
+                "mnr_only_ratio": round(m["t_mnr"] / t_tpu_small, 2),
+            }
+            log(f"matched-size ({m['ndof']} dof): collapse-step speedup "
+                f"{ms['collapse_ratio']}x (modified-NR-only "
+                f"{ms['mnr_only_ratio']}x)")
+        elif m:
+            ms = dict(m)
+        graded["extra"]["matched_size"] = ms
+        s = cpu.get("same_size")
+        if s and "t_step" in s:
+            graded["extra"]["same_size"] = {
+                "ndof": s["ndof"],
+                "cpu_factor_s": round(s["t_factor"], 1),
+                "cpu_collapse_step_ms": round(s["t_step"] * 1e3, 1),
+                "cpu_mnr_step_ms": round(s["t_mnr"] * 1e3, 1),
+                "tpu_step_ms": round(t_tpu * 1e3, 1),
+                "collapse_ratio": round(s["t_step"] / t_tpu, 2),
+                "mnr_only_ratio": round(s["t_mnr"] / t_tpu, 2),
+            }
+            graded["vs_baseline"] = round(s["t_step"] / t_tpu, 3)
+            graded["extra"]["vs_baseline_from"] = (
+                "same-size CPU collapse step (refactor + solves + updates)"
+            )
+            log(f"SAME-SIZE ({s['ndof']} dof): collapse-step speedup "
+                f"{graded['vs_baseline']}x, modified-NR-only "
+                f"{graded['extra']['same_size']['mnr_only_ratio']}x")
+        else:
+            if s:
+                graded["extra"]["same_size"] = dict(s)
+            if "collapse_ratio" in ms:
+                graded["vs_baseline"] = ms["collapse_ratio"]
+                graded["extra"]["vs_baseline_from"] = (
+                    f"matched-size ({ms['ndof']} dof) CPU collapse step; "
+                    "same-size row pending/failed"
+                )
+            else:
+                graded["vs_baseline"] = None
+                graded["extra"]["vs_baseline_from"] = "cpu baseline failed"
+
+    # non-blocking first look: the matched-size stage usually landed while
+    # the TPU phases ran; the same-size factor gets the tail of the budget
+    fold_cpu(join_cpu_baseline(cpu_proc, cpu_path, timeout=1.0))
     emit()
 
     import jax
 
     on_accel = jax.default_backend() != "cpu"
+
+    # box cross-check row: the rounds-0-4 headline problem, measured the
+    # same way, for continuity with the earlier BENCH_r* artifacts
+    if os.environ.get("FCVM_BENCH_BOX", "1" if on_accel else "0") not in (
+        "0", "off", "false"
+    ):
+        if left() < 300.0:
+            graded["extra"]["box_crosscheck"] = {"skipped": "budget"}
+        else:
+            try:
+                t_box, ndof_box, _, _, diag_box = tpu_step_time(
+                    lambda: build(NX_TPU), SY, drive=1.02, label="box ",
+                )
+                graded["extra"]["box_crosscheck"] = {
+                    "ndof": ndof_box, "step_ms": round(t_box * 1e3, 2),
+                    **diag_box,
+                }
+            except Exception as err:
+                log(f"box cross-check FAILED: {type(err).__name__}: {err}")
+                graded["extra"]["box_crosscheck"] = {
+                    "error": f"{type(err).__name__}: {err}"
+                }
+        emit()
 
     # capacity regime FIRST (>0.5M-node gather-issue floor): 1.07M /
     # 1.98M dof — these are pure assemble/build/solve rows (~2-5 min warm
@@ -791,12 +1009,18 @@ def main():
                 }
         emit()
 
+    # final CPU-baseline join: give the same-size SuperLU factor (tens of
+    # minutes on one core — the honest price of the direct method) the
+    # remaining wall budget, then take whatever stages completed
+    fold_cpu(join_cpu_baseline(cpu_proc, cpu_path, timeout=max(left(), 60.0)))
+    emit()
+
     graded["extra"]["wall_s"] = round(time.perf_counter() - t_bench0, 1)
     emit()
 
 
 if __name__ == "__main__":
     if len(sys.argv) >= 3 and sys.argv[1] == "--cpu-baseline":
-        cpu_baseline_child(int(sys.argv[2]))
+        cpu_baseline_child(sys.argv[2])
     else:
         main()

@@ -208,6 +208,19 @@ class FcvmConfig:
     # structs (no device memory) so the loads overlap host setup and the
     # first assembly.  Env: FCVM_PREWARM=0 disables.
     prewarm: bool = True
+    # Fused Newton iteration (SURVEY.md build-plan step 6): each steady
+    # NR iteration — optional GNL tangent refresh under lax.cond, the
+    # correction CG solve, the Riks update and the stress-update/residual
+    # — runs as ONE device program, with a single bundled scalar fetch
+    # per iteration for host governance (runtime/system.newton_iteration,
+    # parallel/system.newton_fn).  The unfused path (6 dispatches + 3
+    # blocking fetches per iteration) remains for the scipy tier,
+    # deflation-harvest iterations and the f64 refinement mode, and as a
+    # debug/A-B switch here.  The per-call dispatch overhead this removes
+    # was measured as the sharded backend's 1.68x per-step handicap on
+    # the remote v5e (BENCH_r04 sharded_1dev; docs/PERFORMANCE.md).
+    # Env: FCVM_FUSED_NEWTON=0 disables.
+    fused_newton: bool = True
     # Arc-length control of the nonlinear driver: "riks" = the reference's
     # linearized load correction + norm scale-back (fcVM.py:1414-1434;
     # parity default — stalls at snapback folds, where the scale-back
@@ -260,6 +273,10 @@ if os.environ.get("FCVM_DEFLATION"):
     _config.deflation = os.environ["FCVM_DEFLATION"] not in ("0", "off", "false")
 if os.environ.get("FCVM_LOAD_DEFLATION"):
     _config.load_deflation = os.environ["FCVM_LOAD_DEFLATION"] not in (
+        "0", "off", "false"
+    )
+if os.environ.get("FCVM_FUSED_NEWTON"):
+    _config.fused_newton = os.environ["FCVM_FUSED_NEWTON"] not in (
         "0", "off", "false"
     )
 if os.environ.get("FCVM_ARC"):

@@ -578,15 +578,20 @@ def make_bc_matvec(
     eldofs: jnp.ndarray,
     fixmask: jnp.ndarray,
     plan: Optional[ScatterPlan] = None,
+    precision=None,
 ):
     """``K_hat @ v`` with eliminated Dirichlet dofs.
 
     ``K_hat u = P K P u + (I - P) u`` with ``P = diag(fixmask)``; identical
     solution space to the reference's row/column elimination
     (``fcVM.py:771-796``).
+
+    ``precision`` overrides :func:`resolve_matvec_precision` — the driver's
+    HP-escalation tier passes ``HIGHEST`` when an f32 Newton attempt above
+    ``matvec_hp_max_dof`` stagnates on bf16 CG-correction noise.
     """
     ndof = fixmask.shape[0]
-    kv = make_matvec(esm, eldofs, ndof, plan)
+    kv = make_matvec(esm, eldofs, ndof, plan, precision=precision)
 
     def khat(u):
         return fixmask * kv(fixmask * u) + (1.0 - fixmask) * u

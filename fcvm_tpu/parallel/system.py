@@ -255,7 +255,7 @@ class ShardedSystem(LocalSystem):
             f, mesh=self.dmesh, in_specs=in_specs, out_specs=out_specs
         )
 
-    def _kv_m(self, esm, eln_m, plan, u_m):
+    def _kv_m(self, esm, eln_m, plan, u_m, prec=None):
         """Raw ``K @ v`` in the Morton node numbering (one psum).
 
         ``eln_m`` / ``plan`` (the sharded Morton connectivity + per-shard
@@ -263,8 +263,12 @@ class ShardedSystem(LocalSystem):
         under an outer ``jax.jit`` a closed-over partitioned array must be
         fetched as a host constant, which is impossible when its shards
         live on other processes (multi-host).
+
+        ``prec`` overrides the size-resolved einsum precision (the HP
+        escalation tier; trace-time static).
         """
         nn = self.nn_pad
+        mv_prec = self.mv_prec if prec is None else prec
 
         def local(esm_l, eln_l, plan_l, u_r):
             ne_l = eln_l.shape[0]
@@ -272,7 +276,7 @@ class ShardedSystem(LocalSystem):
             u3 = u_r.reshape(nn, 3)[eln_l]
             fe = jnp.einsum(
                 "eij,ej->ei", esm_l, u3.reshape(ne_l, 30),
-                precision=self.mv_prec,
+                precision=mv_prec,
             )
             y = asm.scatter_node_rows_padded(
                 fe.reshape(-1, 3), [a[0] for a in incs_l], invp_l[0]
@@ -284,9 +288,10 @@ class ShardedSystem(LocalSystem):
         )
         return y3.reshape(-1)
 
-    def _khat_m(self, esm, eln_m, plan, u_m):
+    def _khat_m(self, esm, eln_m, plan, u_m, prec=None):
         fm = self.fixmask_m
-        return fm * self._kv_m(esm, eln_m, plan, fm * u_m) + (1.0 - fm) * u_m
+        return (fm * self._kv_m(esm, eln_m, plan, fm * u_m, prec=prec)
+                + (1.0 - fm) * u_m)
 
     def _khat_block_m(self, esm, eln_m, plan, w):
         """``K_hat @ W`` for a replicated (ndof_m, k) block in ONE pass.
@@ -423,10 +428,14 @@ class ShardedSystem(LocalSystem):
 
         self._assemble_jit = jax.jit(assemble_fn)
 
-        def solve_fn(esm, eln_m, plan_m, pc, b, x0, defl):
+        def _hp_prec(hp):
+            return jax.lax.Precision.HIGHEST if hp else None
+
+        def solve_fn(esm, eln_m, plan_m, pc, b, x0, defl, hp=False):
             # x0/defl may be None: jit caches per pytree structure, so each
             # (x0?, defl?) combination compiles its own executable once.
-            matvec = lambda u: self._khat_m(esm, eln_m, plan_m, u)
+            matvec = lambda u: self._khat_m(esm, eln_m, plan_m, u,
+                                            prec=_hp_prec(hp))
             precond = deflated(lambda r: apply_precond(pc, r), defl)
             res = slv.pcg(
                 matvec, space.to_m(b), precond=precond,
@@ -435,9 +444,9 @@ class ShardedSystem(LocalSystem):
             )
             return res._replace(x=space.from_m(res.x))
 
-        self._solve_jit = jax.jit(solve_fn)
+        self._solve_jit = jax.jit(solve_fn, static_argnames=("hp",))
 
-        def solve_np_fn(esm, eln_m, plan_m, pc, b, x0, defl):
+        def solve_np_fn(esm, eln_m, plan_m, pc, b, x0, defl, hp=False):
             """Node-partitioned CG (``config.node_partition``): the WHOLE
             PCG loop runs inside one shard_map on Morton row slices of the
             node vectors.  Per iteration: one all_gather of the search
@@ -451,6 +460,7 @@ class ShardedSystem(LocalSystem):
             coarse solve and the (ncl, nm)/(k,) reductions stay replicated
             (~50 KB psums).  Dot products are psum-reduced local dots
             (``slv.pcg(dot=...)``)."""
+            np_prec = self.mv_prec if not hp else jax.lax.Precision.HIGHEST
             nn = self.nn_pad
             fm3 = self.fixmask_m.reshape(nn, 3)
             two_level = isinstance(pc, TwoLevelPrecond)
@@ -497,7 +507,7 @@ class ShardedSystem(LocalSystem):
                     ne_l = eln_l.shape[0]
                     fe = jnp.einsum(
                         "eij,ej->ei", esm_l, u3g[eln_l].reshape(ne_l, 30),
-                        precision=self.mv_prec,
+                        precision=np_prec,
                     )
                     y = asm.scatter_node_rows_padded(
                         fe.reshape(-1, 3), [x[0] for x in incs_l], invp_l[0]
@@ -557,10 +567,12 @@ class ShardedSystem(LocalSystem):
                 space.from_m(x3.reshape(-1)), iters, relres
             )
 
-        self._solve_np_jit = jax.jit(solve_np_fn)
+        self._solve_np_jit = jax.jit(solve_np_fn, static_argnames=("hp",))
 
-        def solve_harvest_fn(esm, eln_m, plan_m, pc, b, x0, defl, nstore):
-            matvec = lambda u: self._khat_m(esm, eln_m, plan_m, u)
+        def solve_harvest_fn(esm, eln_m, plan_m, pc, b, x0, defl, nstore,
+                             hp=False):
+            matvec = lambda u: self._khat_m(esm, eln_m, plan_m, u,
+                                            prec=_hp_prec(hp))
             precond = deflated(lambda r: apply_precond(pc, r), defl)
             res, h = slv.pcg_harvest(
                 matvec, space.to_m(b), precond=precond,
@@ -570,7 +582,7 @@ class ShardedSystem(LocalSystem):
             return res._replace(x=space.from_m(res.x)), h
 
         self._solve_harvest_jit = jax.jit(
-            solve_harvest_fn, static_argnames=("nstore",)
+            solve_harvest_fn, static_argnames=("nstore", "hp")
         )
 
         def build_deflation_fn(esm, eln_m, plan_m, zs, coef):
@@ -673,7 +685,8 @@ class ShardedSystem(LocalSystem):
 
         def tangent_fn(coords, eln_s, eln_m, plan_m, plan_u, weights, sig_old,
                        pgp, disp_new, du, pc, dmat_s, g_s, h_s, density_s,
-                       u_fix, ue0=None, w=None, solve_predictor=True):
+                       u_fix, ue0=None, w=None, solve_predictor=True,
+                       hp=False):
             # refinement mode holds disp_new/du in f64; the tangent
             # operator stays in the storage dtype (trace-time guard, same
             # as runtime.system.tangent_refresh)
@@ -744,7 +757,8 @@ class ShardedSystem(LocalSystem):
                 with jax.default_matmul_precision("highest"):
                     kw = w.T @ self._khat_block_m(esm_t, eln_m, plan_m, w)
                 defl = DeflationSpace(w, pinv_psd(kw))
-            matvec = lambda u: self._khat_m(esm_t, eln_m, plan_m, u)
+            matvec = lambda u: self._khat_m(esm_t, eln_m, plan_m, u,
+                                            prec=_hp_prec(hp))
             precond = deflated(lambda r: apply_precond(pc_t, r), defl)
             res = slv.pcg(
                 matvec, rhs_m, precond=precond,
@@ -754,7 +768,81 @@ class ShardedSystem(LocalSystem):
             return esm_t, pc_t, glv_t, space.from_m(res.x), res.iters
 
         self._tangent_jit = jax.jit(
-            tangent_fn, static_argnames=("solve_predictor",)
+            tangent_fn, static_argnames=("solve_predictor", "hp")
+        )
+
+        def newton_fn(coords, eln_s, eln_m, plan_m, plan_u, weights,
+                      sig_yield, disp_new, du, sig_old, glv, lbd0, lbd1,
+                      qnorm, a, ue, r, esm, pc, dmat_s, g_s, h_s, density_s,
+                      u_fix, et_e, pgp, defl, w, relax,
+                      large_disp, refresh=False, crisfield=False, hp=False,
+                      np_solve=False):
+            """ONE fused Newton/Riks iteration, SPMD (see
+            :func:`fcvm_tpu.runtime.system.newton_iteration` for the
+            rationale and the reference call-stack match).  ``refresh`` is
+            STATIC (host-decided from the previous iteration's fetched
+            ``any_pgp``; trigger ``fcVM.py:1351``) — a traced ``lax.cond``
+            around the shard_map tangent refresh broke the multi-process
+            gloo transport with a collective-size mismatch and would pay
+            pass-through copies of the sharded block array besides.  The
+            correction solve is the replicated one-psum CG, or the
+            node-partitioned all_gather/psum_scatter loop when
+            ``np_solve`` (``config.node_partition``)."""
+            if disp_new.dtype != coords.dtype:
+                disp_new = disp_new.astype(coords.dtype)
+            if du.dtype != coords.dtype:
+                du = du.astype(coords.dtype)
+
+            itp = jnp.array(0, jnp.int32)
+            out_state = (None, None, None, None, None, None)
+            if refresh and large_disp:
+                esm, pc, glv, ue, itp = tangent_fn(
+                    coords, eln_s, eln_m, plan_m, plan_u, weights,
+                    sig_old, pgp, disp_new, du, pc,
+                    dmat_s, g_s, h_s, density_s, u_fix, ue0=ue, w=w,
+                    solve_predictor=True, hp=hp,
+                )
+                nu_t = jnp.linalg.norm(ue)
+                a = ue * (jnp.linalg.norm(du)
+                          / jnp.where(nu_t == 0.0, 1.0, nu_t))
+                if defl is not None:
+                    # re-Galerkin the held residual space on the fresh
+                    # tangent operator (one block matvec)
+                    with jax.default_matmul_precision("highest"):
+                        kw = defl.w.T @ self._khat_block_m(
+                            esm, eln_m, plan_m, defl.w
+                        )
+                    defl = DeflationSpace(defl.w, pinv_psd(kw))
+                out_state = (esm, pc, defl, glv, ue, a)
+
+            if np_solve:
+                res_c = solve_np_fn(esm, eln_m, plan_m, pc, r, None, defl,
+                                    hp=hp)
+            else:
+                res_c = solve_fn(esm, eln_m, plan_m, pc, r, None, defl,
+                                 hp=hp)
+            due = res_c.x
+
+            from fcvm_tpu.runtime import system as sysm
+
+            riks_fn = (sysm.riks_update_crisfield if crisfield
+                       else sysm.riks_update)
+            du, lbd1, _ = riks_fn(a, ue, due, du, lbd0, lbd1)
+
+            sig_new, sig_test, pgp, qin, r_new, error = residual_fn(
+                coords, eln_s, plan_u, weights, sig_yield, disp_new, du,
+                sig_old, glv, lbd1, qnorm, dmat_s, g_s, h_s, et_e,
+                large_disp, relax,
+            )
+            return sysm.NewtonIterOut(
+                *out_state, du, lbd1, sig_new, sig_test,
+                pgp, qin, r_new, error, res_c.iters, itp, jnp.any(pgp),
+            )
+
+        self._newton_jit = jax.jit(
+            newton_fn,
+            static_argnames=("large_disp", "refresh", "crisfield", "hp",
+                             "np_solve"),
         )
 
         def internal_force_fn(coords, eln_s, plan_u, weights, sig_gp, disp,
@@ -834,22 +922,29 @@ class ShardedSystem(LocalSystem):
         coarse_inv = invert_coarse_with_ladder(kc, esm.dtype, label="sharded ")
         return TwoLevelPrecond(pinv, qmat_bc, coarse_inv, self.fixmask_m, None)
 
-    def solve(self, esm, pc, b, x0=None, defl=None):
-        if (
+    def _np_solve_ok(self, pc):
+        return (
             getattr(self.cfg, "node_partition", False)
             and self.nn_pad % self.n_shards == 0
             and not (
                 isinstance(pc, TwoLevelPrecond) and pc.smooth_inv is not None
             )
-        ):
-            return self._solve_np_jit(esm, self.eln_m_s, self._plan_m, pc, b, x0, defl)
-        return self._solve_jit(esm, self.eln_m_s, self._plan_m, pc, b, x0, defl)
+        )
+
+    def solve(self, esm, pc, b, x0=None, defl=None, hp=False):
+        if self._np_solve_ok(pc):
+            return self._solve_np_jit(esm, self.eln_m_s, self._plan_m, pc, b,
+                                      x0, defl, hp=hp)
+        return self._solve_jit(esm, self.eln_m_s, self._plan_m, pc, b, x0,
+                               defl, hp=hp)
 
     # -- Ritz-deflation recycling (sharded; see ops.deflation) ---------------
 
-    def solve_harvest(self, esm, pc, b, x0=None, defl=None, nstore=64):
+    def solve_harvest(self, esm, pc, b, x0=None, defl=None, nstore=64,
+                      hp=False):
         return self._solve_harvest_jit(
-            esm, self.eln_m_s, self._plan_m, pc, b, x0, defl, nstore=nstore
+            esm, self.eln_m_s, self._plan_m, pc, b, x0, defl, nstore=nstore,
+            hp=hp,
         )
 
     def build_deflation(self, esm, zs, coef):
@@ -884,14 +979,34 @@ class ShardedSystem(LocalSystem):
         )
 
     def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e,
-                        ue0=None, w=None, solve_predictor=True):
+                        ue0=None, w=None, solve_predictor=True, hp=False):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._tangent_jit(
             coords, self.eln_s, self.eln_m_s, self._plan_m, self._plan_u,
             self.weights, sig_old, pgp,
             disp_new, du, pc,
             self.dmat_s, self.g_s, h, self.density_s, self.u_fix, ue0,
-            w, solve_predictor=solve_predictor,
+            w, solve_predictor=solve_predictor, hp=hp,
+        )
+
+    # -- fused Newton iteration (one dispatch per NR iteration, SPMD) --------
+
+    def newton_iteration(self, coords, sig_yield, disp_new, du, sig_old,
+                         glv, lbd0, lbd1, qnorm, a, ue, r, et_e, esm, pc,
+                         refresh, pgp, large_disp, defl=None, w=None,
+                         relax=1.0, crisfield=False, hp=False):
+        h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
+        return self._newton_jit(
+            coords, self.eln_s, self.eln_m_s, self._plan_m, self._plan_u,
+            self.weights, sig_yield, disp_new, du, sig_old, glv,
+            jnp.asarray(lbd0, self.dtype), jnp.asarray(lbd1, self.dtype),
+            jnp.asarray(qnorm, self.dtype), a, ue, r, esm, pc,
+            self.dmat_s, self.g_s, h, self.density_s, self.u_fix,
+            jnp.asarray(et_e, self.dtype),
+            pgp, defl, w, jnp.asarray(relax, self.dtype),
+            large_disp=large_disp, refresh=bool(refresh),
+            crisfield=crisfield, hp=hp,
+            np_solve=self._np_solve_ok(pc),
         )
 
     def stress_update(self, coords, sig_yield, disp, du, sig_old, et_e,

@@ -144,18 +144,20 @@ class LocalSystem:
         # block-Jacobi tier: permute the nodal blocks into the solve space
         return pinv[self.space.nperm]
 
-    def solve(self, esm, pc, b, x0=None, defl=None):
+    def solve(self, esm, pc, b, x0=None, defl=None, hp=False):
         return sysm.solve_displacement(
             esm, self.elnodes, self.fixmask, pc, b, self.rtol, self.maxiter,
-            x0=x0, plan=self.plan, space=self.space, defl=defl,
+            x0=x0, plan=self.plan, space=self.space, defl=defl, hp=hp,
         )
 
     # -- Ritz-deflation recycling (fcvm_tpu.ops.deflation) -------------------
 
-    def solve_harvest(self, esm, pc, b, x0=None, defl=None, nstore=64):
+    def solve_harvest(self, esm, pc, b, x0=None, defl=None, nstore=64,
+                      hp=False):
         return sysm.solve_displacement_harvest(
             esm, self.elnodes, self.fixmask, pc, b, self.rtol, self.maxiter,
             x0=x0, plan=self.plan, space=self.space, defl=defl, nstore=nstore,
+            hp=hp,
         )
 
     def build_deflation(self, esm, zs, coef):
@@ -201,13 +203,39 @@ class LocalSystem:
         )
 
     def tangent_refresh(self, coords, sig_old, pgp, disp_new, du, pc, et_e,
-                        ue0=None, w=None, solve_predictor=True):
+                        ue0=None, w=None, solve_predictor=True, hp=False):
         h = mat.hardening_modulus(self.e, jnp.asarray(et_e, self.dtype))
         return sysm.tangent_refresh(
             coords, self.elnodes, self.dmat, sig_old, pgp, disp_new, du,
             self.loads, self.density, self.fixmask, self.u_fix, self.g, h,
             self.rtol, self.maxiter, pc=pc, plan=self.plan, space=self.space,
-            ue0=ue0, w=w, solve_predictor=solve_predictor,
+            ue0=ue0, w=w, solve_predictor=solve_predictor, hp=hp,
+        )
+
+    # -- fused Newton iteration (one dispatch per NR iteration) --------------
+
+    supports_fused_newton = True
+
+    def newton_iteration(self, coords, sig_yield, disp_new, du, sig_old,
+                         glv, lbd0, lbd1, qnorm, a, ue, r, et_e, esm, pc,
+                         refresh, pgp, large_disp, defl=None, w=None,
+                         relax=1.0, crisfield=False, hp=False):
+        """One fused NR iteration (see
+        :func:`fcvm_tpu.runtime.system.newton_iteration`).  ``refresh`` is
+        the host-decided static tangent-refresh flag (``iterat == 1 or
+        any(pgp)``, from the previous iteration's fetched ``any_pgp``)."""
+        h = mat.hardening_modulus(self.e, jnp.asarray(et_e, self.dtype))
+        return sysm.newton_iteration(
+            coords, self.elnodes, self.dmat, sig_yield, disp_new, du,
+            sig_old, self.e, self.nu, jnp.asarray(et_e, self.dtype), glv,
+            self.fixmask, self.u_fix, self.g, h,
+            jnp.asarray(lbd0, self.dtype), jnp.asarray(lbd1, self.dtype),
+            jnp.asarray(qnorm, self.dtype), a, ue, r, esm, pc, self.loads,
+            self.density, pgp, self.rtol,
+            self.maxiter, large_disp, bool(refresh), plan=self.plan,
+            space=self.space, defl=defl, w=w,
+            relax=jnp.asarray(relax, self.dtype),
+            crisfield=crisfield, hp=hp,
         )
 
     def stress_update(self, coords, sig_yield, disp, du, sig_old, et_e,

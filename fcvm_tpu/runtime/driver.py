@@ -332,8 +332,12 @@ def _solve_collapse_impl(
       params: the 21 control parameters.
       continuation: optional callback ``(history, state_info) -> action``
         where action is ``None``/``"stop"``, ``"add"`` (run ``nstep`` more
-        steps), ``"rev"`` (reverse loading), or ``("target", new_target_lf)``.
-        Mirrors the reference's interactive plot loop.
+        steps), ``"rev"`` (reverse loading), ``("target", new_target_lf)``,
+        ``("scale", disp_scale)`` (displacement-output scale for the
+        deformed-geometry viewers, the reference's ``ds`` box,
+        ``fcVM.py:1657,1689``), or a list/tuple of those applied in order
+        (e.g. ``[("scale", 20.0), "add"]``); unrecognized actions raise.
+        Mirrors the reference's interactive plot loop (``fcVM.py:2004-2080``).
       checkpoint_path: if set, converged-step state is saved there
         (``fcvm_tpu.runtime.checkpoint``).
       progress: optional line logger (the reference's ``prn_upd``).
@@ -394,7 +398,21 @@ def _solve_collapse_impl(
                 "floor_clamps": 0, "floor_clamp_steps": [],
                 # mixed-precision refinement (the tier between clamp and
                 # the f64 rerun): activation count + first refined step
-                "refinement_activations": 0, "refined_from_step": None}
+                "refinement_activations": 0, "refined_from_step": None,
+                # driver-issued device-program launches (dispatch-latency
+                # telemetry: each one pays per-call overhead through the
+                # remote tunnel — the quantity the fused Newton iteration
+                # minimizes); logged per converged step at end of run
+                "dispatches": 0,
+                # NR iterations that ran as ONE fused device program
+                # (runtime/system.newton_iteration)
+                "fused_iterations": 0,
+                # HP-matvec escalation (bf16 CG-correction noise above
+                # matvec_hp_max_dof): activation count + first step
+                "hp_matvec_activations": 0, "hp_from_step": None}
+
+    def disp_count(n: int = 1):
+        cg_stats["dispatches"] += n
     # f32 precision governance (see _FloorWatch / PrecisionFloorError)
     floor_watch = _FloorWatch(
         params.error_max,
@@ -414,6 +432,42 @@ def _solve_collapse_impl(
         and floor_watch.enabled
         and hasattr(backend, "residual_refined")
     )
+    # HP-matvec escalation: the tier BELOW refinement.  Above
+    # matvec_hp_max_dof the production CG matvec keeps the fast bf16 MXU
+    # passes (ops/assembly.resolve_matvec_precision); on a struggling step
+    # the resulting ~1e-3-class correction noise can stall Newton above
+    # error_max and send it into the restart ladder (the reference never
+    # restarts on roundoff — its CHOLMOD corrections are exact f64,
+    # fcVM.py:1457-1484).  When an f32 attempt stagnates in the roundoff
+    # class, escalate the matvec einsum to full f32 precision (HIGHEST,
+    # ~3x einsum cost = ~10% of a 499k-dof CG iteration) for the remaining
+    # solves instead of paying a restart.  Sticky for the rest of the run:
+    # re-probing the fast path each step would pay a ~5-iteration stall
+    # per step to save ~10% per iteration.
+    hp_mode = False
+    hp_available = (
+        floor_watch.enabled
+        and cfg.solver == "cg"
+        and cfg.matvec_precision == "auto"
+        and backend.ndof_pad > cfg.matvec_hp_max_dof
+    )
+
+    def try_hp(where: str) -> bool:
+        nonlocal hp_mode
+        if not hp_available or hp_mode:
+            return False
+        hp_mode = True
+        cg_stats["hp_matvec_activations"] += 1
+        if cg_stats["hp_from_step"] is None:
+            cg_stats["hp_from_step"] = step
+        floor_watch.reset(attempt=floor_watch.attempt)
+        log(
+            f"f32 CG-CORRECTION FLOOR {where}: escalating the CG matvec to "
+            "full f32 precision for the remaining solves (bf16 MXU "
+            "correction noise above matvec_hp_max_dof; "
+            "config.matvec_precision)"
+        )
+        return True
 
     def activate_refinement(where: str):
         nonlocal refined, du, eff_error_max
@@ -436,6 +490,7 @@ def _solve_collapse_impl(
 
     def assemble(coords):
         with timers.phase("assemble"):
+            disp_count()
             return backend.assemble(coords)
 
     def _solve_policy(lin: _LinearState, iters: int):
@@ -485,7 +540,9 @@ def _solve_collapse_impl(
             cg_stats["solves"] += 1
             cg_stats["time"] += time.perf_counter() - t0
             return x, (lambda: None) if defer else 0.0
-        res = backend.solve(lin.esm, lin.pc, b, x0=x0, defl=lin.defl)
+        disp_count()
+        res = backend.solve(lin.esm, lin.pc, b, x0=x0, defl=lin.defl,
+                            hp=hp_mode)
         # start the scalar D2H transfers before the completion sync so they
         # ride along with it instead of costing an extra tunnel round-trip
         # each (~10 ms; at small-mesh sizes that is ~10% of a solve)
@@ -516,8 +573,17 @@ def _solve_collapse_impl(
     use_ldefl = use_deflation and cfg.load_deflation
     # arc-length flavor: reference-faithful linearized Riks (default) or
     # the spherical Crisfield constraint (traverses snapback folds)
-    riks_fn = (sysm.riks_update_crisfield if cfg.arc_length == "crisfield"
+    use_crisfield = cfg.arc_length == "crisfield"
+    riks_fn = (sysm.riks_update_crisfield if use_crisfield
                else sysm.riks_update)
+    # fused Newton iteration (one dispatch + one scalar fetch per NR
+    # iteration; config.fused_newton, SURVEY.md build-plan step 6) —
+    # per-iteration routing also excludes harvest/refinement iterations
+    fused_ok = (
+        cfg.fused_newton
+        and cfg.solver != "scipy"
+        and getattr(backend, "supports_fused_newton", False)
+    )
     # armed=True: the next correction solve without a held space harvests.
     # A harvest below deflation_min_iters disarms (easy solves — nothing to
     # win); a plain solve at or past min_iters re-arms (see solve()).
@@ -545,8 +611,10 @@ def _solve_collapse_impl(
         per-iteration overhead (and, measured on small meshes, a
         Newton-convergence hazard from marginally-converged solutions)."""
         t0 = time.perf_counter()
+        disp_count()
         res, h = backend.solve_harvest(lin.esm, lin.pc, b,
-                                       nstore=cfg.deflation_nstore)
+                                       nstore=cfg.deflation_nstore,
+                                       hp=hp_mode)
         for arr in (res.iters, res.relres, h.alphas, h.betas, h.rzs):
             arr.copy_to_host_async()  # overlap D2H with the completion sync
         x = res.x.block_until_ready()
@@ -568,6 +636,7 @@ def _solve_collapse_impl(
                 alphas, betas, rzs, int(iters_h), cfg.deflation_k
             )
             if coef is not None:
+                disp_count()
                 lin.defl = backend.build_deflation(lin.esm, h.zs, coef)
                 kept = int((np.abs(coef).sum(axis=0) > 0).sum())
                 log(f"deflation space: k={kept} "
@@ -640,6 +709,7 @@ def _solve_collapse_impl(
     # Displacement control: replace the load norm with the elastic reaction
     # on the driven boundary (fcVM.py:1169-1177).
     if has_movdof:
+        disp_count()
         sn, st, pg, qelastic = backend.stress_update(
             coords, sig_yield, zero_disp, jnp.asarray(ue), zeros_gp6, et_e,
             large_disp,
@@ -653,6 +723,7 @@ def _solve_collapse_impl(
         with timers.phase("buckling"):
             # initial stress field: elastic stresses of the full load
             # (radial return disabled by a huge yield stress, fcVM.py:1195).
+            disp_count()
             sig_el_gp, _, _, _ = backend.stress_update(
                 coords, 1.0e6 * sig_yield, zero_disp, jnp.asarray(ue),
                 zeros_gp6, et_e, False,
@@ -748,6 +819,7 @@ def _solve_collapse_impl(
         # the returned r is pre-scaled by relax inside the jit
         # (fcVM.py:1398-1400 applies it at the solve RHS) — a separate
         # eager `relax * r` per NR iteration costs a remote dispatch
+        disp_count()
         if refined:
             return backend.residual_refined(
                 coords, sig_yield, disp_new, du_, sig_old, glv, lbd1,
@@ -760,9 +832,7 @@ def _solve_collapse_impl(
 
     def record_step(qin):
         nonlocal sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr
-        if monitor is not None:
-            disp_nodes = np.asarray(disp_new).reshape(-1, 3)
-            monitor(disp_nodes[: model.mesh.n_nodes], history)
+        disp_count(2)
         sig_yield, peeq, csr, triax, pressure_gp, sigmises, ecr = backend.update_peeq_csr(
             sig_test, sig_new, sig_yield, peeq, csr, et_e,
             params.ultimate_strain,
@@ -789,10 +859,17 @@ def _solve_collapse_impl(
         history.peeq.append(float(peeq_v))
         history.peeqmax.append(float(peeqmax))
         if has_movdof:
+            disp_count()
             history.load.append(float(sysm.masked_sum(movdof, qin)))
         else:
             history.load.append(lbd[step + 1])
         history.lbd.append(lbd[step + 1])
+        if monitor is not None:
+            # called AFTER this step's history scalars are appended, so a
+            # monitor reading history.un/lbd sees the step it is being
+            # shown the displacements of (the pre-round-4 contract)
+            disp_nodes = np.asarray(disp_new).reshape(-1, 3)
+            monitor(disp_nodes[: model.mesh.n_nodes], history)
         if checkpoint_path:
             from fcvm_tpu.runtime.checkpoint import save_state
 
@@ -814,6 +891,7 @@ def _solve_collapse_impl(
                 state[f"hist_{k}"] = np.asarray(getattr(history, k))
             save_state(checkpoint_path, step + 1, state)
 
+    any_pgp_h = None  # any(pgp) from the last fused iteration's fetch
     with timers.phase("stepping"):
         while cnt:
             cnt = False
@@ -833,6 +911,7 @@ def _solve_collapse_impl(
 
                 sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd[step + 1])
                 error = float(error_dev)
+                any_pgp_h = None
                 iterat = 0
                 log(f"Iteration: {iterat}, Error: {error:.2e}")
                 eff_error_max = params.error_max
@@ -843,7 +922,96 @@ def _solve_collapse_impl(
                     iterat += 1
                     iterat_tot += 1
 
-                    if large_disp and (iterat == 1 or bool(sysm.any_flag(pgp))):
+                    # Route this iteration: the fused single-dispatch
+                    # composite (runtime/system.newton_iteration — SURVEY.md
+                    # build-plan step 6) for the steady state; the unfused
+                    # multi-dispatch path whenever host-side work must run
+                    # mid-iteration (scipy tier, a deflation-space harvest,
+                    # a load-space harvest, the f64 refinement mode).
+                    fuse_now = (
+                        fused_ok
+                        and not refined
+                        and not (use_deflation and lin.defl is None
+                                 and defl_state["armed"])
+                        and not (large_disp and use_ldefl
+                                 and lstate["w"] is None and lstate["armed"])
+                    )
+                    if fuse_now:
+                        t0 = time.perf_counter()
+                        disp_count()
+                        # the reference's re-factorization trigger
+                        # (fcVM.py:1351) decided on host: iterat == 1, or
+                        # any(pgp) carried back by the PREVIOUS fused
+                        # iteration's scalar bundle (any_pgp_h; None =
+                        # unknown after a restart/unfused iteration — one
+                        # any_flag probe covers that rare case)
+                        if large_disp:
+                            refreshed = iterat == 1 or bool(
+                                any_pgp_h if any_pgp_h is not None
+                                else (disp_count() or sysm.any_flag(pgp))
+                            )
+                        else:
+                            refreshed = False
+                        out = backend.newton_iteration(
+                            coords, sig_yield, disp_new, du, sig_old, glv,
+                            lbd[step], lbd[step + 1], qnorm, a, ue, r, et_e,
+                            lin.esm, lin.pc, refreshed, pgp, large_disp,
+                            defl=lin.defl,
+                            w=(lstate["w"] if (large_disp and use_ldefl)
+                               else None),
+                            relax=relax, crisfield=use_crisfield,
+                            hp=hp_mode,
+                        )
+                        for arr in (out.lbd1, out.cg_iters,
+                                    out.predictor_iters, out.any_pgp):
+                            arr.copy_to_host_async()
+                        # ONE bundled fetch per iteration: the mandatory
+                        # convergence sync; every other scalar rides it
+                        error, lbd1_h, it_h, itp_h, any_pgp_h = map(
+                            lambda v: v.item(),
+                            jax.device_get((out.error, out.lbd1,
+                                            out.cg_iters,
+                                            out.predictor_iters,
+                                            out.any_pgp)),
+                        )
+                        lbd[step + 1] = float(lbd1_h)
+                        du = out.du
+                        sig_new, sig_test, pgp, qin, r = (
+                            out.sig_new, out.sig_test, out.pgp, out.qin,
+                            out.r,
+                        )
+                        if refreshed:
+                            glv, ue, a = out.glv, out.ue, out.a
+                            lin = _LinearState(out.esm, out.pc,
+                                               defl=out.defl)
+                        cg_stats["solves"] += 1
+                        cg_stats["iters"] += int(it_h)
+                        # span includes the fused tangent/Riks/residual —
+                        # see the end-of-run log note
+                        cg_stats["time"] += time.perf_counter() - t0
+                        cg_stats["fused_iterations"] += 1
+                        if refreshed:
+                            cg_stats["predictor_solves"] += 1
+                            cg_stats["predictor_iters"] += int(itp_h)
+                            if use_ldefl:
+                                # same load-space staleness policy as the
+                                # unfused path (it only affects the NEXT
+                                # refresh)
+                                if (lstate["w"] is not None
+                                        and int(itp_h)
+                                        >= cfg.deflation_refresh_iters):
+                                    lstate["w"] = None
+                                    log(f"load-deflation space stale "
+                                        f"({int(itp_h)} iters), will "
+                                        "re-harvest")
+                                elif (lstate["w"] is None
+                                      and int(itp_h)
+                                      >= cfg.deflation_min_iters):
+                                    lstate["armed"] = True
+                        _solve_policy(lin, int(it_h))
+                        log(f"Iteration: {iterat}, Error: {error:.2e}")
+                    elif large_disp and (iterat == 1 or bool(sysm.any_flag(pgp))):
+                        disp_count()  # the any_flag probe above
                         t0 = time.perf_counter()
                         # predictor solve: warm-started from the previous
                         # predictor (successive tangents differ by one
@@ -862,16 +1030,19 @@ def _solve_collapse_impl(
                         # (use_ldefl already implies the cg solver)
                         lharvest = (use_ldefl and lstate["w"] is None
                                     and lstate["armed"])
+                        disp_count()
                         esm_t, pc_t, glv, out, itp = backend.tangent_refresh(
                             coords, sig_old, pgp, disp_new, du, lin.pc, et_e,
                             ue0=ue if want_cg else None,
                             w=lstate["w"] if use_ldefl else None,
                             solve_predictor=want_cg and not lharvest,
+                            hp=hp_mode,
                         )
                         if lharvest:
+                            disp_count()
                             res_p, h_p = backend.solve_harvest(
                                 esm_t, pc_t, out, x0=ue,
-                                nstore=cfg.deflation_nstore,
+                                nstore=cfg.deflation_nstore, hp=hp_mode,
                             )
                             for arr in (res_p.iters, h_p.alphas, h_p.betas,
                                         h_p.rzs):
@@ -890,6 +1061,7 @@ def _solve_collapse_impl(
                                     cfg.deflation_k,
                                 )
                                 if coef is not None:
+                                    disp_count()
                                     lstate["w"] = backend.deflation_basis(
                                         h_p.zs, coef
                                     )
@@ -916,44 +1088,57 @@ def _solve_collapse_impl(
                             # same basis, re-Galerkined on the new tangent
                             # operator (one block matvec; a stale Galerkin
                             # stays SPD but deflates the wrong scales)
+                            disp_count()
                             defl_t = backend.make_deflation(esm_t, lin.defl.w)
                         lin = _LinearState(esm_t, pc_t, defl=defl_t)
                         if cfg.solver == "scipy":
                             rhs_t = backend.scipy_rhs(esm_t, glv)
                             ue, _ = solve(lin, rhs_t, x0=u_fix)
+                        disp_count()
                         a = sysm.scaled_control_vector(ue, du)
 
-                    if (use_deflation and lin.defl is None
-                            and defl_state["armed"]):
-                        due, _ = harvesting_solve(lin, r)
-                        settle_solve = None
-                    else:
-                        # no device sync here: the Riks update + residual
-                        # below are dispatched while the solve still runs;
-                        # settle() fires at the convergence fetch, where
-                        # the iters scalar is already on host (see solve())
-                        due, settle_solve = solve(lin, r, defer=True)
-                    # the settle runs in a finally so an exception between
-                    # dispatch and the convergence fetch (monitor callbacks,
-                    # device errors) cannot silently drop the solve from
-                    # cg_stats or skip the recycling policy for it
-                    try:
-                        du, lbd1, _ = riks_fn(a, ue, due, du, lbd[step], lbd[step + 1])
-                        # overlap the lambda fetch with the residual dispatch:
-                        # do_residual takes the device scalar directly (same
-                        # executable — jnp.asarray of a scalar either way) and
-                        # the host reads both values after one completion sync
-                        if hasattr(lbd1, "copy_to_host_async"):
-                            lbd1.copy_to_host_async()
-                        sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd1)
-                        lbd[step + 1] = float(lbd1)
-                        error = float(error_dev)
-                    finally:
-                        if settle_solve is not None:
-                            settle_solve()
-                    log(f"Iteration: {iterat}, Error: {error:.2e}")
+                    if not fuse_now:
+                        if (use_deflation and lin.defl is None
+                                and defl_state["armed"]):
+                            due, _ = harvesting_solve(lin, r)
+                            settle_solve = None
+                        else:
+                            # no device sync here: the Riks update + residual
+                            # below are dispatched while the solve still runs;
+                            # settle() fires at the convergence fetch, where
+                            # the iters scalar is already on host (see solve())
+                            due, settle_solve = solve(lin, r, defer=True)
+                        # the settle runs in a finally so an exception between
+                        # dispatch and the convergence fetch (monitor callbacks,
+                        # device errors) cannot silently drop the solve from
+                        # cg_stats or skip the recycling policy for it
+                        try:
+                            disp_count()
+                            du, lbd1, _ = riks_fn(a, ue, due, du, lbd[step], lbd[step + 1])
+                            # overlap the lambda fetch with the residual
+                            # dispatch: do_residual takes the device scalar
+                            # directly (same executable — jnp.asarray of a
+                            # scalar either way) and the host reads both
+                            # values after one completion sync
+                            if hasattr(lbd1, "copy_to_host_async"):
+                                lbd1.copy_to_host_async()
+                            sig_new, sig_test, pgp, qin, r, error_dev = do_residual(du, lbd1)
+                            lbd[step + 1] = float(lbd1)
+                            error = float(error_dev)
+                            any_pgp_h = None
+                        finally:
+                            if settle_solve is not None:
+                                settle_solve()
+                        log(f"Iteration: {iterat}, Error: {error:.2e}")
 
                     act = floor_watch.observe(error)
+                    if act is not None and try_hp(f"at step {step}"):
+                        # cheapest escalation tier: retry with the
+                        # full-precision matvec before clamping, refining
+                        # or restarting (fresh iteration budget, same as a
+                        # restart re-probe)
+                        iterat = 0
+                        continue
                     if act == "escalate":
                         if refine_ok and not refined:
                             # first escalation tier: f64 residual
@@ -983,12 +1168,30 @@ def _solve_collapse_impl(
                         )
 
                     if iterat > params.iterat_max:
+                        # Before paying a restart: a roundoff-class stall
+                        # (near-converged yet above error_max) with the fast
+                        # bf16 matvec active is correction noise, not
+                        # divergence — escalate the matvec instead of
+                        # shrinking increments (fcVM.py:1457-1484 never
+                        # restarts on roundoff; its corrections are exact)
+                        if (floor_watch.escalate_at_mrr()
+                                and try_hp(f"at iteration cap, step {step}")):
+                            iterat = 0
+                            continue
                         # Divergence restart with shrinking increments
                         # (fcVM.py:1457-1484).
                         restart += 1
                         log(f"RESTART # {restart}")
                         if restart > 4:
                             if (floor_watch.escalate_at_mrr()
+                                    and try_hp(
+                                        f"at restart exhaustion, step {step}"
+                                    )):
+                                # retry the ladder once with the
+                                # full-precision matvec before the f64
+                                # refinement / rerun tiers
+                                restart = 1
+                            elif (floor_watch.escalate_at_mrr()
                                     and refine_ok and not refined):
                                 # roundoff-class abandonment: retry the
                                 # whole restart ladder once with f64
@@ -1033,6 +1236,7 @@ def _solve_collapse_impl(
                         # its "(glv + modf)" variant only perturbs the printed
                         # error, not the converged state.
                         error = float(error_dev)
+                        any_pgp_h = None
                         iterat = 0
                         # fresh attempt: smaller increments lower the floor
                         # with the residual magnitudes, so re-probe (from
@@ -1057,6 +1261,7 @@ def _solve_collapse_impl(
                         # consistent reaction for the interpolated state
                         # (divergence: the reference skips the rfl record
                         # here entirely, fcVM.py:1486-1523)
+                        disp_count()
                         qin = backend.internal_force(
                             coords, sig_new, disp_new, large_disp
                         )
@@ -1074,6 +1279,7 @@ def _solve_collapse_impl(
                     if iterat < 5:
                         dl *= scale_up
                         factor = scale_up
+                    disp_count()
                     disp_new, du = sysm.commit_step(disp_new, du, factor)
                     record_step(qin)
                     # Decay the harvest-based staleness bar once per
@@ -1099,14 +1305,18 @@ def _solve_collapse_impl(
                 # scale/target edits don't themselves resume the loop, the
                 # buttons do.  Programmatically: one atomic action, or a
                 # list/tuple of them applied in order (e.g.
-                # ``[("scale", 20.0), "add"]``).
-                actions = (
-                    list(action)
-                    if isinstance(action, list)
-                    or (isinstance(action, tuple)
-                        and action and not isinstance(action[0], str))
-                    else [action]
+                # ``[("scale", 20.0), "add"]`` or ``("add", "rev")``).
+                # Atomic = None/"stop"/"add"/"rev" or a 2-tuple
+                # ("target"|"scale", value); anything else iterable is a
+                # sequence of atomic actions; unknown actions raise (a
+                # silently-dropped typo'd action would just stop the loop).
+                atomic = (
+                    action is None
+                    or isinstance(action, str)
+                    or (isinstance(action, tuple) and len(action) == 2
+                        and action[0] in ("target", "scale"))
                 )
+                actions = [action] if atomic else list(action)
                 for act in actions:
                     if act == "add":
                         cnt = True
@@ -1114,15 +1324,23 @@ def _solve_collapse_impl(
                         cnt = True
                         dl = -dl
                         du = -du
-                    elif isinstance(act, tuple) and act[0] == "target":
+                    elif isinstance(act, tuple) and len(act) == 2 and act[0] == "target":
                         cnt = True
                         target_lf = float(act[1])
-                    elif isinstance(act, tuple) and act[0] == "scale":
+                    elif isinstance(act, tuple) and len(act) == 2 and act[0] == "scale":
                         # displacement output scale for the deformed-geometry
                         # viewers (fcVM.py:1948: points = nocoord + ds*disp);
                         # recorded on the results and threaded into
                         # runtime.viz by api.run_analysis
                         disp_scale = float(act[1])
+                    elif act is None or act == "stop":
+                        pass
+                    else:
+                        raise ValueError(
+                            f"unrecognized continuation action {act!r} "
+                            "(expected 'stop'/'add'/'rev', ('target', v), "
+                            "('scale', v), or a list of those)"
+                        )
 
     log(f"total number of CG solves: {cg_stats['solves']}, iterations: {cg_stats['iters']}")
     if cg_stats["predictor_solves"]:
@@ -1144,6 +1362,20 @@ def _solve_collapse_impl(
     log(f"total number of Newton iterations: {iterat_tot}")
     if cg_stats["solves"]:
         log(f"average time per solve: {cg_stats['time'] / cg_stats['solves']:.4f}s")
+    if cg_stats["fused_iterations"]:
+        log(f"fused Newton iterations: {cg_stats['fused_iterations']} of "
+            f"{iterat_tot} (their solve spans include the in-jit "
+            "tangent/Riks/residual)")
+    if cg_stats["hp_matvec_activations"]:
+        log("full-precision CG matvec active from step "
+            f"{cg_stats['hp_from_step']} "
+            f"({cg_stats['hp_matvec_activations']} activation(s))")
+    # dispatch-latency telemetry: every driver-issued device program pays
+    # per-call overhead through the remote tunnel — the quantity the fused
+    # iteration minimizes, made observable here (VERDICT r4 item 7)
+    n_rec = max(len(history.lbd) - 1, 1)
+    log(f"device dispatches: {cg_stats['dispatches']} "
+        f"(~{cg_stats['dispatches'] / n_rec:.1f} per converged step)")
 
     history.load = history.load[: step + 2]
     return _results(

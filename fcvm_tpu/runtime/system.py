@@ -165,10 +165,16 @@ def build_solve_space(coords_np, elnodes_np, fixmask, ndof_pad: int) -> SolveSpa
     )
 
 
-@partial(jax.jit, static_argnames=("maxiter",))
+def _hp_precision(hp: bool):
+    """Matvec einsum precision override for the HP-escalation tier (None =
+    size-resolved default, ``ops.assembly.resolve_matvec_precision``)."""
+    return jax.lax.Precision.HIGHEST if hp else None
+
+
+@partial(jax.jit, static_argnames=("maxiter", "hp"))
 def solve_displacement(
     esm, elnodes, fixmask, pc, b, rtol, maxiter: int, x0=None, plan=None,
-    space: SolveSpace | None = None, defl=None,
+    space: SolveSpace | None = None, defl=None, hp: bool = False,
 ):
     """PCG solve of ``K_hat x = b`` (replaces ``factor(f)``).
 
@@ -187,13 +193,18 @@ def solve_displacement(
     ``defl`` (a :class:`fcvm_tpu.ops.deflation.DeflationSpace`, in solve
     space) adds the Ritz-recycling correction to the preconditioner —
     measured 58 -> 30 CG iterations at 499k dof with the two-pass harvest.
+
+    ``hp=True`` pins the operator einsum at HIGHEST precision (the driver's
+    escalation tier for f32 stagnation above ``matvec_hp_max_dof``).
     """
     from fcvm_tpu.ops.deflation import deflated
 
+    prec = _hp_precision(hp)
     if space is not None:
         esm_m = esm[space.eperm]
         eldofs = asm.element_dof_ids(space.elnodes_m)
-        matvec = asm.make_bc_matvec(esm_m, eldofs, space.fixmask_m, space.plan_m)
+        matvec = asm.make_bc_matvec(esm_m, eldofs, space.fixmask_m,
+                                    space.plan_m, precision=prec)
         precond = deflated(lambda r: apply_precond(pc, r), defl)
         res = slv.pcg(
             matvec, space.to_m(b), precond=precond,
@@ -202,15 +213,16 @@ def solve_displacement(
         )
         return res._replace(x=space.from_m(res.x))
     eldofs = asm.element_dof_ids(elnodes)
-    matvec = asm.make_bc_matvec(esm, eldofs, fixmask, plan)
+    matvec = asm.make_bc_matvec(esm, eldofs, fixmask, plan, precision=prec)
     precond = deflated(lambda r: apply_precond(pc, r), defl)
     return slv.pcg(matvec, b, precond=precond, x0=x0, rtol=rtol, maxiter=maxiter)
 
 
-@partial(jax.jit, static_argnames=("maxiter", "nstore"))
+@partial(jax.jit, static_argnames=("maxiter", "nstore", "hp"))
 def solve_displacement_harvest(
     esm, elnodes, fixmask, pc, b, rtol, maxiter: int, x0=None, plan=None,
     space: SolveSpace | None = None, defl=None, nstore: int = 64,
+    hp: bool = False,
 ):
     """:func:`solve_displacement` recording Lanczos byproducts for recycling.
 
@@ -219,10 +231,12 @@ def solve_displacement_harvest(
     """
     from fcvm_tpu.ops.deflation import deflated
 
+    prec = _hp_precision(hp)
     if space is not None:
         esm_m = esm[space.eperm]
         eldofs = asm.element_dof_ids(space.elnodes_m)
-        matvec = asm.make_bc_matvec(esm_m, eldofs, space.fixmask_m, space.plan_m)
+        matvec = asm.make_bc_matvec(esm_m, eldofs, space.fixmask_m,
+                                    space.plan_m, precision=prec)
         precond = deflated(lambda r: apply_precond(pc, r), defl)
         res, h = slv.pcg_harvest(
             matvec, space.to_m(b), precond=precond,
@@ -231,7 +245,7 @@ def solve_displacement_harvest(
         )
         return res._replace(x=space.from_m(res.x)), h
     eldofs = asm.element_dof_ids(elnodes)
-    matvec = asm.make_bc_matvec(esm, eldofs, fixmask, plan)
+    matvec = asm.make_bc_matvec(esm, eldofs, fixmask, plan, precision=prec)
     precond = deflated(lambda r: apply_precond(pc, r), defl)
     return slv.pcg_harvest(
         matvec, b, precond=precond, x0=x0, rtol=rtol, maxiter=maxiter,
@@ -412,7 +426,7 @@ def residual_refined(
     )
 
 
-@partial(jax.jit, static_argnames=("maxiter", "solve_predictor"))
+@partial(jax.jit, static_argnames=("maxiter", "solve_predictor", "hp"))
 def tangent_refresh(
     coords,
     elnodes,
@@ -435,6 +449,7 @@ def tangent_refresh(
     ue0=None,
     w=None,
     solve_predictor: bool = True,
+    hp: bool = False,
 ):
     """GNL tangent reassembly + follower loads + tangent predictor solve.
 
@@ -477,6 +492,7 @@ def tangent_refresh(
     glv_t, _, _, _ = external_loads(
         coords, disp_new, elnodes, loads, density, follower=True
     )
+    prec = _hp_precision(hp)
     if space is not None:
         esm_m = esm_t[space.eperm]
         pc_t = refresh_blocks(pc, esm_m, space.elnodes_m, space.fixmask_m)
@@ -486,14 +502,16 @@ def tangent_refresh(
             esm_m, eldofs, fix_m, space.to_m(u_fix), space.to_m(glv_t),
             plan_m,
         )
-        matvec = asm.make_bc_matvec(esm_m, eldofs, fix_m, plan_m)
+        matvec = asm.make_bc_matvec(esm_m, eldofs, fix_m, plan_m,
+                                    precision=prec)
     else:
         esm_m = esm_t
         pc_t = refresh_blocks(pc, esm_t, elnodes, fixmask)
         eldofs = asm.element_dof_ids(elnodes)
         fix_m, plan_m = fixmask, plan
         rhs = asm.dirichlet_rhs(esm_t, eldofs, fix_m, u_fix, glv_t, plan_m)
-        matvec = asm.make_bc_matvec(esm_t, eldofs, fix_m, plan_m)
+        matvec = asm.make_bc_matvec(esm_t, eldofs, fix_m, plan_m,
+                                    precision=prec)
     if not solve_predictor:
         # Known cost, accepted: the returned user-order RHS is immediately
         # re-permuted to solve space by the caller's solve_harvest (two
@@ -517,6 +535,202 @@ def tangent_refresh(
                   maxiter=maxiter)
     ue = space.from_m(res.x) if space is not None else res.x
     return esm_t, pc_t, glv_t, ue, res.iters
+
+
+class NewtonIterOut(NamedTuple):
+    """Everything one fused Newton iteration returns to the host loop.
+
+    Scalars (``lbd1``, ``error``, ``cg_iters``, ``predictor_iters``,
+    ``any_pgp``) are fetched in ONE bundled device_get per iteration; the
+    array state stays on device and becomes the next iteration's input.
+    ``any_pgp`` is the reference's re-factorization trigger
+    (``fcVM.py:1351``) evaluated on the NEW plastic flags — the host uses
+    it to pick the next iteration's static ``refresh`` variant, so no
+    separate ``any_flag`` dispatch+fetch is ever needed.  On the
+    no-refresh variant the operator state slots (``esm``/``pc``/``defl``/
+    ``glv``/``ue``/``a``) are ``None``: the host keeps its references and
+    the program never pays pass-through copies of the multi-hundred-MB
+    block array.
+    """
+
+    esm: object
+    pc: object
+    defl: object
+    glv: object
+    ue: object
+    a: object
+    du: jnp.ndarray
+    lbd1: jnp.ndarray
+    sig_new: jnp.ndarray
+    sig_test: jnp.ndarray
+    pgp: jnp.ndarray
+    qin: jnp.ndarray
+    r: jnp.ndarray
+    error: jnp.ndarray
+    cg_iters: jnp.ndarray
+    predictor_iters: jnp.ndarray
+    any_pgp: jnp.ndarray
+
+
+@partial(jax.jit, static_argnames=("large_disp", "maxiter", "crisfield",
+                                   "hp", "refresh"))
+def newton_iteration(
+    coords,
+    elnodes,
+    dmat,
+    sig_yield,
+    disp_new,
+    du,
+    sig_old,
+    e,
+    nu,
+    et_e,
+    glv,
+    fixmask,
+    u_fix,
+    g,
+    h,
+    lbd0,
+    lbd1,
+    qnorm,
+    a,
+    ue,
+    r,
+    esm,
+    pc,
+    loads: LoadTables,
+    density,
+    pgp,
+    rtol,
+    maxiter: int,
+    large_disp: bool,
+    refresh: bool,
+    plan=None,
+    space: SolveSpace | None = None,
+    defl=None,
+    w=None,
+    relax=1.0,
+    crisfield: bool = False,
+    hp: bool = False,
+) -> NewtonIterOut:
+    """ONE full Newton/Riks iteration as ONE device program.
+
+    SURVEY.md's build-plan step 6 (SURVEY.md:303-306) realized at iteration
+    granularity: the optional GNL tangent refresh (static ``refresh``
+    variant — the trigger ``iterat == 1 or any(pgp)``, ``fcVM.py:1351``,
+    is decided on host from the PREVIOUS iteration's fetched ``any_pgp``
+    scalar), the correction PCG solve, the Riks arc-length update
+    (``fcVM.py:1414-1434``) and the stress-update/residual evaluation
+    (``fcVM.py:1323-1342``) fuse into a single dispatch.  The host loop
+    keeps only governance (restarts, floor watch, deflation policy) and
+    fetches five scalars once per iteration — the unfused path paid ~6
+    dispatches and 3 blocking fetches per iteration, which on the remote
+    v5e tunnel measured as the sharded backend's 1.68x per-step handicap
+    (BENCH_r04 ``sharded_1dev``; per-call dispatch diagnosed in
+    docs/PERFORMANCE.md round-4 "Next levers").
+
+    ``refresh`` is deliberately STATIC, not a ``lax.cond``: a traced
+    conditional around the refresh would (a) pay pass-through copies of
+    the element-block array + preconditioner every no-refresh iteration,
+    and (b) put shard_map collectives inside a data-dependent branch,
+    which broke the multi-process gloo transport with a collective-size
+    mismatch (measured: ``tests/test_multihost.py``).  Two small static
+    variants compile instead.
+
+    The refresh variant reproduces :func:`tangent_refresh` exactly
+    (tangent blocks on deformed coordinates, follower loads, block-Jacobi
+    refresh, warm-started deflated predictor solve, control vector
+    ``fcVM.py:1392-1394``); held deflation spaces (residual ``defl``, load
+    ``w``) are re-Galerkined against the fresh operator in the same
+    program.  Host-side policy work (harvesting solves, refinement, the
+    scipy tier) runs on the unfused path — the driver routes per
+    iteration.
+    """
+    # refinement mode never routes here (driver guard); keep the dtype
+    # guards anyway so a stray f64 du cannot silently retrace the operator
+    if disp_new.dtype != coords.dtype:
+        disp_new = disp_new.astype(coords.dtype)
+    if du.dtype != coords.dtype:
+        du = du.astype(coords.dtype)
+
+    from fcvm_tpu.ops.deflation import (
+        DeflationSpace, block_khat_matvec, deflated, pinv_psd,
+    )
+    from fcvm_tpu.ops.precond import TwoLevelPrecond
+
+    prec = _hp_precision(hp)
+    if space is not None:
+        eldofs = asm.element_dof_ids(space.elnodes_m)
+        fix_m, plan_m = space.fixmask_m, space.plan_m
+    else:
+        eldofs = asm.element_dof_ids(elnodes)
+        fix_m, plan_m = fixmask, plan
+
+    itp = jnp.array(0, jnp.int32)
+    out_state = (None, None, None, None, None, None)
+    if refresh and large_disp:
+        coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
+        esm = asm.tangent_stiffness_blocks(
+            coords_def, elnodes, dmat, sig_old, pgp, g, h
+        )
+        glv, _, _, _ = external_loads(
+            coords, disp_new, elnodes, loads, density, follower=True
+        )
+        esm_m = esm[space.eperm] if space is not None else esm
+        pc = refresh_blocks(
+            pc, esm_m, space.elnodes_m if space is not None else elnodes,
+            fix_m,
+        )
+        glv_m = space.to_m(glv) if space is not None else glv
+        ufix_m = space.to_m(u_fix) if space is not None else u_fix
+        rhs = asm.dirichlet_rhs(esm_m, eldofs, fix_m, ufix_m, glv_m, plan_m)
+        matvec = asm.make_bc_matvec(esm_m, eldofs, fix_m, plan_m,
+                                    precision=prec)
+        defl_p = None
+        if w is not None:
+            with jax.default_matmul_precision("highest"):
+                kw = w.T @ block_khat_matvec(esm_m, eldofs, fix_m, plan_m, w)
+            defl_p = DeflationSpace(w, pinv_psd(kw))
+        precond = deflated(lambda r_: apply_precond(pc, r_), defl_p)
+        x0 = space.to_m(ue) if space is not None else ue
+        res_p = slv.pcg(matvec, rhs, precond=precond, x0=x0, rtol=rtol,
+                        maxiter=maxiter)
+        ue = space.from_m(res_p.x) if space is not None else res_p.x
+        nu_t = jnp.linalg.norm(ue)
+        a = ue * (jnp.linalg.norm(du)
+                  / jnp.where(nu_t == 0.0, 1.0, nu_t))
+        itp = res_p.iters
+        if defl is not None:
+            # re-Galerkin the held residual space on the fresh operator
+            with jax.default_matmul_precision("highest"):
+                kw_d = defl.w.T @ block_khat_matvec(
+                    esm_m, eldofs, fix_m, plan_m, defl.w
+                )
+            defl = DeflationSpace(defl.w, pinv_psd(kw_d))
+        out_state = (esm, pc, defl, glv, ue, a)
+    else:
+        esm_m = esm[space.eperm] if space is not None else esm
+
+    # correction solve (fcVM.py:1400-1406 equivalent)
+    matvec_c = asm.make_bc_matvec(esm_m, eldofs, fix_m, plan_m,
+                                  precision=prec)
+    precond_c = deflated(lambda r_: apply_precond(pc, r_), defl)
+    b_m = space.to_m(r) if space is not None else r
+    res_c = slv.pcg(matvec_c, b_m, precond=precond_c, rtol=rtol,
+                    maxiter=maxiter)
+    due = space.from_m(res_c.x) if space is not None else res_c.x
+
+    riks_fn = riks_update_crisfield if crisfield else riks_update
+    du, lbd1, _ = riks_fn(a, ue, due, du, lbd0, lbd1)
+
+    sig_new, sig_test, pgp, qin, r_new, error = residual(
+        coords, elnodes, dmat, sig_yield, disp_new, du, sig_old, e, nu,
+        et_e, glv, fixmask, lbd1, qnorm, large_disp, plan, relax=relax,
+    )
+    return NewtonIterOut(
+        *out_state, du, lbd1, sig_new, sig_test, pgp, qin,
+        r_new, error, res_c.iters, itp, jnp.any(pgp),
+    )
 
 
 @jax.jit
