@@ -229,7 +229,9 @@ class ShardedSystem(LocalSystem):
         if not hasattr(self, "_epos_dev"):
             self._epos_dev = jnp.asarray(self._epos, jnp.int32)
         return _sharded_record_stats(
-            disp_new, csr, peeq, pressure, svm, triax, ecr, self._epos_dev
+            self._r(disp_new), self._e(csr), self._e(peeq),
+            self._e(pressure), self._e(svm), self._e(triax), self._e(ecr),
+            self._epos_dev,
         )
 
     def gauss_to_user(self, a):
@@ -773,47 +775,42 @@ class ShardedSystem(LocalSystem):
 
         def newton_fn(coords, eln_s, eln_m, plan_m, plan_u, weights,
                       sig_yield, disp_new, du, sig_old, glv, lbd0, lbd1,
-                      qnorm, a, ue, r, esm, pc, dmat_s, g_s, h_s, density_s,
-                      u_fix, et_e, pgp, defl, w, relax,
+                      qnorm, a, ue, r, esm, pc, dmat_s, g_s, h_s,
+                      et_e, defl, relax,
                       large_disp, refresh=False, crisfield=False, hp=False,
                       np_solve=False):
-            """ONE fused Newton/Riks iteration, SPMD (see
+            """Correction solve + Riks + residual as ONE SPMD program (see
             :func:`fcvm_tpu.runtime.system.newton_iteration` for the
-            rationale and the reference call-stack match).  ``refresh`` is
-            STATIC (host-decided from the previous iteration's fetched
-            ``any_pgp``; trigger ``fcVM.py:1351``) — a traced ``lax.cond``
-            around the shard_map tangent refresh broke the multi-process
-            gloo transport with a collective-size mismatch and would pay
-            pass-through copies of the sharded block array besides.  The
-            correction solve is the replicated one-psum CG, or the
-            node-partitioned all_gather/psum_scatter loop when
-            ``np_solve`` (``config.node_partition``)."""
+            design rationale incl. why ``refresh`` is a STATIC variant:
+            the all-in-one fused program exceeded the remote compile
+            helper, and a traced ``lax.cond`` around the shard_map
+            refresh broke multi-process gloo with a collective-size
+            mismatch).  Refresh iterations pipeline ``tangent_fn`` in
+            front of this without a host sync; ``refresh=True`` computes
+            the control vector and re-Galerkins a held deflation space
+            against the fresh sharded operator.  The correction solve is
+            the replicated one-psum CG, or the node-partitioned
+            all_gather/psum_scatter loop when ``np_solve``
+            (``config.node_partition``)."""
             if disp_new.dtype != coords.dtype:
                 disp_new = disp_new.astype(coords.dtype)
             if du.dtype != coords.dtype:
                 du = du.astype(coords.dtype)
 
-            itp = jnp.array(0, jnp.int32)
-            out_state = (None, None, None, None, None, None)
+            defl_out = None
+            a_out = None
             if refresh and large_disp:
-                esm, pc, glv, ue, itp = tangent_fn(
-                    coords, eln_s, eln_m, plan_m, plan_u, weights,
-                    sig_old, pgp, disp_new, du, pc,
-                    dmat_s, g_s, h_s, density_s, u_fix, ue0=ue, w=w,
-                    solve_predictor=True, hp=hp,
-                )
                 nu_t = jnp.linalg.norm(ue)
                 a = ue * (jnp.linalg.norm(du)
                           / jnp.where(nu_t == 0.0, 1.0, nu_t))
+                a_out = a
                 if defl is not None:
-                    # re-Galerkin the held residual space on the fresh
-                    # tangent operator (one block matvec)
                     with jax.default_matmul_precision("highest"):
                         kw = defl.w.T @ self._khat_block_m(
                             esm, eln_m, plan_m, defl.w
                         )
                     defl = DeflationSpace(defl.w, pinv_psd(kw))
-                out_state = (esm, pc, defl, glv, ue, a)
+                    defl_out = defl
 
             if np_solve:
                 res_c = solve_np_fn(esm, eln_m, plan_m, pc, r, None, defl,
@@ -835,8 +832,8 @@ class ShardedSystem(LocalSystem):
                 large_disp, relax,
             )
             return sysm.NewtonIterOut(
-                *out_state, du, lbd1, sig_new, sig_test,
-                pgp, qin, r_new, error, res_c.iters, itp, jnp.any(pgp),
+                defl_out, a_out, du, lbd1, sig_new, sig_test,
+                pgp, qin, r_new, error, res_c.iters, jnp.any(pgp),
             )
 
         self._newton_jit = jax.jit(
@@ -878,6 +875,41 @@ class ShardedSystem(LocalSystem):
         self._internal_force_jit = jax.jit(
             internal_force_fn, static_argnames=("large_disp",)
         )
+
+    # -- argument-sharding canonicalization ----------------------------------
+    #
+    # jax's tracing cache keys on every argument's sharding METADATA.  Node
+    # vectors and Gauss state alternate producers across the Newton loop —
+    # sharded-jit outputs carry ``{Auto: ('e',)}`` axes, while host-created
+    # arrays and local-jit outputs (commit_step, restart arithmetic) carry
+    # ``{}`` — and every new combination RETRACED the 50+ MB shard_map
+    # programs (5-30 s of host time at each step boundary; found with
+    # jax_explain_cache_misses, round 5: this, not per-launch overhead, was
+    # the sharded backend's measured per-step handicap).  device_put to the
+    # canonical NamedSharding is metadata-only for equivalent layouts and
+    # makes every call present one stable cache key.
+
+    def _r(self, x):
+        """Canonical replicated sharding (no-op transfer if equivalent)."""
+        if x is None or not hasattr(x, "sharding"):
+            return x
+        return jax.device_put(x, self._sh_r)
+
+    def _e(self, x):
+        """Canonical element-partition sharding."""
+        if x is None or not hasattr(x, "sharding"):
+            return x
+        return jax.device_put(x, self._sh_e)
+
+    def _canon_pc(self, pc):
+        if isinstance(pc, TwoLevelPrecond):
+            return TwoLevelPrecond(*(self._r(v) for v in pc))
+        return self._r(pc)
+
+    def _canon_defl(self, defl):
+        if defl is None:
+            return None
+        return DeflationSpace(self._r(defl.w), self._r(defl.kw_inv))
 
     # -- LocalSystem interface -------------------------------------------------
 
@@ -932,6 +964,9 @@ class ShardedSystem(LocalSystem):
         )
 
     def solve(self, esm, pc, b, x0=None, defl=None, hp=False):
+        esm, pc, b, x0, defl = (self._e(esm), self._canon_pc(pc),
+                                self._r(b), self._r(x0),
+                                self._canon_defl(defl))
         if self._np_solve_ok(pc):
             return self._solve_np_jit(esm, self.eln_m_s, self._plan_m, pc, b,
                                       x0, defl, hp=hp)
@@ -943,22 +978,28 @@ class ShardedSystem(LocalSystem):
     def solve_harvest(self, esm, pc, b, x0=None, defl=None, nstore=64,
                       hp=False):
         return self._solve_harvest_jit(
-            esm, self.eln_m_s, self._plan_m, pc, b, x0, defl, nstore=nstore,
+            self._e(esm), self.eln_m_s, self._plan_m, self._canon_pc(pc),
+            self._r(b), self._r(x0), self._canon_defl(defl), nstore=nstore,
             hp=hp,
         )
 
     def build_deflation(self, esm, zs, coef):
-        return self._build_deflation_jit(esm, self.eln_m_s, self._plan_m, zs, jnp.asarray(coef))
+        return self._build_deflation_jit(
+            self._e(esm), self.eln_m_s, self._plan_m, self._r(zs),
+            jnp.asarray(coef),
+        )
 
     def make_deflation(self, esm, w):
-        return self._regalerkin_jit(esm, self.eln_m_s, self._plan_m, w)
+        return self._regalerkin_jit(self._e(esm), self.eln_m_s, self._plan_m,
+                                    self._r(w))
 
     def residual(self, coords, sig_yield, disp_new, du, sig_old, glv,
                  lbd1, qnorm, et_e, large_disp, relax=1.0):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._residual_jit(
-            coords, self.eln_s, self._plan_u, self.weights, sig_yield,
-            disp_new, du, sig_old, glv,
+            self._r(coords), self.eln_s, self._plan_u, self.weights,
+            self._e(sig_yield),
+            self._r(disp_new), self._r(du), self._e(sig_old), self._r(glv),
             jnp.asarray(lbd1, self.dtype), jnp.asarray(qnorm, self.dtype),
             self.dmat_s, self.g_s, h, jnp.asarray(et_e, self.dtype),
             large_disp, jnp.asarray(relax, self.dtype),
@@ -971,8 +1012,9 @@ class ShardedSystem(LocalSystem):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         f64 = jnp.float64
         return self._residual_refined_jit(
-            coords, self.eln_s, self._plan_u, self.weights, sig_yield,
-            disp_new, du, sig_old, glv,
+            self._r(coords), self.eln_s, self._plan_u, self.weights,
+            self._e(sig_yield),
+            self._r(disp_new), self._r(du), self._e(sig_old), self._r(glv),
             jnp.asarray(lbd1, f64), jnp.asarray(qnorm, f64),
             self.dmat_s, self.g_s, h, jnp.asarray(et_e, self.dtype),
             large_disp, jnp.asarray(relax, f64),
@@ -982,28 +1024,30 @@ class ShardedSystem(LocalSystem):
                         ue0=None, w=None, solve_predictor=True, hp=False):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._tangent_jit(
-            coords, self.eln_s, self.eln_m_s, self._plan_m, self._plan_u,
-            self.weights, sig_old, pgp,
-            disp_new, du, pc,
-            self.dmat_s, self.g_s, h, self.density_s, self.u_fix, ue0,
-            w, solve_predictor=solve_predictor, hp=hp,
+            self._r(coords), self.eln_s, self.eln_m_s, self._plan_m,
+            self._plan_u, self.weights, self._e(sig_old), self._e(pgp),
+            self._r(disp_new), self._r(du), self._canon_pc(pc),
+            self.dmat_s, self.g_s, h, self.density_s, self.u_fix,
+            self._r(ue0), self._r(w), solve_predictor=solve_predictor, hp=hp,
         )
 
     # -- fused Newton iteration (one dispatch per NR iteration, SPMD) --------
 
     def newton_iteration(self, coords, sig_yield, disp_new, du, sig_old,
                          glv, lbd0, lbd1, qnorm, a, ue, r, et_e, esm, pc,
-                         refresh, pgp, large_disp, defl=None, w=None,
+                         refresh, large_disp, defl=None,
                          relax=1.0, crisfield=False, hp=False):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._newton_jit(
-            coords, self.eln_s, self.eln_m_s, self._plan_m, self._plan_u,
-            self.weights, sig_yield, disp_new, du, sig_old, glv,
+            self._r(coords), self.eln_s, self.eln_m_s, self._plan_m,
+            self._plan_u, self.weights, self._e(sig_yield),
+            self._r(disp_new), self._r(du), self._e(sig_old), self._r(glv),
             jnp.asarray(lbd0, self.dtype), jnp.asarray(lbd1, self.dtype),
-            jnp.asarray(qnorm, self.dtype), a, ue, r, esm, pc,
-            self.dmat_s, self.g_s, h, self.density_s, self.u_fix,
+            jnp.asarray(qnorm, self.dtype), self._r(a), self._r(ue),
+            self._r(r), self._e(esm), self._canon_pc(pc),
+            self.dmat_s, self.g_s, h,
             jnp.asarray(et_e, self.dtype),
-            pgp, defl, w, jnp.asarray(relax, self.dtype),
+            self._canon_defl(defl), jnp.asarray(relax, self.dtype),
             large_disp=large_disp, refresh=bool(refresh),
             crisfield=crisfield, hp=hp,
             np_solve=self._np_solve_ok(pc),
@@ -1013,15 +1057,16 @@ class ShardedSystem(LocalSystem):
                       large_disp):
         h = mat.hardening_modulus(self.e_s, jnp.asarray(et_e, self.dtype))
         return self._stress_update_jit(
-            coords, self.eln_s, self._plan_u, self.weights, sig_yield, disp,
-            du, sig_old, self.dmat_s, self.g_s, h,
+            self._r(coords), self.eln_s, self._plan_u, self.weights,
+            self._e(sig_yield), self._r(disp),
+            self._r(du), self._e(sig_old), self.dmat_s, self.g_s, h,
             jnp.asarray(et_e, self.dtype), large_disp,
         )
 
     def internal_force(self, coords, sig_gp, disp, large_disp):
         return self._internal_force_jit(
-            coords, self.eln_s, self._plan_u, self.weights, sig_gp, disp,
-            large_disp
+            self._r(coords), self.eln_s, self._plan_u, self.weights,
+            self._e(sig_gp), self._r(disp), large_disp
         )
 
     def buckling(self, coords, sig_el_gp, k=2):

@@ -218,22 +218,23 @@ class LocalSystem:
 
     def newton_iteration(self, coords, sig_yield, disp_new, du, sig_old,
                          glv, lbd0, lbd1, qnorm, a, ue, r, et_e, esm, pc,
-                         refresh, pgp, large_disp, defl=None, w=None,
+                         refresh, large_disp, defl=None,
                          relax=1.0, crisfield=False, hp=False):
         """One fused NR iteration (see
         :func:`fcvm_tpu.runtime.system.newton_iteration`).  ``refresh`` is
         the host-decided static tangent-refresh flag (``iterat == 1 or
-        any(pgp)``, from the previous iteration's fetched ``any_pgp``)."""
-        h = mat.hardening_modulus(self.e, jnp.asarray(et_e, self.dtype))
+        any(pgp)``, from the previous iteration's fetched ``any_pgp``);
+        on a refresh iteration the caller has already dispatched
+        :meth:`tangent_refresh` and passes its (still in-flight) outputs
+        as ``esm``/``pc``/``glv``/``ue``."""
         return sysm.newton_iteration(
             coords, self.elnodes, self.dmat, sig_yield, disp_new, du,
             sig_old, self.e, self.nu, jnp.asarray(et_e, self.dtype), glv,
-            self.fixmask, self.u_fix, self.g, h,
+            self.fixmask,
             jnp.asarray(lbd0, self.dtype), jnp.asarray(lbd1, self.dtype),
-            jnp.asarray(qnorm, self.dtype), a, ue, r, esm, pc, self.loads,
-            self.density, pgp, self.rtol,
-            self.maxiter, large_disp, bool(refresh), plan=self.plan,
-            space=self.space, defl=defl, w=w,
+            jnp.asarray(qnorm, self.dtype), a, ue, r, esm, pc,
+            self.rtol, self.maxiter, large_disp, bool(refresh),
+            plan=self.plan, space=self.space, defl=defl,
             relax=jnp.asarray(relax, self.dtype),
             crisfield=crisfield, hp=hp,
         )

@@ -354,6 +354,9 @@ def _solve_collapse_impl(
     from fcvm_tpu.config import enable_compilation_cache
 
     enable_compilation_cache()  # compile once per kernel, ever (see config)
+    import os as _os
+
+    nr_trace = bool(_os.environ.get("FCVM_NR_TRACE"))  # per-bracket timing
     model.mesh.validate()  # fail fast, not deep inside a jit
     dtype = cfg.resolve_dtype()
     log = progress or (lambda s: None)
@@ -938,7 +941,6 @@ def _solve_collapse_impl(
                     )
                     if fuse_now:
                         t0 = time.perf_counter()
-                        disp_count()
                         # the reference's re-factorization trigger
                         # (fcVM.py:1351) decided on host: iterat == 1, or
                         # any(pgp) carried back by the PREVIOUS fused
@@ -952,27 +954,51 @@ def _solve_collapse_impl(
                             )
                         else:
                             refreshed = False
+                        itp_dev = None
+                        if refreshed:
+                            # dispatch the tangent refresh; its outputs
+                            # flow straight into the fused program below —
+                            # the two dispatches pipeline on device with
+                            # no host sync between them
+                            disp_count()
+                            esm_t, pc_t, glv, ue, itp_dev = backend.tangent_refresh(
+                                coords, sig_old, pgp, disp_new, du, lin.pc,
+                                et_e, ue0=ue,
+                                w=lstate["w"] if use_ldefl else None,
+                                hp=hp_mode,
+                            )
+                            itp_dev.copy_to_host_async()
+                            lin = _LinearState(esm_t, pc_t, defl=lin.defl)
+                            if nr_trace:
+                                tt1 = time.perf_counter()
+                                jax.block_until_ready(esm_t)
+                                log(f"NRTRACE it{iterat} f-tangent: "
+                                    f"dispatch {tt1 - t0:.2f}s wait "
+                                    f"{time.perf_counter() - tt1:.2f}s")
+                        if nr_trace:
+                            tn0 = time.perf_counter()
+                        disp_count()
                         out = backend.newton_iteration(
                             coords, sig_yield, disp_new, du, sig_old, glv,
-                            lbd[step], lbd[step + 1], qnorm, a, ue, r, et_e,
-                            lin.esm, lin.pc, refreshed, pgp, large_disp,
-                            defl=lin.defl,
-                            w=(lstate["w"] if (large_disp and use_ldefl)
-                               else None),
-                            relax=relax, crisfield=use_crisfield,
-                            hp=hp_mode,
+                            lbd[step], lbd[step + 1], qnorm, a, ue, r,
+                            et_e, lin.esm, lin.pc, refreshed, large_disp,
+                            defl=lin.defl, relax=relax,
+                            crisfield=use_crisfield, hp=hp_mode,
                         )
-                        for arr in (out.lbd1, out.cg_iters,
-                                    out.predictor_iters, out.any_pgp):
+                        if nr_trace:
+                            tn1 = time.perf_counter()
+                            jax.block_until_ready(out.error)
+                            log(f"NRTRACE it{iterat} f-newton: dispatch "
+                                f"{tn1 - tn0:.2f}s wait "
+                                f"{time.perf_counter() - tn1:.2f}s")
+                        for arr in (out.lbd1, out.cg_iters, out.any_pgp):
                             arr.copy_to_host_async()
                         # ONE bundled fetch per iteration: the mandatory
                         # convergence sync; every other scalar rides it
-                        error, lbd1_h, it_h, itp_h, any_pgp_h = map(
+                        error, lbd1_h, it_h, any_pgp_h = map(
                             lambda v: v.item(),
                             jax.device_get((out.error, out.lbd1,
-                                            out.cg_iters,
-                                            out.predictor_iters,
-                                            out.any_pgp)),
+                                            out.cg_iters, out.any_pgp)),
                         )
                         lbd[step + 1] = float(lbd1_h)
                         du = out.du
@@ -980,33 +1006,32 @@ def _solve_collapse_impl(
                             out.sig_new, out.sig_test, out.pgp, out.qin,
                             out.r,
                         )
-                        if refreshed:
-                            glv, ue, a = out.glv, out.ue, out.a
-                            lin = _LinearState(out.esm, out.pc,
-                                               defl=out.defl)
                         cg_stats["solves"] += 1
                         cg_stats["iters"] += int(it_h)
-                        # span includes the fused tangent/Riks/residual —
+                        # span includes the fused Riks/residual (and, on
+                        # refresh iterations, the pipelined tangent) —
                         # see the end-of-run log note
                         cg_stats["time"] += time.perf_counter() - t0
                         cg_stats["fused_iterations"] += 1
                         if refreshed:
+                            a = out.a
+                            if lin.defl is not None:
+                                lin.defl = out.defl  # re-Galerkined space
+                            itp = int(itp_dev)  # ready: the bundle fetch
+                            # above synced the downstream program
                             cg_stats["predictor_solves"] += 1
-                            cg_stats["predictor_iters"] += int(itp_h)
+                            cg_stats["predictor_iters"] += itp
                             if use_ldefl:
                                 # same load-space staleness policy as the
                                 # unfused path (it only affects the NEXT
                                 # refresh)
                                 if (lstate["w"] is not None
-                                        and int(itp_h)
-                                        >= cfg.deflation_refresh_iters):
+                                        and itp >= cfg.deflation_refresh_iters):
                                     lstate["w"] = None
                                     log(f"load-deflation space stale "
-                                        f"({int(itp_h)} iters), will "
-                                        "re-harvest")
+                                        f"({itp} iters), will re-harvest")
                                 elif (lstate["w"] is None
-                                      and int(itp_h)
-                                      >= cfg.deflation_min_iters):
+                                      and itp >= cfg.deflation_min_iters):
                                     lstate["armed"] = True
                         _solve_policy(lin, int(it_h))
                         log(f"Iteration: {iterat}, Error: {error:.2e}")
@@ -1038,6 +1063,12 @@ def _solve_collapse_impl(
                             solve_predictor=want_cg and not lharvest,
                             hp=hp_mode,
                         )
+                        if nr_trace:
+                            t_disp = time.perf_counter() - t0
+                            jax.block_until_ready(out)
+                            log(f"NRTRACE it{iterat} tangent: dispatch "
+                                f"{t_disp:.2f}s wait "
+                                f"{time.perf_counter() - t0 - t_disp:.2f}s")
                         if lharvest:
                             disp_count()
                             res_p, h_p = backend.solve_harvest(
@@ -1089,7 +1120,15 @@ def _solve_collapse_impl(
                             # operator (one block matvec; a stale Galerkin
                             # stays SPD but deflates the wrong scales)
                             disp_count()
+                            if nr_trace:
+                                tm0 = time.perf_counter()
                             defl_t = backend.make_deflation(esm_t, lin.defl.w)
+                            if nr_trace:
+                                tm1 = time.perf_counter()
+                                jax.block_until_ready(defl_t.kw_inv)
+                                log(f"NRTRACE it{iterat} make_defl: dispatch "
+                                    f"{tm1 - tm0:.2f}s wait "
+                                    f"{time.perf_counter() - tm1:.2f}s")
                         lin = _LinearState(esm_t, pc_t, defl=defl_t)
                         if cfg.solver == "scipy":
                             rhs_t = backend.scipy_rhs(esm_t, glv)
@@ -1107,7 +1146,15 @@ def _solve_collapse_impl(
                             # below are dispatched while the solve still runs;
                             # settle() fires at the convergence fetch, where
                             # the iters scalar is already on host (see solve())
+                            if nr_trace:
+                                ts0 = time.perf_counter()
                             due, settle_solve = solve(lin, r, defer=True)
+                            if nr_trace:
+                                ts1 = time.perf_counter()
+                                jax.block_until_ready(due)
+                                log(f"NRTRACE it{iterat} solve: dispatch "
+                                    f"{ts1 - ts0:.2f}s wait "
+                                    f"{time.perf_counter() - ts1:.2f}s")
                         # the settle runs in a finally so an exception between
                         # dispatch and the convergence fetch (monitor callbacks,
                         # device errors) cannot silently drop the solve from

@@ -540,24 +540,17 @@ def tangent_refresh(
 class NewtonIterOut(NamedTuple):
     """Everything one fused Newton iteration returns to the host loop.
 
-    Scalars (``lbd1``, ``error``, ``cg_iters``, ``predictor_iters``,
-    ``any_pgp``) are fetched in ONE bundled device_get per iteration; the
-    array state stays on device and becomes the next iteration's input.
-    ``any_pgp`` is the reference's re-factorization trigger
-    (``fcVM.py:1351``) evaluated on the NEW plastic flags — the host uses
-    it to pick the next iteration's static ``refresh`` variant, so no
-    separate ``any_flag`` dispatch+fetch is ever needed.  On the
-    no-refresh variant the operator state slots (``esm``/``pc``/``defl``/
-    ``glv``/``ue``/``a``) are ``None``: the host keeps its references and
-    the program never pays pass-through copies of the multi-hundred-MB
-    block array.
+    Scalars (``lbd1``, ``error``, ``cg_iters``, ``any_pgp``) are fetched in
+    ONE bundled device_get per iteration; the array state stays on device
+    and becomes the next iteration's input.  ``any_pgp`` is the
+    reference's re-factorization trigger (``fcVM.py:1351``) evaluated on
+    the NEW plastic flags — the host uses it to decide the next
+    iteration's refresh without any separate probe dispatch.  ``a`` and
+    ``defl`` are only non-None on a ``refresh=True`` call (the refreshed
+    control vector and the re-Galerkined deflation space).
     """
 
-    esm: object
-    pc: object
     defl: object
-    glv: object
-    ue: object
     a: object
     du: jnp.ndarray
     lbd1: jnp.ndarray
@@ -568,7 +561,6 @@ class NewtonIterOut(NamedTuple):
     r: jnp.ndarray
     error: jnp.ndarray
     cg_iters: jnp.ndarray
-    predictor_iters: jnp.ndarray
     any_pgp: jnp.ndarray
 
 
@@ -587,9 +579,6 @@ def newton_iteration(
     et_e,
     glv,
     fixmask,
-    u_fix,
-    g,
-    h,
     lbd0,
     lbd1,
     qnorm,
@@ -598,9 +587,6 @@ def newton_iteration(
     r,
     esm,
     pc,
-    loads: LoadTables,
-    density,
-    pgp,
     rtol,
     maxiter: int,
     large_disp: bool,
@@ -608,43 +594,31 @@ def newton_iteration(
     plan=None,
     space: SolveSpace | None = None,
     defl=None,
-    w=None,
     relax=1.0,
     crisfield: bool = False,
     hp: bool = False,
 ) -> NewtonIterOut:
-    """ONE full Newton/Riks iteration as ONE device program.
+    """Correction solve + Riks update + stress-update/residual as ONE
+    device program — the fused Newton iteration (SURVEY.md build-plan
+    step 6 at iteration granularity; reference loop ``fcVM.py:1304-1557``).
 
-    SURVEY.md's build-plan step 6 (SURVEY.md:303-306) realized at iteration
-    granularity: the optional GNL tangent refresh (static ``refresh``
-    variant — the trigger ``iterat == 1 or any(pgp)``, ``fcVM.py:1351``,
-    is decided on host from the PREVIOUS iteration's fetched ``any_pgp``
-    scalar), the correction PCG solve, the Riks arc-length update
-    (``fcVM.py:1414-1434``) and the stress-update/residual evaluation
-    (``fcVM.py:1323-1342``) fuse into a single dispatch.  The host loop
-    keeps only governance (restarts, floor watch, deflation policy) and
-    fetches five scalars once per iteration — the unfused path paid ~6
-    dispatches and 3 blocking fetches per iteration, which on the remote
-    v5e tunnel measured as the sharded backend's 1.68x per-step handicap
-    (BENCH_r04 ``sharded_1dev``; per-call dispatch diagnosed in
-    docs/PERFORMANCE.md round-4 "Next levers").
+    The host loop keeps only governance (restarts, floor watch, deflation
+    policy) and fetches four scalars once per iteration; the unfused path
+    paid ~6 dispatches and 3 blocking fetches per iteration, which on the
+    remote v5e tunnel measured as the sharded backend's 1.68x per-step
+    handicap (BENCH_r04 ``sharded_1dev``; docs/PERFORMANCE.md round-4
+    "Next levers").
 
-    ``refresh`` is deliberately STATIC, not a ``lax.cond``: a traced
-    conditional around the refresh would (a) pay pass-through copies of
-    the element-block array + preconditioner every no-refresh iteration,
-    and (b) put shard_map collectives inside a data-dependent branch,
-    which broke the multi-process gloo transport with a collective-size
-    mismatch (measured: ``tests/test_multihost.py``).  Two small static
-    variants compile instead.
-
-    The refresh variant reproduces :func:`tangent_refresh` exactly
-    (tangent blocks on deformed coordinates, follower loads, block-Jacobi
-    refresh, warm-started deflated predictor solve, control vector
-    ``fcVM.py:1392-1394``); held deflation spaces (residual ``defl``, load
-    ``w``) are re-Galerkined against the fresh operator in the same
-    program.  Host-side policy work (harvesting solves, refinement, the
-    scipy tier) runs on the unfused path — the driver routes per
-    iteration.
+    GNL refresh iterations run as TWO pipelined dispatches: the existing
+    :func:`tangent_refresh` program (reassembly + follower loads + warm
+    predictor solve) followed by this one with ``refresh=True``, which
+    computes the control vector ``a = ue |du|/|ue|`` (``fcVM.py:1392-1394``)
+    and re-Galerkins a held deflation space against the fresh ``esm``
+    in-jit — no host sync between the two dispatches.  (A single fused
+    program containing the tangent assembly + BOTH PCG loops exceeded the
+    remote compile helper's response limit at 499k dof, and a traced
+    ``lax.cond`` refresh broke multi-process gloo with a collective-size
+    mismatch — hence two static variants of a smaller program.)
     """
     # refinement mode never routes here (driver guard); keep the dtype
     # guards anyway so a stray f64 du cannot silently retrace the operator
@@ -656,60 +630,35 @@ def newton_iteration(
     from fcvm_tpu.ops.deflation import (
         DeflationSpace, block_khat_matvec, deflated, pinv_psd,
     )
-    from fcvm_tpu.ops.precond import TwoLevelPrecond
 
     prec = _hp_precision(hp)
     if space is not None:
         eldofs = asm.element_dof_ids(space.elnodes_m)
         fix_m, plan_m = space.fixmask_m, space.plan_m
+        esm_m = esm[space.eperm]
     else:
         eldofs = asm.element_dof_ids(elnodes)
         fix_m, plan_m = fixmask, plan
+        esm_m = esm
 
-    itp = jnp.array(0, jnp.int32)
-    out_state = (None, None, None, None, None, None)
+    defl_out = None
+    a_out = None
     if refresh and large_disp:
-        coords_def = coords + disp_new.reshape(-1, 3)[: coords.shape[0]]
-        esm = asm.tangent_stiffness_blocks(
-            coords_def, elnodes, dmat, sig_old, pgp, g, h
-        )
-        glv, _, _, _ = external_loads(
-            coords, disp_new, elnodes, loads, density, follower=True
-        )
-        esm_m = esm[space.eperm] if space is not None else esm
-        pc = refresh_blocks(
-            pc, esm_m, space.elnodes_m if space is not None else elnodes,
-            fix_m,
-        )
-        glv_m = space.to_m(glv) if space is not None else glv
-        ufix_m = space.to_m(u_fix) if space is not None else u_fix
-        rhs = asm.dirichlet_rhs(esm_m, eldofs, fix_m, ufix_m, glv_m, plan_m)
-        matvec = asm.make_bc_matvec(esm_m, eldofs, fix_m, plan_m,
-                                    precision=prec)
-        defl_p = None
-        if w is not None:
-            with jax.default_matmul_precision("highest"):
-                kw = w.T @ block_khat_matvec(esm_m, eldofs, fix_m, plan_m, w)
-            defl_p = DeflationSpace(w, pinv_psd(kw))
-        precond = deflated(lambda r_: apply_precond(pc, r_), defl_p)
-        x0 = space.to_m(ue) if space is not None else ue
-        res_p = slv.pcg(matvec, rhs, precond=precond, x0=x0, rtol=rtol,
-                        maxiter=maxiter)
-        ue = space.from_m(res_p.x) if space is not None else res_p.x
+        # control vector from the (pipelined-in) fresh tangent predictor
         nu_t = jnp.linalg.norm(ue)
         a = ue * (jnp.linalg.norm(du)
                   / jnp.where(nu_t == 0.0, 1.0, nu_t))
-        itp = res_p.iters
+        a_out = a
         if defl is not None:
             # re-Galerkin the held residual space on the fresh operator
+            # (one block matvec; a stale Galerkin stays SPD but deflates
+            # the wrong scales)
             with jax.default_matmul_precision("highest"):
-                kw_d = defl.w.T @ block_khat_matvec(
+                kw = defl.w.T @ block_khat_matvec(
                     esm_m, eldofs, fix_m, plan_m, defl.w
                 )
-            defl = DeflationSpace(defl.w, pinv_psd(kw_d))
-        out_state = (esm, pc, defl, glv, ue, a)
-    else:
-        esm_m = esm[space.eperm] if space is not None else esm
+            defl = DeflationSpace(defl.w, pinv_psd(kw))
+            defl_out = defl
 
     # correction solve (fcVM.py:1400-1406 equivalent)
     matvec_c = asm.make_bc_matvec(esm_m, eldofs, fix_m, plan_m,
@@ -728,8 +677,8 @@ def newton_iteration(
         et_e, glv, fixmask, lbd1, qnorm, large_disp, plan, relax=relax,
     )
     return NewtonIterOut(
-        *out_state, du, lbd1, sig_new, sig_test, pgp, qin,
-        r_new, error, res_c.iters, itp, jnp.any(pgp),
+        defl_out, a_out, du, lbd1, sig_new, sig_test, pgp, qin,
+        r_new, error, res_c.iters, jnp.any(pgp),
     )
 
 

@@ -34,11 +34,24 @@ import fcvm_tpu  # noqa: E402
 NX = int(os.environ.get("FCVM_PROBE_NX", "27"))
 
 
+_SEQ = {"n": 0}
+
+
 def run_one(label, sharded, fused):
     cfg = get_config()
     _, model = bench.build(NX)
+    # axon caches (executable, args) results server-side: two runs of the
+    # SAME physics through paths that share any executable (e.g.
+    # tangent_refresh between the fused and unfused drivers) get those
+    # calls served from cache and read as phantom speedups.  Scale the
+    # WHOLE problem (traction AND yield) by a unique factor per run: the
+    # solution scales exactly, every relative tolerance and iteration
+    # count is invariant, and every device argument differs.
+    _SEQ["n"] += 1
+    c = 1.0 + 7.0e-5 * _SEQ["n"]
+    model.loads.tractions = model.loads.tractions * c
     params = fcvm_tpu.ControlParams(
-        sig_yield=25.0, nstep=3, error_max=1e-5, et_e=0.1,
+        sig_yield=25.0 * c, nstep=3, error_max=1e-5, et_e=0.1,
         target_lf=99.0, gnl="GNLY", max_imp=0.0,
     )
     old = (cfg.force_sharded, cfg.fused_newton)
@@ -69,16 +82,26 @@ def run_one(label, sharded, fused):
     )
     print(f"  lbd: {[round(float(v), 6) for v in res.history.lbd]}",
           flush=True)
+    print(f"  timers: {res.timers}", flush=True)
+    print(f"  cg time {cs['time']:.1f}s (deferred {cs['deferred_solves']}), "
+          f"tangent_time {cs['tangent_time']:.1f}s, predictor "
+          f"{cs['predictor_iters']} iters / {cs['predictor_solves']} solves",
+          flush=True)
+    tail = [ln for ln in lines if any(k in ln for k in (
+        "deflation", "harvest", "FLOOR", "RESTART", "NRTRACE"))]
+    for ln in tail[:120]:
+        print(f"  | {ln}", flush=True)
     return st / nsteps, res
 
 
 def main():
     modes = sys.argv[1:] or ["local_fused", "local_unfused", "sharded_fused"]
     results = {}
-    for m in modes:
+    for i, m in enumerate(modes):
         sharded = m.startswith("sharded")
         fused = m.endswith("fused") and not m.endswith("unfused")
-        results[m] = run_one(m, sharded, fused)[0]
+        # duplicated modes: the LAST occurrence (in-process warm) wins
+        results[m] = run_one(f"{m}#{i}", sharded, fused)[0]
     if "local_fused" in results and "sharded_fused" in results:
         r = results["sharded_fused"] / results["local_fused"]
         print(f"sharded/local per-step ratio (fused): {r:.3f}", flush=True)
